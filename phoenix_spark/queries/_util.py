@@ -1,0 +1,86 @@
+"""Shared helpers for the oracle-paired query inventory.
+
+Determinism contract (this is what makes the DuckDB hash-compare stable):
+
+  * Floating-point SUMs are order-dependent; Spark shuffles make them
+    nondeterministic run-to-run, and DuckDB would sum in yet another order.
+    Every hashed aggregate therefore runs on exact DECIMAL values (decimal
+    addition is associative/exact) and only the *final* scalar is cast to
+    double — identical bits on both engines.
+  * Final output columns are explicitly cast (double / bigint / string) so
+    the Spark schema matches DuckDB's inferred schema.
+  * Every aggregate / computed column is aliased identically in the Spark
+    builder and the oracle SQL (driver compares by column name).
+  * TopK / LIMIT queries always order by a unique key suffix so the cut is
+    deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Exact-arithmetic casts for the TPC-H-ish double columns (values have <= 2
+# decimal digits — see FIXTURES.md — so DECIMAL(18,2) is lossless).
+DEC = "decimal(18,2)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from phoenix_spark.catalog import read_table
+
+    return read_table(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def dec(col: str | F.Column, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def dsum(col: str | F.Column, scale: int = 2):
+    """Exact sum of a double column → double (deterministic both engines)."""
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def bsum(col: str | F.Column):
+    """Integer sum with explicit bigint result (DuckDB sums ints to HUGEINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).cast("long")
+
+
+# Per-SparkSession record of which sf_dir's tables are registered as views,
+# so SQL-built queries can reference tables by name without re-reading
+# footers on every call.
+_VIEWS: dict[int, str] = {}
+
+
+def views(spark: SparkSession, sf_dir: str) -> None:
+    """Ensure all fixture tables of ``sf_dir`` are temp views on ``spark``."""
+    from phoenix_spark.catalog import TABLE_NAMES
+
+    if _VIEWS.get(id(spark)) == sf_dir:
+        return
+    for name in TABLE_NAMES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS[id(spark)] = sf_dir
+
+
+class Registry:
+    """Collects (name -> query builder, name -> oracle sql)."""
+
+    def __init__(self) -> None:
+        self.queries: dict[str, QueryFn] = {}
+        self.oracles: dict[str, str] = {}
+
+    def add(self, name: str, fn: QueryFn, oracle: str | None = None) -> None:
+        assert name not in self.queries, f"duplicate query name {name}"
+        self.queries[name] = fn
+        if oracle is not None:
+            self.oracles[name] = oracle
+
+    def merge(self, other: "Registry") -> None:
+        for name, fn in other.queries.items():
+            self.add(name, fn, other.oracles.get(name))

@@ -1,0 +1,154 @@
+"""Projection / filter / predicate surface (SURVEY.md §2.2).
+
+Reference compilers: WhereCompiler (.../compile/WhereCompiler.java),
+WhereOptimizer (predicate→key-range pushdown), expression nodes under
+.../expression/ (ComparisonExpression, InListExpression, LikeExpression,
+IsNullExpression, CaseExpression, CoerceExpression,
+RowValueConstructorExpression).  Spark: Catalyst pushes these to the
+parquet scan; the queries pin the 3-valued-logic / LIKE / RVC semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from phoenix_spark.queries._util import Registry, t, views
+
+REG = Registry()
+
+# --- comparison + BETWEEN + equality, pushed to scan -----------------------
+REG.add(
+    "filter_range_pred",
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 25)
+        & (F.col("l_returnflag") == "R")
+    )
+    .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_quantity < 25 AND l_returnflag = 'R'
+    """,
+)
+
+# --- IN list + LIKE + OR ---------------------------------------------------
+REG.add(
+    "filter_in_like",
+    lambda spark, sf: t(spark, sf, "part")
+    .filter(
+        F.col("p_name").like("%widget%")
+        | F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#23")
+    )
+    .select("p_partkey", "p_name", "p_brand"),
+    """
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_name LIKE '%widget%' OR p_brand IN ('Brand#1', 'Brand#7', 'Brand#23')
+    """,
+)
+
+# --- ILIKE (grammar :1077-1099) + NOT LIKE ---------------------------------
+REG.add(
+    "filter_ilike",
+    lambda spark, sf: t(spark, sf, "part")
+    .filter(F.col("p_name").ilike("%WIDGET%") & ~F.col("p_type").like("PRO%"))
+    .select("p_partkey", "p_name", "p_type"),
+    """
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name ILIKE '%WIDGET%' AND p_type NOT LIKE 'PRO%'
+    """,
+)
+
+# --- IS NULL / 3-valued logic (AndExpression/OrExpression/NotExpression) ---
+# The fixtures have no NULLs, so manufacture them with NULLIF-style CASE:
+# negative balances become NULL, then exercise NULL-propagating predicates.
+REG.add(
+    "filter_null_3vl",
+    lambda spark, sf: t(spark, sf, "customer")
+    .withColumn(
+        "bal", F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    )
+    .filter(F.col("bal").isNull() | ((F.col("bal") > 9000) & ~(F.col("c_nationkey") < 3)))
+    .select("c_custkey", F.col("bal").cast("double").alias("bal")),
+    """
+    SELECT c_custkey, CAST(bal AS DOUBLE) AS bal FROM (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer) x
+    WHERE bal IS NULL OR (bal > 9000 AND NOT (c_nationkey < 3))
+    """,
+)
+
+# --- row value constructor comparison (grammar :1188-1196) -----------------
+# Reference: RowValueConstructorExpression.java.  Spark struct comparisons
+# are native and match tuple ordering semantics.
+REG.add(
+    "filter_rvc_compare",
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .filter(
+        F.struct("l_orderkey", "l_linenumber")
+        > F.struct(F.lit(14000).cast("long").alias("l_orderkey"),
+                   F.lit(2).cast("int").alias("l_linenumber"))
+    )
+    .select("l_orderkey", "l_linenumber", "l_quantity"),
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE (l_orderkey, l_linenumber) > (14000, 2)
+    """,
+)
+
+# --- RVC IN (point list over composite PK) ---------------------------------
+# Spark 4 does not coerce struct-vs-struct element types in IN, so the
+# literal tuples carry explicit casts matching the column types.
+def _rvc_in(spark, sf):
+    views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE (l_orderkey, l_linenumber) IN
+              ((CAST(11 AS BIGINT), CAST(3 AS INT)),
+               (CAST(308 AS BIGINT), CAST(1 AS INT)),
+               (CAST(1042 AS BIGINT), CAST(3 AS INT)),
+               (CAST(1042 AS BIGINT), CAST(4 AS INT)))
+        """
+    )
+
+
+REG.add(
+    "filter_rvc_in",
+    _rvc_in,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE (l_orderkey, l_linenumber) IN ((11, 3), (308, 1), (1042, 3), (1042, 4))
+    """,
+)
+
+# --- CASE / CAST / COALESCE (CaseExpression, CoerceExpression) -------------
+REG.add(
+    "filter_case_cast",
+    lambda spark, sf: t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_word"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+        F.coalesce(
+            F.when(F.col("o_totalprice") > 150000, F.col("o_orderpriority")),
+            F.lit("n/a"),
+        ).alias("prio_or_na"),
+        F.col("o_orderkey").cast("int").cast("double").alias("key_dbl"),
+    ),
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+                ELSE 'other' END AS status_word,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           COALESCE(CASE WHEN o_totalprice > 150000 THEN o_orderpriority END, 'n/a')
+             AS prio_or_na,
+           CAST(CAST(o_orderkey AS INTEGER) AS DOUBLE) AS key_dbl
+    FROM orders
+    """,
+)
