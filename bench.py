@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Benchmark harness: times the headline queries and prints ONE JSON line.
+
+Contract (driver): run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; stdout's last line is
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a `noop`-format write: the full plan
+executes on the executors (all columns materialized, nothing collected to the
+driver), which is the honest 100 TB-shaped measurement — a .count() would let
+the optimizer prune the projection away.
+
+A copy of every run is appended under .benchmarks/ for round-over-round diffs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline set: flagship + the most shuffle/join/scan-diverse queries.  Names
+# not (yet) present in the registry are skipped, so entries can be declared
+# ahead of their implementation landing.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_groupby_hash",
+    "scan_projection",
+    "filter_range_pred",
+    "join_broadcast_inner",
+    "join_sort_merge_full",
+    "sort_topk",
+    "setop_union_all",
+    "window_sessionize",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_stats",
+]
+
+
+def _force(df) -> None:
+    """Execute the whole plan on executors without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from phoenix_spark.queries import all_queries
+    from phoenix_spark.session import get_spark
+
+    spark = get_spark(app_name="phoenix_spark_bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm-up: JVM JIT + parquet footer reads, outside the timed region.
+    _force(qs[names[0]](spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    line = json.dumps(result)
+
+    os.makedirs(".benchmarks", exist_ok=True)
+    with open(os.path.join(".benchmarks", "bench_history.jsonl"), "a") as f:
+        f.write(line + "\n")
+
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,13 +76,8 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     (reference: phoenix-core-client/.../schema/types/PTimestamp.java).
     """
     import pyspark.sql.functions as F
-    import pyarrow.parquet as pq
 
-    # Inspect the footer driver-side (cheap) to find TIMESTAMP(NANOS) columns.
-    arrow_schema = pq.read_schema(path)
-    nanos_cols = [
-        f.name for f in arrow_schema if str(f.type).startswith("timestamp[ns")
-    ]
+    nanos_cols = _nanos_columns(path)
     if not nanos_cols:
         return spark.read.parquet(path)
     # Leave the conf on: it only affects TIMESTAMP(NANOS) columns, and the
@@ -90,11 +85,32 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for name in nanos_cols:
-        df = df.withColumn(
-            name,
-            F.timestamp_micros(F.floor(F.col(name) / F.lit(1000)).cast("long")),
-        )
+        # Exact ns→µs truncation in integer arithmetic: epoch nanos (~1.8e18)
+        # exceed double's 2^53 exact range, so `col / 1000` (double division)
+        # could land a microsecond off; `div` stays in long arithmetic.
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns, probed from one parquet footer.
+
+    Handles both a single .parquet file and a directory of part files (the
+    100 TB table shape) — all fragments of one table share a schema.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not parts:
+            return []
+        probe = parts[0]
+    arrow_schema = pq.read_schema(probe)
+    return [f.name for f in arrow_schema if str(f.type).startswith("timestamp[ns")]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

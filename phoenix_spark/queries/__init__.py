@@ -38,7 +38,11 @@ def build_registry() -> Registry:
         try:
             mod = __import__(f"phoenix_spark.queries.{name}", fromlist=[name])
             modules.append(mod)
-        except ImportError:
+        except ModuleNotFoundError as e:
+            # Only swallow "this optional module doesn't exist yet"; a missing
+            # dependency *inside* an existing module must fail loudly.
+            if e.name != f"phoenix_spark.queries.{name}":
+                raise
             continue
 
     reg = Registry()

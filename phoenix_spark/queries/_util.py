@@ -51,21 +51,24 @@ def bsum(col: str | F.Column):
     return F.sum(c).cast("long")
 
 
-# Per-SparkSession record of which sf_dir's tables are registered as views,
-# so SQL-built queries can reference tables by name without re-reading
-# footers on every call.
-_VIEWS: dict[int, str] = {}
-
-
 def views(spark: SparkSession, sf_dir: str) -> None:
-    """Ensure all fixture tables of ``sf_dir`` are temp views on ``spark``."""
+    """Ensure all fixture tables of ``sf_dir`` are temp views on ``spark``.
+
+    The registered-dir marker lives in the session's own conf (not an
+    ``id(spark)``-keyed dict, which could collide after a session is stopped
+    and its address reused).
+    """
     from phoenix_spark.catalog import TABLE_NAMES
 
-    if _VIEWS.get(id(spark)) == sf_dir:
-        return
+    marker = "phoenix_spark.registered_sf_dir"
+    try:
+        if spark.conf.get(marker, "") == sf_dir:
+            return
+    except Exception:
+        pass
     for name in TABLE_NAMES:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS[id(spark)] = sf_dir
+    spark.conf.set(marker, sf_dir)
 
 
 class Registry:

@@ -58,13 +58,19 @@ REG.add(
 # uses FNV1a(rowkey) vs rate for an even, deterministic sample.  For
 # oracle-comparability we use a Knuth multiplicative hash both engines can
 # evaluate identically in bigint arithmetic (NOT df.sample, which is
-# seed/partition dependent).
+# seed/partition dependent).  The key is reduced mod 2^31 BEFORE the Knuth
+# multiply so the product stays < 2^31 * 2654435761 ≈ 5.7e18 < int64 max —
+# overflow-safe for any orderkey magnitude (100 TB scale included), and both
+# engines evaluate it in exact int64 arithmetic.
 REG.add(
     "scan_tablesample",
     lambda spark, sf: t(spark, sf, "orders")
     .filter(
         F.pmod(
-            F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(4294967296)),
+            F.pmod(
+                F.pmod(F.col("o_orderkey"), F.lit(2147483648)) * F.lit(2654435761),
+                F.lit(4294967296),
+            ),
             F.lit(100),
         )
         < 10
@@ -72,7 +78,7 @@ REG.add(
     .select("o_orderkey", "o_custkey", "o_totalprice"),
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 10
+    WHERE (((o_orderkey % 2147483648) * 2654435761) % 4294967296) % 100 < 10
     """,
 )
 
