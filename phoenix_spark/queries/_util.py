@@ -40,6 +40,13 @@ def dec(col: str | F.Column, scale: int = 2):
     return c.cast(f"decimal(18,{scale})")
 
 
+def d12(col: str | F.Column):
+    """decimal(12,2) cast: keeps 3-way products within decimal(38,6) so
+    revenue expressions stay exact on both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
 def dsum(col: str | F.Column, scale: int = 2):
     """Exact sum of a double column → double (deterministic both engines)."""
     return F.sum(dec(col, scale)).cast("double")
