@@ -1,0 +1,80 @@
+"""JSON function surface (SURVEY.md §2.8 JSON/BSON).
+
+Phoenix's PJson column type (reference: phoenix-core-client/.../schema/types/
+PJson.java:35) is queried with JSON_VALUE / JSON_QUERY / JSON_EXISTS
+(JsonValueFunction.java:43, JsonExistsFunction.java; tests Bson1IT-6IT for
+the BSON sibling).  Spark mapping: JSON stays a string column; JSON_VALUE →
+get_json_object, JSON_EXISTS → get_json_object IS NOT NULL, JSON
+construction → to_json(struct(...)).  The events.props fixture is the PJson
+analogue.
+
+BSON's DynamoDB-style condition grammar (PhoenixBsonExpression.g) is a
+document-column extension — its attribute_exists/begins_with conditions map
+to the same get_json_object tests pinned here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from phoenix_spark.queries._util import Registry, t
+
+REG = Registry()
+
+# --- JSON_VALUE: typed scalar extraction -------------------------------------
+REG.add(
+    "json_value",
+    lambda spark, sf: t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    ),
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.k')                 AS k_str
+    FROM events
+    """,
+)
+
+# --- JSON_EXISTS + predicate use ---------------------------------------------
+REG.add(
+    "json_exists_filter",
+    lambda spark, sf: t(spark, sf, "events")
+    .filter(
+        F.get_json_object("props", "$.k").isNotNull()
+        & (F.get_json_object("props", "$.k").cast("long") >= 95)
+    )
+    .select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+    ),
+    """
+    SELECT event_id, event_type,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95
+    """,
+)
+
+# --- JSON construction (JSON_MODIFY analogue: build/rewrite documents) -------
+REG.add(
+    "json_construct",
+    lambda spark, sf: t(spark, sf, "events").select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+        ).alias("doc"),
+    ),
+    """
+    SELECT event_id,
+           '{"t":"' || event_type || '","k":'
+             || CAST(json_extract_string(props, '$.k') AS BIGINT) || '}' AS doc
+    FROM events
+    """,
+)

@@ -1,0 +1,99 @@
+"""String function surface (SURVEY.md §2.8 "Functions (String)").
+
+Phoenix string functions live one-class-per-function under
+phoenix-core-client/.../expression/function/ (SubstrFunction.java,
+InstrFunction.java, RegexpReplaceFunction.java, ...; registry enum
+ExpressionType.java:36); the complete documented list is docs/phoenix.csv
+"Functions (String)".
+
+Mappings pinned here (Phoenix → Spark), including the SURVEY-flagged traps:
+  SUBSTR(s, pos[, len])  → substring   (both 1-based; negative pos = from end)
+  INSTR(s, sub)          → instr       (1-based, 0 = not found)
+  TRIM/LTRIM/RTRIM       → trim/ltrim/rtrim
+  LPAD(s, n[, pad])      → lpad
+  LENGTH / REVERSE / UPPER / LOWER → length / reverse / upper / lower
+  REGEXP_SUBSTR(s, p)    → regexp_extract(s, p, 0)  (group 0 = full match,
+                           matching Phoenix's whole-match return; Spark's
+                           default group 1 would error on group-free patterns)
+  REGEXP_REPLACE(s, p, r)→ regexp_replace  (replaces ALL matches — DuckDB
+                           needs the 'g' flag to agree)
+  ||                     → concat
+  MD5                    → md5
+
+Everything is a built-in JVM expression inside whole-stage codegen — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from phoenix_spark.queries._util import Registry, t
+
+REG = Registry()
+
+REG.add(
+    "str_substr_instr_case",
+    lambda spark, sf: t(spark, sf, "part").select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("sub_pos"),
+        F.substring("p_name", -4, 4).alias("sub_neg"),
+        F.instr("p_name", "a").alias("pos_a"),
+        F.upper("p_type").alias("type_up"),
+        F.lower("p_brand").alias("brand_lo"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.reverse("p_brand").alias("brand_rev"),
+    ),
+    """
+    SELECT p_partkey,
+           substr(p_name, 1, 8)        AS sub_pos,
+           substr(p_name, -4, 4)       AS sub_neg,
+           CAST(instr(p_name, 'a') AS INT)  AS pos_a,
+           upper(p_type)               AS type_up,
+           lower(p_brand)              AS brand_lo,
+           CAST(length(p_name) AS INT) AS name_len,
+           reverse(p_brand)            AS brand_rev
+    FROM part
+    """,
+)
+
+REG.add(
+    "str_trim_pad_concat",
+    lambda spark, sf: t(spark, sf, "customer").select(
+        "c_custkey",
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("xx"), F.col("c_name")), F.lit("x")).alias("ltrimmed"),
+        F.rtrim(F.concat(F.col("c_name"), F.lit("..")), F.lit(".")).alias("rtrimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("tagged"),
+        F.md5("c_name").alias("name_md5"),
+    ),
+    """
+    SELECT c_custkey,
+           trim('  ' || c_name || '  ')      AS trimmed,
+           ltrim('xx' || c_name, 'x')        AS ltrimmed,
+           rtrim(c_name || '..', '.')        AS rtrimmed,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           c_mktsegment || '#' || c_name     AS tagged,
+           md5(c_name)                       AS name_md5
+    FROM customer
+    """,
+)
+
+REG.add(
+    "str_regexp",
+    lambda spark, sf: t(spark, sf, "part").select(
+        "p_partkey",
+        F.regexp_extract("p_type", "[A-Z]+", 0).alias("first_word"),
+        F.regexp_extract("p_name", "[0-9]+", 0).alias("first_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_type").rlike("^ECONOMY").cast("boolean").alias("is_economy"),
+    ),
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '[A-Z]+')        AS first_word,
+           regexp_extract(p_name, '[0-9]+')        AS first_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_type, '^ECONOMY')      AS is_economy
+    FROM part
+    """,
+)
