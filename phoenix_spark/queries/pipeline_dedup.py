@@ -1,0 +1,205 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §7 M8).
+
+Three tiers, all shuffle-bounded (never all-pairs):
+
+  * exact dedup — hash-groupBy on a normalized content fingerprint: one
+    shuffle on the 128-bit hash, perfectly scalable.
+  * near-dup via n-gram Jaccard with prefix blocking — candidate pairs come
+    from an equi-join on a block key (md5 of the leading tokens), so the plan
+    is a hash join, not a cartesian product; Jaccard is exact set arithmetic
+    (array_intersect/array_union of distinct shingles).  Oracle-paired.
+  * MinHash + banded LSH — the 100 TB path: K=32 signature minima, 8 bands x
+    4 rows; candidate pairs come from an equi-join on (band, band_hash), i.e.
+    only documents sharing a band bucket ever meet; candidates are verified
+    with exact Jaccard.  Hash functions are xxhash64-seeded linear permutes
+    (engine-specific), so this entry is rows-only checked — its exact-verify
+    *output* contract is still deterministic.
+
+At scale the LSH join shuffles on band_hash — uniformly distributed by
+construction, so no skew; signatures are computed in one groupBy with 32
+map-side-combined min() aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from phoenix_spark.queries._util import Registry, t
+
+REG = Registry()
+
+# Whitespace tokens, shared by all tiers.
+_TOKENS = "split(trim(text), '\\\\s+')"
+
+
+def _shingles_col() -> F.Column:
+    """Distinct word-3-gram shingles, O(n) per document.
+
+    Built by zipping the token array against its 1- and 2-shifted slices —
+    NOT by slicing inside a transform lambda over an index sequence, which
+    would re-evaluate the split for every element (O(n²) per doc: measured
+    3x slower over the documents fixture).
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    m = F.greatest(F.size(toks) - 2, F.lit(1))
+    zipped = F.arrays_zip(
+        F.slice(toks, F.lit(1), m),
+        F.slice(toks, F.lit(2), m),
+        F.slice(toks, F.lit(3), m),
+    )
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+    )
+
+# --- exact dedup: hash-groupBy on normalized content fingerprint -------------
+REG.add(
+    "dedup_exact",
+    lambda spark, sf: t(spark, sf, "documents")
+    .groupBy(
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp")
+    )
+    .agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ),
+    """
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+def _shingled(spark, sf) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        _shingles_col().alias("sh"),
+        # Block key: md5 of the first 6 tokens.  Near-dup docs share long
+        # prefixes; the block join replaces the cartesian candidate space.
+        F.md5(F.expr(f"concat_ws(' ', slice({_TOKENS}, 1, 6))")).alias("blk"),
+    )
+
+
+# --- near-dup: prefix blocking + exact n-gram Jaccard (oracle-paired) --------
+def _ngram_jaccard(spark, sf):
+    a = _shingled(spark, sf).alias("a")
+    b = _shingled(spark, sf).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+REG.add(
+    "dedup_ngram_jaccard",
+    _ngram_jaccard,
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh,
+             md5(array_to_string(toks[1:6], ' ')) AS blk
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) x
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_distinct(list_intersect(a.sh, b.sh)))
+             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_intersect(a.sh, b.sh)))
+            / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+    """,
+)
+
+# --- MinHash + banded LSH (the at-scale near-dup path; rows-only check) ------
+_K = 32  # signature length
+_BANDS = 8  # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8 — steep around j≈0.6
+_ROWS = _K // _BANDS
+# Linear permutations h_i(x) = (a_i*x + b_i) mod P over the Mersenne prime
+# P = 2^31-1: the base hash is first reduced mod P so a_i*x stays < 2^62 —
+# no int64 overflow (ANSI mode would reject wrapping).  Constants are fixed,
+# so signatures are deterministic across runs and sessions.
+_P = 2147483647
+_A = [(2654435761 * (2 * i + 1)) % _P or 1 for i in range(_K)]
+_B = [(0x9E3779B97F4A7C15 * (i + 1)) % _P for i in range(_K)]
+
+
+def _minhash_lsh(spark, sf):
+    docs = _shingled(spark, sf).select("doc_id", "sh")
+    # Per-row signature: min over the shingle array per permutation — a pure
+    # map (array_min ∘ transform), NO explode/groupBy shuffle.  At 100 TB the
+    # only shuffle in this plan is the band-bucket join below.
+    # Base-hash each shingle ONCE into an int array; the 32 permutations are
+    # then cheap affine maps over ints (32x fewer xxhash64 evaluations).
+    hashed = docs.select(
+        "doc_id",
+        F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias("hs"),
+    )
+
+    def _perm(i):
+        # single-arg lambda factory (a default arg would make F.transform
+        # treat the closure as an (element, index) binary lambda)
+        return lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P))
+
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _perm(i))).alias(f"s{i}")
+            for i in range(_K)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"s{j * _ROWS + r}") for r in range(_ROWS)],
+                            F.lit(j),
+                        ).alias("bkey"),
+                    )
+                    for j in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    # Candidate pairs: equi-join on (band, bkey) — never a cartesian product.
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact-Jaccard verification of the candidates only.
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+REG.add("dedup_minhash_lsh", _minhash_lsh, None)

@@ -1,0 +1,211 @@
+"""Similarity search over embeddings (SURVEY.md §7 M8).
+
+Beyond-reference surface for LLM pipelines: cosine top-k over the
+`embeddings` fixture (embedding: array<float>, 64 dims).
+
+Determinism design: cosine is computed over *quantized integer* vectors —
+each float is scaled by 1e7 and rounded to int64.  With |x| ≤ ~0.53 and 64
+dims, every product (< 2^46) and partial sum (< 2^53) is exactly
+representable, so the integer dot product and norms are EXACT on both
+engines and the final double (dot / (sqrt(na)*sqrt(nb))) is bit-identical —
+a true value-hash oracle for a vector-similarity operator.
+
+Scale shapes:
+  * brute-force top-k: broadcast the query vector, one pass over N rows, a
+    TakeOrderedAndProject cut — the exact-baseline any ANN variant is
+    measured against.  O(N·d) per query, embarrassingly parallel.
+  * LSH-bucketed near-dup pairs: 16-bit sign-projection (SimHash) bucket
+    key, candidate pairs from an equi-join on the bucket — never all-pairs;
+    candidates verified with exact cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from phoenix_spark.queries._util import Registry, t
+
+REG = Registry()
+
+_SCALE = 10_000_000
+
+# Quantized embedding: array<long>, exact in both engines.
+_QEMB = f"transform(embedding, x -> cast(round(x * {_SCALE}, 0) as bigint))"
+# Exact integer self-dot (squared norm) of the quantized embedding.
+_QNORM = f"aggregate({_QEMB}, cast(0 as bigint), (acc, v) -> acc + v * v)"
+
+
+def _quantized(spark, sf) -> DataFrame:
+    return t(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(_QEMB).alias("q"),
+        F.expr(_QNORM).alias("qn"),
+    )
+
+
+# --- brute-force cosine top-k vs a query vector (vec_id = 1) -----------------
+def _topk(spark, sf):
+    emb = _quantized(spark, sf)
+    query = emb.filter(F.col("vec_id") == 1).select(
+        F.col("q").alias("qq"), F.col("qn").alias("qqn")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != 1)
+        .select(
+            "vec_id",
+            (dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# DuckDB notes: the lambda must CAST to DOUBLE before scaling (FLOAT * INT
+# stays f32 and rounds to different integers), and dots use an exact
+# list_sum comprehension (list_dot_product converts through FLOAT).
+_DUCK_Q = (
+    f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE})"
+    " AS BIGINT))"
+)
+_DUCK_DOT = (
+    "CAST(list_sum([{a}[i] * {b}[i] FOR i IN range(1, len({a}) + 1)]) AS BIGINT)"
+)
+
+REG.add(
+    "similarity_topk",
+    _topk,
+    f"""
+    WITH qe AS (
+      SELECT vec_id, label, {_DUCK_Q} AS q FROM embeddings
+    ),
+    q1 AS (SELECT q AS qq FROM qe WHERE vec_id = 1)
+    SELECT vec_id,
+           {_DUCK_DOT.format(a='qe.q', b='q1.qq')}
+             / (sqrt({_DUCK_DOT.format(a='qe.q', b='qe.q')})
+                * sqrt({_DUCK_DOT.format(a='q1.qq', b='q1.qq')}))
+             AS cosine
+    FROM qe, q1
+    WHERE vec_id != 1
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+
+# --- average cosine to the query per label (partitioned similarity agg) ------
+# Exercises the same exact-arithmetic kernel under a groupBy: the numerator
+# is an exact integer sum; the ratio of doubles stays bit-deterministic.
+def _label_affinity(spark, sf):
+    emb = _quantized(spark, sf)
+    query = emb.filter(F.col("vec_id") == 1).select(
+        F.col("q").alias("qq"), F.col("qn").alias("qqn")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    per_vec = (
+        emb.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != 1)
+        .select(
+            "label",
+            dot.alias("dot_int"),
+            (dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias("cosine"),
+        )
+    )
+    # All aggregates stay exact: MIN/MAX over bit-identical doubles, and the
+    # numerator SUM over int64 dots (a SUM of cosine doubles — or even their
+    # decimal casts — would drift at the last ulp between engines).
+    return per_vec.groupBy("label").agg(
+        F.min("cosine").alias("min_cos"),
+        F.max("cosine").alias("max_cos"),
+        F.sum("dot_int").cast("long").alias("sum_dot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+REG.add(
+    "similarity_label_affinity",
+    _label_affinity,
+    f"""
+    WITH qe AS (
+      SELECT vec_id, label, {_DUCK_Q} AS q FROM embeddings
+    ),
+    q1 AS (SELECT q AS qq FROM qe WHERE vec_id = 1),
+    per_vec AS (
+      SELECT label,
+             {_DUCK_DOT.format(a='qe.q', b='q1.qq')} AS dot_int,
+             {_DUCK_DOT.format(a='qe.q', b='q1.qq')}
+               / (sqrt({_DUCK_DOT.format(a='qe.q', b='qe.q')})
+                  * sqrt({_DUCK_DOT.format(a='q1.qq', b='q1.qq')}))
+               AS cosine
+      FROM qe, q1
+      WHERE vec_id != 1
+    )
+    SELECT label,
+           MIN(cosine) AS min_cos,
+           MAX(cosine) AS max_cos,
+           CAST(SUM(dot_int) AS BIGINT) AS sum_dot,
+           COUNT(*) AS n
+    FROM per_vec GROUP BY label
+    """,
+)
+
+# --- LSH-bucketed near-duplicate pairs (SimHash sign projection; the scale
+# path — rows-only check, exact-cosine verified) ------------------------------
+_NPLANES = 16
+
+
+def _sign_planes_expr() -> F.Column:
+    # Pseudo-random hyperplane weights w[p][d] ∈ {+1,-1} derived from a fixed
+    # integer mix (no RNG): parity of a Knuth-hash of (plane, dim).
+    bits = []
+    for p in range(_NPLANES):
+        proj = F.expr(
+            "aggregate(zip_with(q, sequence(1, size(q)), (x, d) ->"
+            f" CASE WHEN pmod((d * 2654435761 + {p} * 40503), 65536) < 32768"
+            " THEN x ELSE -x END), cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _lsh_pairs(spark, sf):
+    emb = _quantized(spark, sf).withColumn("bucket", _sign_planes_expr())
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("q_a"),
+        F.col("qn").alias("qn_a"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("q_b"),
+        F.col("qn").alias("qn_b"),
+        "bucket",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q_a, q_b, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, ["bucket"])  # equi-join on the bucket — never all-pairs
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.sqrt(F.col("qn_a")) * F.sqrt(F.col("qn_b")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.8)
+    )
+
+
+REG.add("similarity_lsh_pairs", _lsh_pairs, None)
