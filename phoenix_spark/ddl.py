@@ -1,0 +1,315 @@
+"""DDL + DML statement parsing (SURVEY.md §2.9/§2.10).
+
+Phoenix parses these with its ANTLR3 grammar (reference: phoenix-core-client/
+src/main/antlr3/PhoenixSQL.g — create_table_node :491-499, create_view_node
+:557-565, create_sequence_node :619-627, upsert_node :891-914, delete_node
+:953-961) and compiles one statement type per compiler class
+(CreateTableCompiler, UpsertCompiler, DeleteCompiler, ...).
+
+This module is the parse half: statement text → plain dataclasses the Engine
+lowers onto the catalog / ManagedTable layers.  It covers the grammar shapes
+exercised by Phoenix's own ITs (composite PK with per-column ASC/DESC and
+ROW_TIMESTAMP, SALT_BUCKETS & table props, partial-column upserts,
+ON DUPLICATE KEY, NEXT VALUE FOR).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from phoenix_spark.types import parse_type
+
+
+@dataclass
+class CreateTable:
+    name: str
+    schema: T.StructType
+    pk: list[str]
+    sort_orders: dict[str, str]
+    row_timestamp: str | None
+    props: dict
+    if_not_exists: bool
+
+
+@dataclass
+class CreateView:
+    name: str
+    parent: str
+    where: str | None
+
+
+@dataclass
+class CreateSequence:
+    name: str
+    start: int = 1
+    increment: int = 1
+
+
+@dataclass
+class Upsert:
+    table: str
+    columns: list[str]  # empty = all, in schema order
+    values: list[list[str]] | None  # literal rows (as SQL expr strings)
+    select: str | None  # UPSERT ... SELECT text
+    on_duplicate: str | dict | None  # None | 'ignore' | {col: expr}
+
+
+@dataclass
+class Delete:
+    table: str
+    where: str | None
+
+
+@dataclass
+class Drop:
+    kind: str  # table | view | sequence
+    name: str
+    if_exists: bool
+    truncate: bool = False
+
+
+def _strip(s: str) -> str:
+    return s.strip().rstrip(";").strip()
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    """Split on sep at paren depth 0, string-literal aware."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(text):
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < len(text):
+                if text[j] == "'" and not (j + 1 < len(text) and text[j + 1] == "'"):
+                    break
+                j += 1 if text[j] != "'" else 2
+            cur.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*\((?P<body>.*)\)\s*(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PK_CONSTRAINT_RE = re.compile(
+    r"^CONSTRAINT\s+\w+\s+PRIMARY\s+KEY\s*\((?P<cols>.*)\)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def parse_create_table(sql: str) -> CreateTable:
+    m = _CREATE_TABLE_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(f"unparseable CREATE TABLE: {sql[:120]!r}")
+    name = m.group("name").strip('"').split(".")[-1].lower()
+    body = m.group("body")
+    # body ends at the matching paren of the column list; tail re-split below
+    # handles `) SALT_BUCKETS=...` because the greedy regex grabs the LAST
+    # close paren — re-balance by scanning.
+    depth, end = 1, None
+    raw = _strip(sql)
+    start = raw.index("(") + 1
+    for i in range(start, len(raw)):
+        if raw[i] == "(":
+            depth += 1
+        elif raw[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    body = raw[start:end]
+    tail = raw[end + 1 :]
+
+    fields: list[T.StructField] = []
+    pk: list[str] = []
+    sort_orders: dict[str, str] = {}
+    row_timestamp: str | None = None
+    for item in _split_top(body):
+        cm = _PK_CONSTRAINT_RE.match(item.strip())
+        if cm:
+            for colspec in _split_top(cm.group("cols")):
+                toks = colspec.split()
+                col = toks[0].strip('"').lower()
+                rest = [t.upper() for t in toks[1:]]
+                pk.append(col)
+                if "DESC" in rest:
+                    sort_orders[col] = "DESC"
+                elif "ASC" in rest:
+                    sort_orders[col] = "ASC"
+                if "ROW_TIMESTAMP" in rest:
+                    row_timestamp = col
+            continue
+        toks = item.split(None, 1)
+        col = toks[0].strip('"').lower()
+        rest = toks[1] if len(toks) > 1 else ""
+        up = rest.upper()
+        inline_pk = "PRIMARY KEY" in up
+        if inline_pk:
+            rest = re.sub(r"PRIMARY\s+KEY(\s+(ASC|DESC))?", "", rest, flags=re.I)
+            pk.append(col)
+            mm = re.search(r"PRIMARY\s+KEY\s+(ASC|DESC)", up)
+            if mm:
+                sort_orders[col] = mm.group(1)
+        rest = re.sub(r"\bNOT\s+NULL\b|\bNULL\b|\bROW_TIMESTAMP\b", "", rest, flags=re.I)
+        if re.search(r"\bROW_TIMESTAMP\b", up):
+            row_timestamp = col
+        fields.append(T.StructField(col, parse_type(rest.strip()), True))
+
+    props: dict = {}
+    tail = tail.strip().rstrip(";")
+    if tail:
+        tail = re.sub(r"SPLIT\s+ON\s*\([^)]*\)", "", tail, flags=re.I).strip()
+        for kv in _split_top(tail):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                props[k.strip().upper()] = v.strip().strip("'")
+    return CreateTable(
+        name=name,
+        schema=T.StructType(fields),
+        pk=pk,
+        sort_orders=sort_orders,
+        row_timestamp=row_timestamp,
+        props=props,
+        if_not_exists=bool(m.group("ine")),
+    )
+
+
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+VIEW\s+(?P<name>[\w.\"]+)\s+AS\s+SELECT\s+\*\s+FROM\s+"
+    r"(?P<parent>[\w.\"]+)(?:\s+WHERE\s+(?P<where>.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_create_view(sql: str) -> CreateView:
+    m = _CREATE_VIEW_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(
+            "CREATE VIEW must be `CREATE VIEW v AS SELECT * FROM t [WHERE ...]` "
+            "(Phoenix views are single-table, predicate-only — "
+            "PhoenixSQL.g:557-565)"
+        )
+    return CreateView(
+        name=m.group("name").strip('"').lower(),
+        parent=m.group("parent").strip('"').lower(),
+        where=_strip(m.group("where")) if m.group("where") else None,
+    )
+
+
+_CREATE_SEQ_RE = re.compile(
+    r"^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)"
+    r"(?:\s+START\s+(?:WITH\s+)?(?P<start>-?\d+))?"
+    r"(?:\s+INCREMENT\s+(?:BY\s+)?(?P<inc>-?\d+))?.*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_create_sequence(sql: str) -> CreateSequence:
+    m = _CREATE_SEQ_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(f"unparseable CREATE SEQUENCE: {sql[:120]!r}")
+    return CreateSequence(
+        name=m.group("name").strip('"').lower(),
+        start=int(m.group("start") or 1),
+        increment=int(m.group("inc") or 1),
+    )
+
+
+_UPSERT_RE = re.compile(
+    r"^\s*UPSERT\s+INTO\s+(?P<name>[\w.\"]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<rest>VALUES\s*\(.*|SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_DUP_RE = re.compile(
+    r"\s+ON\s+DUPLICATE\s+KEY\s+(?P<what>IGNORE|UPDATE\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_upsert(sql: str) -> Upsert:
+    m = _UPSERT_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(f"unparseable UPSERT: {sql[:120]!r}")
+    table = m.group("name").strip('"').lower()
+    columns = (
+        [c.strip().strip('"').lower() for c in m.group("cols").split(",")]
+        if m.group("cols")
+        else []
+    )
+    rest = m.group("rest")
+    on_dup: str | dict | None = None
+    dm = _ON_DUP_RE.search(rest)
+    if dm:
+        rest = rest[: dm.start()]
+        what = dm.group("what")
+        if what.upper() == "IGNORE":
+            on_dup = "ignore"
+        else:
+            assigns = {}
+            for a in _split_top(what[len("UPDATE") :].strip()):
+                col, expr = a.split("=", 1)
+                assigns[col.strip().strip('"').lower()] = expr.strip()
+            on_dup = assigns
+    rest = rest.strip()
+    if rest.upper().startswith("VALUES"):
+        vals_text = rest[len("VALUES") :].strip()
+        rows = []
+        for grp in _split_top(vals_text):
+            grp = grp.strip()
+            if not (grp.startswith("(") and grp.endswith(")")):
+                raise ValueError(f"bad VALUES row: {grp!r}")
+            rows.append(_split_top(grp[1:-1]))
+        return Upsert(table, columns, rows, None, on_dup)
+    return Upsert(table, columns, None, rest, on_dup)
+
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)(?:\s+WHERE\s+(?P<where>.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_delete(sql: str) -> Delete:
+    m = _DELETE_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(f"unparseable DELETE: {sql[:120]!r}")
+    return Delete(
+        table=m.group("name").strip('"').lower(),
+        where=_strip(m.group("where")) if m.group("where") else None,
+    )
+
+
+_DROP_RE = re.compile(
+    r"^\s*(?P<op>DROP|TRUNCATE)\s+(?P<kind>TABLE|VIEW|SEQUENCE)\s+"
+    r"(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_drop(sql: str) -> Drop:
+    m = _DROP_RE.match(_strip(sql))
+    if not m:
+        raise ValueError(f"unparseable DROP/TRUNCATE: {sql[:120]!r}")
+    return Drop(
+        kind=m.group("kind").lower(),
+        name=m.group("name").strip('"').lower(),
+        if_exists=bool(m.group("ie")),
+        truncate=m.group("op").upper() == "TRUNCATE",
+    )

@@ -1,28 +1,57 @@
 """Engine: the JDBC-driver analogue (reference: phoenix-core-client/.../jdbc/
-PhoenixStatement.java — parse → compile → optimize → execute).
+PhoenixStatement.java — parse → compile → optimize → execute; executeQuery
+for SELECT, executeUpdate for UPSERT/DELETE/DDL).
 
-In the Spark-first design the whole compile/optimize/execute back half is
-Catalyst: ``Engine.sql`` registers catalog tables as views, optionally
-rewrites Phoenix-dialect constructs to Spark SQL (see sqlfront), and returns
-a lazily-planned DataFrame.  No custom planner — predicate pushdown, column
-pruning, join selection, subquery decorrelation etc. are Catalyst built-ins
-(SURVEY.md §4.1 maps each Phoenix optimization to its Catalyst equivalent).
+The Spark-first split of that pipeline (SURVEY.md §3.1):
+  * SELECT → dialect translation (sqlfront) → ``spark.sql`` → Catalyst does
+    analysis/optimization/physical planning (no custom planner: predicate
+    pushdown, column pruning, join selection, subquery decorrelation are
+    Catalyst built-ins — §4.1 maps each Phoenix optimization to its
+    equivalent).
+  * UPSERT / DELETE → ddl.py parse → ManagedTable change-log commits (§2.9).
+  * CREATE TABLE / VIEW / SEQUENCE, DROP, TRUNCATE → catalog metadata ops
+    (MetaDataClient → MetaDataEndpointImpl analogue, minus the RPC).
+  * EXPLAIN → Spark's formatted plan.
+
+Views are Phoenix-semantics views: single-table, predicate-only, recompiled
+into every read (QueryCompiler.java:803-806).  Sequences are a single-writer
+metadata counter (SequenceRegionObserver analogue; SURVEY §7 documents the
+no-concurrent-writers scope).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+import os
+import re
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from phoenix_spark import ddl as D
 from phoenix_spark.catalog import Catalog
-from phoenix_spark.sqlfront import translate_phoenix_sql
+from phoenix_spark.mutations import ManagedTable
+from phoenix_spark.sqlfront import classify, translate_phoenix_sql
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        warehouse: str | None = None,
+    ):
         self.spark = spark
         self.catalog: Catalog | None = None
+        self.warehouse = warehouse or os.path.join(
+            os.environ.get("PHOENIX_SPARK_WAREHOUSE", "/tmp/phoenix_spark_wh")
+        )
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._views: dict[str, tuple[str, str | None]] = {}  # name -> (parent, where)
+        self._seq_path = os.path.join(self.warehouse, "_sequences.json")
         if sf_dir is not None:
             self.attach(sf_dir)
+
+    # -- catalog wiring ----------------------------------------------------
 
     def attach(self, sf_dir: str) -> "Engine":
         """Point the engine at a data directory and register its tables."""
@@ -31,17 +60,209 @@ class Engine:
         return self
 
     def table(self, name: str) -> DataFrame:
+        name = name.lower()
+        if name in self._views:
+            parent, where = self._views[name]
+            df = self.table(parent)
+            return df.filter(where) if where else df
+        mt = ManagedTable(self.spark, self.warehouse, name)
+        if mt.exists():
+            return mt.read()
         assert self.catalog is not None, "attach(sf_dir) first"
         return self.catalog.df(name)
 
-    def sql(self, text: str) -> DataFrame:
-        """Run SQL. Accepts Spark SQL plus the Phoenix-dialect constructs
-        handled by sqlfront (function-name mapping, UPSERT, etc.)."""
-        return self.spark.sql(translate_phoenix_sql(text))
+    def managed(self, name: str) -> ManagedTable:
+        mt = ManagedTable(self.spark, self.warehouse, name.lower())
+        if not mt.exists():
+            raise ValueError(f"no managed table {name}")
+        return mt
+
+    def _register(self, name: str) -> None:
+        self.table(name).createOrReplaceTempView(name)
+
+    # -- sequences (SequenceRegionObserver analogue) -----------------------
+
+    def _sequences(self) -> dict:
+        if os.path.exists(self._seq_path):
+            with open(self._seq_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_sequences(self, seqs: dict) -> None:
+        with open(self._seq_path, "w") as f:
+            json.dump(seqs, f)
+
+    def create_sequence(self, name: str, start: int = 1, increment: int = 1) -> None:
+        seqs = self._sequences()
+        if name in seqs:
+            raise ValueError(f"sequence {name} exists")
+        seqs[name] = {"next": start, "increment": increment}
+        self._save_sequences(seqs)
+
+    def next_value_block(self, name: str, n: int) -> int:
+        """Reserve n sequence values; returns the first (NEXT VALUE FOR)."""
+        seqs = self._sequences()
+        if name not in seqs:
+            raise ValueError(f"no sequence {name}")
+        first = seqs[name]["next"]
+        seqs[name]["next"] = first + n * seqs[name]["increment"]
+        self._save_sequences(seqs)
+        return first
+
+    def current_value(self, name: str) -> int:
+        seqs = self._sequences()
+        s = seqs[name]
+        return s["next"] - s["increment"]
+
+    # -- statement router --------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame | int:
+        """Run SQL.  SELECTs return a DataFrame; mutations/DDL return a row
+        count (or 0) like JDBC executeUpdate."""
+        stmt = classify(text)
+        handler = getattr(self, f"_exec_{stmt.kind}", None)
+        if handler is None:
+            raise ValueError(f"unsupported statement kind {stmt.kind}")
+        return handler(text)
 
     def explain(self, text: str) -> str:
-        return self.sql(text)._jdf.queryExecution().explainString(  # noqa: SLF001
+        df = self._exec_select(text)
+        return df._jdf.queryExecution().explainString(  # noqa: SLF001
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
                 "formatted"
             )
         )
+
+    # -- per-statement executors -------------------------------------------
+
+    def _exec_select(self, text: str) -> DataFrame:
+        return self.spark.sql(translate_phoenix_sql(text))
+
+    def _exec_explain(self, text: str) -> DataFrame:
+        plan = self.explain(re.sub(r"^\s*EXPLAIN\s+", "", text, flags=re.I))
+        return self.spark.createDataFrame([(line,) for line in plan.splitlines()], "plan: string")
+
+    def _exec_create_table(self, text: str) -> int:
+        ct = D.parse_create_table(text)
+        ManagedTable.create(
+            self.spark,
+            self.warehouse,
+            ct.name,
+            ct.schema,
+            ct.pk,
+            sort_orders=ct.sort_orders,
+            props=ct.props,
+            if_not_exists=ct.if_not_exists,
+        )
+        self._register(ct.name)
+        return 0
+
+    def _exec_create_view(self, text: str) -> int:
+        cv = D.parse_create_view(text)
+        self._views[cv.name] = (cv.parent, cv.where)
+        self._register(cv.name)
+        return 0
+
+    def _exec_create_sequence(self, text: str) -> int:
+        cs = D.parse_create_sequence(text)
+        self.create_sequence(cs.name, cs.start, cs.increment)
+        return 0
+
+    def _exec_create_index(self, text: str) -> int:
+        # Parse-only per SURVEY §4.1: Parquet + AQE replace index selection;
+        # the DDL is accepted and recorded nowhere (QueryOptimizer analogue
+        # deliberately skipped).
+        return 0
+
+    def _exec_drop(self, text: str) -> int:
+        dr = D.parse_drop(text)
+        if dr.kind == "sequence":
+            seqs = self._sequences()
+            if dr.name in seqs:
+                del seqs[dr.name]
+                self._save_sequences(seqs)
+            elif not dr.if_exists:
+                raise ValueError(f"no sequence {dr.name}")
+            return 0
+        if dr.kind == "view":
+            if self._views.pop(dr.name, None) is None and not dr.if_exists:
+                raise ValueError(f"no view {dr.name}")
+            self.spark.catalog.dropTempView(dr.name)
+            return 0
+        mt = ManagedTable(self.spark, self.warehouse, dr.name)
+        if not mt.exists():
+            if dr.if_exists:
+                return 0
+            raise ValueError(f"no table {dr.name}")
+        if dr.truncate:
+            mt.truncate()
+        else:
+            mt.drop()
+            self.spark.catalog.dropTempView(dr.name)
+        return 0
+
+    def _exec_upsert(self, text: str) -> int:
+        up = D.parse_upsert(text)
+        mt = self.managed(up.table)
+        cols = up.columns or mt.schema.fieldNames()
+        if up.select is not None:
+            df = self._exec_select(up.select).toDF(*cols)
+            n = df.count()
+            mt.upsert_df(df, on_duplicate=up.on_duplicate)
+        else:
+            rows = []
+            for lits in up.values:
+                assert len(lits) == len(cols), "VALUES arity mismatch"
+                row = dict(zip(cols, (self._eval_literal(v) for v in lits)))
+                rows.append(row)
+            n = len(rows)
+            mt.upsert_rows(rows, on_duplicate=up.on_duplicate)
+        self._register(up.table)
+        return n
+
+    def _exec_delete(self, text: str) -> int:
+        dl = D.parse_delete(text)
+        mt = self.managed(dl.table)
+        cond = translate_phoenix_sql(dl.where) if dl.where else None
+        mt.delete_where(cond)
+        self._register(dl.table)
+        return 0
+
+    def _eval_literal(self, lit: str):
+        """Evaluate one UPSERT VALUES literal driver-side (UpsertCompiler's
+        LiteralExpression path), including NEXT VALUE FOR."""
+        s = lit.strip()
+        m = re.match(r"NEXT\s+VALUE\s+FOR\s+([\w.]+)", s, re.I)
+        if m:
+            return self.next_value_block(m.group(1).lower(), 1)
+        m = re.match(r"CURRENT\s+VALUE\s+FOR\s+([\w.]+)", s, re.I)
+        if m:
+            return self.current_value(m.group(1).lower())
+        if s.upper() == "NULL":
+            return None
+        if s.upper() in ("TRUE", "FALSE"):
+            return s.upper() == "TRUE"
+        if s.startswith("'") and s.endswith("'"):
+            return s[1:-1].replace("''", "'")
+        m = re.match(r"(?:DATE|TIME|TIMESTAMP)\s*('(.*)')", s, re.I)
+        if m:
+            import datetime as dt
+
+            txt = m.group(2)
+            for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+                try:
+                    return dt.datetime.strptime(txt, fmt)
+                except ValueError:
+                    continue
+            raise ValueError(f"bad datetime literal {txt!r}")
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        try:
+            return float(s)
+        except ValueError:
+            pass
+        # last resort: let Spark evaluate the scalar expression
+        row = self.spark.range(1).select(F.expr(translate_phoenix_sql(s))).head()
+        return row[0]

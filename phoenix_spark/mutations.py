@@ -1,0 +1,274 @@
+"""Mutations over change-log tables (SURVEY.md §2.9).
+
+Phoenix buffers mutations client-side in MutationState (reference:
+phoenix-core-client/.../execute/MutationState.java:153) and commits them as
+HBase batch RPCs; UPSERT VALUES / UPSERT SELECT / ON DUPLICATE KEY compile in
+UpsertCompiler.java, DELETE in DeleteCompiler.java.  HBase gives latest-wins
+per (rowkey, timestamp) natively.
+
+The Spark-native analogue is an append-only **change log**: every commit
+writes one immutable parquet segment stamped with a monotonically increasing
+``_mutation_ts``; deletes append tombstones (``_deleted = true``).  The table
+read is the latest-wins compaction::
+
+    row_number() OVER (PARTITION BY pk ORDER BY _mutation_ts DESC) = 1
+    ... AND NOT _deleted
+
+Scale design (100 TB):
+  * segments are immutable + append-only — writers never rewrite data, and a
+    single atomic rename publishes a commit (object-store friendly);
+  * the compaction window shuffles on the PK — exactly once, and only while
+    un-compacted segments exist: ``compact()`` folds history into one base
+    segment, after which reads take the single-segment fast path (plain scan,
+    zero shuffle);
+  * snapshot reads (time travel) prune whole segments by the commit ts in
+    the filename — no data read from newer segments.
+
+Single-writer batch semantics (no concurrent-commit arbitration) — the same
+scope Phoenix documents for its non-transactional tables (SURVEY §7 hard
+parts #3/#4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+_TS_COL = "_mutation_ts"
+_DEL_COL = "_deleted"
+_SEG_RE = re.compile(r"seg-(\d{12})-")
+
+
+class ManagedTable:
+    """One change-log table under ``<warehouse>/<name>/``."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(warehouse, name)
+        self.meta_path = os.path.join(self.dir, "meta.json")
+        self.seg_dir = os.path.join(self.dir, "segments")
+
+    # -- DDL ---------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        warehouse: str,
+        name: str,
+        schema: T.StructType,
+        pk: list[str],
+        sort_orders: dict[str, str] | None = None,
+        props: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> "ManagedTable":
+        tbl = cls(spark, warehouse, name)
+        if os.path.exists(tbl.meta_path):
+            if if_not_exists:
+                return tbl
+            raise ValueError(f"table {name} already exists")
+        assert pk, "Phoenix tables require a PRIMARY KEY constraint"
+        for c in pk:
+            assert c in schema.fieldNames(), f"PK column {c} not in schema"
+        os.makedirs(tbl.seg_dir, exist_ok=True)
+        meta = {
+            "name": name,
+            "schema": schema.jsonValue(),
+            "pk": list(pk),
+            "sort_orders": sort_orders or {},
+            "props": props or {},  # SALT_BUCKETS et al: parsed-and-recorded;
+            # hash partitioning is Spark-native (SaltingUtil analogue is a no-op)
+        }
+        with open(tbl.meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+        return tbl
+
+    def drop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+    def truncate(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.seg_dir, ignore_errors=True)
+        os.makedirs(self.seg_dir, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+
+    @property
+    def meta(self) -> dict:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.meta["schema"])
+
+    @property
+    def pk(self) -> list[str]:
+        return list(self.meta["pk"])
+
+    def exists(self) -> bool:
+        return os.path.exists(self.meta_path)
+
+    def _segments(self) -> list[str]:
+        if not os.path.isdir(self.seg_dir):
+            return []
+        return sorted(
+            os.path.join(self.seg_dir, p)
+            for p in os.listdir(self.seg_dir)
+            if p.startswith("seg-") and p.endswith(".parquet")
+        )
+
+    def _next_ts(self) -> int:
+        best = 0
+        for p in self._segments():
+            m = _SEG_RE.search(os.path.basename(p))
+            if m:
+                best = max(best, int(m.group(1)))
+        return best + 1
+
+    # -- write path --------------------------------------------------------
+
+    def _append_segment(self, df: DataFrame, ts: int, deleted: bool = False) -> int:
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name) for f in self.schema.fields
+        ]
+        out = df.select(*cols).withColumns(
+            {_TS_COL: F.lit(ts).cast("long"), _DEL_COL: F.lit(deleted)}
+        )
+        path = os.path.join(self.seg_dir, f"seg-{ts:012d}-{uuid.uuid4().hex[:8]}.parquet")
+        out.write.mode("errorifexists").parquet(path)
+        return ts
+
+    def upsert_df(self, df: DataFrame, on_duplicate: str | dict | None = None) -> int:
+        """UPSERT SELECT / VALUES: insert-or-overwrite by PK.
+
+        ``on_duplicate``:
+          * None      — plain upsert (latest wins at read time; no read needed)
+          * 'ignore'  — ON DUPLICATE KEY IGNORE: only rows whose PK is absent
+                        are appended (left-anti join against the current state)
+          * {col: expr} — ON DUPLICATE KEY UPDATE: expressions evaluated over
+                        the EXISTING row's columns for matched PKs; unmatched
+                        rows insert as given
+        """
+        ts = self._next_ts()
+        if on_duplicate is None:
+            return self._append_segment(df, ts)
+        current = self.read()
+        if on_duplicate == "ignore":
+            fresh = df.join(current.select(self.pk), on=self.pk, how="left_anti")
+            return self._append_segment(fresh, ts)
+        assert isinstance(on_duplicate, dict)
+        matched = current.join(df.select(self.pk), on=self.pk, how="left_semi")
+        updated = matched.withColumns(
+            {col: F.expr(expr) for col, expr in on_duplicate.items()}
+        )
+        fresh = df.join(current.select(self.pk), on=self.pk, how="left_anti")
+        return self._append_segment(updated.unionByName(fresh), ts)
+
+    def upsert_rows(self, rows: list[dict], on_duplicate: str | dict | None = None) -> int:
+        """UPSERT VALUES: literal rows (partial columns allowed → NULL fill)."""
+        full = [{f.name: r.get(f.name) for f in self.schema.fields} for r in rows]
+        df = self.spark.createDataFrame(full, schema=self.schema)
+        return self.upsert_df(df, on_duplicate=on_duplicate)
+
+    def delete_where(self, condition: str | F.Column | None) -> int:
+        """DELETE FROM t WHERE ...: append tombstones for matching PKs.
+
+        Mirrors DeleteCompiler's "run a query for the row keys, emit delete
+        mutations" shape — the scan is distributed, only tombstone PK rows
+        are written.
+        """
+        ts = self._next_ts()
+        cur = self.read()
+        victims = cur.filter(condition) if condition is not None else cur
+        return self._append_segment(victims, ts, deleted=True)
+
+    def compact(self) -> None:
+        """Fold all segments into one base segment (retention/TTL hook).
+
+        The base segment keeps the change-log columns so the read fast path
+        stays uniform; the write lands in a temp dir and is published by a
+        single atomic rename before the superseded segments are removed.
+        """
+        ts = self._next_ts()
+        snap = self.read().withColumns(
+            {_TS_COL: F.lit(ts).cast("long"), _DEL_COL: F.lit(False)}
+        )
+        tmp = os.path.join(self.dir, f"_compact-{uuid.uuid4().hex[:8]}.parquet")
+        snap.write.mode("errorifexists").parquet(tmp)
+        import shutil
+
+        old = self._segments()
+        final = os.path.join(self.seg_dir, f"seg-{ts:012d}-{uuid.uuid4().hex[:8]}.parquet")
+        shutil.move(tmp, final)
+        for p in old:
+            shutil.rmtree(p, ignore_errors=True)
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, as_of: int | None = None) -> DataFrame:
+        """Latest-wins compacted view (optionally AS OF a mutation ts —
+        the TableSnapshotResultIterator analogue)."""
+        segs = self._segments()
+        if as_of is not None:
+            segs = [
+                p
+                for p in segs
+                if int(_SEG_RE.search(os.path.basename(p)).group(1)) <= as_of
+            ]
+        data_cols = self.schema.fieldNames()
+        if not segs:
+            return self.spark.createDataFrame([], schema=self.schema)
+        df = self.spark.read.parquet(*segs)
+        if len(segs) == 1:
+            # Fast path: a single segment holds no superseded versions; only
+            # tombstones (rare in a fresh segment) need filtering.
+            return df.filter(~F.col(_DEL_COL)).select(*data_cols)
+        w = Window.partitionBy(*self.pk).orderBy(F.col(_TS_COL).desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & ~F.col(_DEL_COL))
+            .select(*data_cols)
+        )
+
+    # -- CDC surface (SURVEY §2.11) ---------------------------------------
+
+    def changes(self, since: int = 0, scope: str = "CHANGE") -> DataFrame:
+        """CDC change feed over the change log (CREATE CDC analogue;
+        reference CDCGlobalIndexRegionScanner.java:99, change scopes
+        PRE/POST/CHANGE per grammar PhoenixSQL.g:611-616).
+
+        Returns one row per mutation with pre/post images computed via
+        lag() over the PK history — the batch twin of the readStream source.
+        """
+        segs = self._segments()
+        if not segs:
+            raise ValueError("no changes")
+        df = self.spark.read.parquet(*segs).filter(F.col(_TS_COL) > since)
+        data_cols = self.schema.fieldNames()
+        w = Window.partitionBy(*self.pk).orderBy(F.col(_TS_COL).asc())
+        img = F.struct(*[F.col(c) for c in data_cols])
+        out = df.select(
+            *self.pk,
+            F.col(_TS_COL).alias("change_ts"),
+            F.when(F.col(_DEL_COL), F.lit("DELETE")).otherwise(F.lit("UPSERT")).alias(
+                "change_op"
+            ),
+            F.lag(img).over(w).alias("pre_image"),
+            F.when(~F.col(_DEL_COL), img).alias("post_image"),
+        )
+        if scope == "PRE":
+            return out.select(*self.pk, "change_ts", "change_op", "pre_image")
+        if scope == "POST":
+            return out.select(*self.pk, "change_ts", "change_op", "post_image")
+        return out

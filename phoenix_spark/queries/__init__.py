@@ -24,6 +24,7 @@ def build_registry() -> Registry:
         "joins",
         "sorts",
         "setops",
+        "mutations_ddl",
         "scalar_str",
         "scalar_math",
         "scalar_datetime",

@@ -1,0 +1,185 @@
+"""Mutation + DDL correctness entries (SURVEY.md §2.9 / §2.10).
+
+Each query builds a THROWAWAY managed table in a fresh temp warehouse, runs
+a deterministic mutation script derived from the fixture tables, and returns
+the final compacted state — which the DuckDB oracle reproduces as a plain
+SELECT over the same fixtures.  This pins the full UPSERT → change-log →
+latest-wins-compaction → DELETE-tombstone pipeline (UpsertCompiler /
+DeleteCompiler / MutationState semantics) behind a value-hash check.
+
+Arithmetic in the scripts sticks to exactness-preserving ops on doubles
+(*2 is a power-of-two scale; +1000 is a single correctly-rounded IEEE add
+both engines perform identically).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from phoenix_spark.queries._util import Registry
+
+REG = Registry()
+
+
+def _engine(spark, sf):
+    from phoenix_spark.engine import Engine
+
+    return Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+
+
+# --- UPSERT VALUES/SELECT + latest-wins + DELETE tombstones ------------------
+def _upsert_compaction(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_orders (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, "
+        "o_orderstatus VARCHAR, CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_orders SELECT o_orderkey, o_totalprice, o_orderstatus "
+        "FROM orders WHERE o_orderkey <= 100"
+    )
+    # second batch overwrites the even keys with doubled price (latest wins)
+    e.sql(
+        "UPSERT INTO t_orders SELECT o_orderkey, o_totalprice * 2, o_orderstatus "
+        "FROM orders WHERE o_orderkey <= 100 AND o_orderkey % 2 = 0"
+    )
+    e.sql("DELETE FROM t_orders WHERE o_orderkey % 10 = 0")
+    return e.table("t_orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+REG.add(
+    "mutation_upsert_compaction",
+    _upsert_compaction,
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 100 AND o_orderkey % 10 <> 0
+    """,
+)
+
+# --- snapshot (AS OF) read: time travel across mutation batches --------------
+def _snapshot_read(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_snap (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_snap SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey <= 50"
+    )
+    e.sql(
+        "UPSERT INTO t_snap SELECT o_orderkey, o_totalprice + 1000 FROM orders "
+        "WHERE o_orderkey <= 50"
+    )
+    # read AS OF the first commit: the +1000 batch is invisible
+    return (
+        e.managed("t_snap")
+        .read(as_of=1)
+        .select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+        )
+    )
+
+
+REG.add(
+    "mutation_snapshot_read",
+    _snapshot_read,
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 50
+    """,
+)
+
+# --- CDC change feed with pre/post images ------------------------------------
+def _cdc_feed(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_cdc (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_cdc SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey <= 20"
+    )
+    e.sql(
+        "UPSERT INTO t_cdc SELECT o_orderkey, o_totalprice * 2 FROM orders "
+        "WHERE o_orderkey <= 10"
+    )
+    ch = e.managed("t_cdc").changes()
+    return ch.select(
+        "o_orderkey",
+        "change_ts",
+        "change_op",
+        F.col("pre_image.o_totalprice").cast("double").alias("pre_price"),
+        F.col("post_image.o_totalprice").cast("double").alias("post_price"),
+    )
+
+
+REG.add(
+    "mutation_cdc_feed",
+    _cdc_feed,
+    """
+    SELECT o_orderkey, CAST(1 AS BIGINT) AS change_ts, 'UPSERT' AS change_op,
+           CAST(NULL AS DOUBLE) AS pre_price,
+           CAST(o_totalprice AS DOUBLE) AS post_price
+    FROM orders WHERE o_orderkey <= 20
+    UNION ALL
+    SELECT o_orderkey, CAST(2 AS BIGINT), 'UPSERT',
+           CAST(o_totalprice AS DOUBLE),
+           CAST(o_totalprice * 2 AS DOUBLE)
+    FROM orders WHERE o_orderkey <= 10
+    """,
+)
+
+# --- CREATE VIEW: stored predicate recompiled per read (§2.10) ---------------
+def _view_predicate(spark, sf):
+    e = _engine(spark, sf)
+    e.sql("CREATE VIEW rich_customers AS SELECT * FROM customer WHERE c_acctbal > 9000")
+    return e.table("rich_customers").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+REG.add(
+    "ddl_view_predicate",
+    _view_predicate,
+    """
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_acctbal > 9000
+    """,
+)
+
+# --- CREATE SEQUENCE + NEXT VALUE FOR (§2.10, SequenceRegionObserver) --------
+def _sequence_rows(spark, sf):
+    e = _engine(spark, sf)
+    e.sql("CREATE SEQUENCE ids START WITH 100 INCREMENT BY 5")
+    e.sql(
+        "CREATE TABLE t_seq (id BIGINT NOT NULL, tag VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (id))"
+    )
+    for tag in ("a", "b", "c", "d"):
+        e.sql(f"UPSERT INTO t_seq VALUES (NEXT VALUE FOR ids, '{tag}')")
+    return e.table("t_seq")
+
+
+REG.add(
+    "ddl_sequence_rows",
+    _sequence_rows,
+    """
+    SELECT * FROM (VALUES (CAST(100 AS BIGINT), 'a'), (105, 'b'), (110, 'c'),
+                          (115, 'd')) AS t(id, tag)
+    """,
+)

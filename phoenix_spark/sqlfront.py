@@ -1,54 +1,238 @@
-"""Phoenix SQL dialect front-end (minimal, round 1).
+"""Phoenix SQL dialect front-end.
 
 Phoenix parses its dialect with an ANTLR3 grammar (reference:
-phoenix-core-client/src/main/antlr3/PhoenixSQL.g).  Spark SQL already covers
-the ANSI core; this module closes the *dialect* gap with a conservative
-token-level rewriter for the constructs that differ.  It deliberately does
-NOT attempt a full parser in round 1 — queries() entries are built with the
-DataFrame API / Spark SQL directly; this front-end is the compatibility
-surface for Phoenix-flavored text.
+phoenix-core-client/src/main/antlr3/PhoenixSQL.g).  Spark SQL covers the ANSI
+core, so this front-end closes the *dialect* gap:
 
-Currently handled:
-  - scalar function-name mapping (SUBSTR→substring is native, but e.g.
-    REGEXP_SUBSTR→regexp_extract, ARRAY_LENGTH→size, ... see FUNCTION_MAP)
-  - ``??`` no-op (placeholder)
-
-UPSERT / CREATE TABLE with PK constraints / sequences are routed through the
-mutation and ddl modules in later rounds.
+  * a literal-aware tokenizer — function renames never touch the inside of
+    string literals ('...'), quoted identifiers ("..."), or comments;
+  * per-function rewrite rules, including argument-shape fixes:
+      - REGEXP_SUBSTR(s, p)      → regexp_extract(s, p, 0)   (Phoenix returns
+        the WHOLE match; Spark's default group 1 errors on group-free
+        patterns — reference ByteBasedRegexpSubstrFunction.java)
+      - REGEXP_SUBSTR(s, p, off) → regexp_extract(substr(s, off), p, 0)
+      - STRING_TO_ARRAY(s, 'd')  → split(s, <regex-escaped d>)  (Phoenix
+        delimiters are literal; Spark split takes a regex)
+      - TO_NUMBER(x)             → cast(x as double); the 2-arg
+        format-pattern form is rejected loudly instead of mistranslated
+      - ARRAY_ELEM/ARRAY_LENGTH/... → element_at/size/... (1:1 renames)
+  * statement classification so Engine.sql can route UPSERT / DDL / DELETE
+    to the mutation and catalog layers (PhoenixStatement.executeUpdate
+    analogue).
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
-# Phoenix name -> Spark SQL name, for functions whose semantics line up
-# 1:1 (docs/phoenix.csv "Functions" sections; SURVEY.md §2.8).
-FUNCTION_MAP = {
-    "REGEXP_SUBSTR": "regexp_extract",
-    "ARRAY_LENGTH": "size",
-    "ARRAY_ELEM": "element_at",
-    "ARRAY_TO_STRING": "array_join",
-    "STRING_TO_ARRAY": "split",
-    "ARRAY_CAT": "concat",
-    "ARRAY_FILL": "array_repeat",
-    "TO_NUMBER": "cast_to_double",  # handled via special-case below
-    "CURRENT_DATE": "current_timestamp",  # Phoenix DATE carries time (§1.4)
-    "CURRENT_TIME": "current_timestamp",
-    "JSON_VALUE": "get_json_object",
-}
+# ---------------------------------------------------------------------------
+# Tokenizer: split SQL into (kind, text) segments where kind ∈
+# {"code", "string", "ident", "comment"}.  Rewrites only ever apply to code.
+# ---------------------------------------------------------------------------
 
-_FN_RE = re.compile(
-    r"\b(" + "|".join(FUNCTION_MAP) + r")\s*\(", flags=re.IGNORECASE
+_SEG_RE = re.compile(
+    r"""
+      (?P<string>'(?:[^']|'')*')
+    | (?P<ident>"(?:[^"]|"")*")
+    | (?P<comment>--[^\n]*|/\*.*?\*/)
+    """,
+    re.DOTALL | re.VERBOSE,
 )
 
 
-def translate_phoenix_sql(text: str) -> str:
-    """Rewrite Phoenix-dialect SQL into Spark SQL (best-effort, token level)."""
+def segments(sql: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    for m in _SEG_RE.finditer(sql):
+        if m.start() > pos:
+            out.append(("code", sql[pos : m.start()]))
+        out.append((m.lastgroup or "code", m.group()))
+        pos = m.end()
+    if pos < len(sql):
+        out.append(("code", sql[pos:]))
+    return out
 
-    def _sub(m: re.Match) -> str:
-        name = FUNCTION_MAP[m.group(1).upper()]
-        if name == "cast_to_double":
-            return "double("
-        return name + "("
 
-    return _FN_RE.sub(_sub, text)
+# 1:1 function renames (semantics verified in queries/scalar_*.py).
+RENAME = {
+    "ARRAY_LENGTH": "size",
+    "ARRAY_ELEM": "element_at",
+    "ARRAY_TO_STRING": "array_join",
+    "ARRAY_CAT": "concat",
+    "ARRAY_APPEND": "array_append",
+    "ARRAY_PREPEND": "array_prepend",
+    "ARRAY_FILL": "array_repeat",
+    "JSON_VALUE": "get_json_object",
+    "CURRENT_DATE": "current_timestamp",  # Phoenix DATE carries time (§1.4)
+    "CURRENT_TIME": "current_timestamp",
+    "OCTET_LENGTH": "octet_length",
+    "SUBBINARY": "substring",
+}
+
+# Functions that need argument-shape rewrites (paren-matched below).
+_SHAPE_FNS = ("REGEXP_SUBSTR", "STRING_TO_ARRAY", "TO_NUMBER")
+
+_WORD_RE = re.compile(
+    r"\b(" + "|".join(list(RENAME) + list(_SHAPE_FNS)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+class PhoenixTranslationError(ValueError):
+    """A Phoenix construct this front-end refuses to silently mistranslate."""
+
+
+def _split_args(argtext: str) -> list[str]:
+    """Split a paren-free-depth-0 comma list (string-literal aware)."""
+    args, depth, cur, i = [], 0, [], 0
+    while i < len(argtext):
+        c = argtext[i]
+        if c == "'":
+            j = i + 1
+            while j < len(argtext):
+                if argtext[j] == "'":
+                    if j + 1 < len(argtext) and argtext[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(argtext[i : j + 1])
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur or args:
+        args.append("".join(cur).strip())
+    return args
+
+
+def _regex_escape_literal(lit: str) -> str:
+    """'a.b' (SQL literal) → 'a\\.b' (regex-quoted SQL literal)."""
+    inner = lit[1:-1].replace("''", "'")
+    escaped = re.escape(inner)
+    return "'" + escaped.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _rewrite_call(name: str, args: list[str]) -> str:
+    up = name.upper()
+    if up == "REGEXP_SUBSTR":
+        if len(args) == 2:
+            return f"regexp_extract({args[0]}, {args[1]}, 0)"
+        if len(args) == 3:
+            return f"regexp_extract(substring({args[0]}, {args[2]}), {args[1]}, 0)"
+        raise PhoenixTranslationError(f"REGEXP_SUBSTR with {len(args)} args")
+    if up == "STRING_TO_ARRAY":
+        if len(args) != 2:
+            raise PhoenixTranslationError(
+                "STRING_TO_ARRAY requires (string, delimiter)"
+            )
+        delim = args[1]
+        if delim.startswith("'") and delim.endswith("'"):
+            delim = _regex_escape_literal(delim)
+        else:
+            raise PhoenixTranslationError(
+                "STRING_TO_ARRAY with a non-literal delimiter is not supported"
+            )
+        return f"split({args[0]}, {delim})"
+    if up == "TO_NUMBER":
+        if len(args) == 1:
+            return f"cast({args[0]} as double)"
+        raise PhoenixTranslationError(
+            "TO_NUMBER(value, format) format patterns are not supported; "
+            "cast explicitly instead"
+        )
+    return f"{RENAME[up]}({', '.join(args)})"
+
+
+def translate_phoenix_sql(sql: str) -> str:
+    """Rewrite Phoenix-dialect SQL into Spark SQL (literal-safe)."""
+    # Reassemble with rewrites applied to code segments only.  Function calls
+    # may span literal boundaries (an argument IS a literal), so rather than
+    # rewriting code segments independently, mask literals, rewrite, unmask.
+    segs = segments(sql)
+    masked_parts: list[str] = []
+    stash: list[str] = []
+    for kind, text in segs:
+        if kind in ("string", "ident"):
+            masked_parts.append(f"\x00{len(stash)}\x00")
+            stash.append(text)
+        elif kind == "comment":
+            masked_parts.append(" ")
+        else:
+            masked_parts.append(text)
+    masked = "".join(masked_parts)
+
+    def _unmask(s: str) -> str:
+        return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], s)
+
+    # Rewrites need literal args visible (STRING_TO_ARRAY escapes them), so
+    # unmask per-argument inside the rewriter via a wrapper.
+    rewritten = _rewrite_code_masked(masked, _unmask)
+    return _unmask(rewritten)
+
+
+def _rewrite_code_masked(masked: str, unmask) -> str:
+    out = []
+    pos = 0
+    while True:
+        m = _WORD_RE.search(masked, pos)
+        if not m:
+            out.append(masked[pos:])
+            return "".join(out)
+        out.append(masked[pos : m.start()])
+        i, depth = m.end(), 1
+        while i < len(masked) and depth:
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        # recurse so nested calls inside arguments are rewritten too
+        args = [
+            unmask(_rewrite_code_masked(a, unmask))
+            for a in _split_args(masked[m.end() : i - 1])
+        ]
+        out.append(_rewrite_call(m.group(1), args))
+        pos = i
+
+
+# ---------------------------------------------------------------------------
+# Statement classification (PhoenixStatement.executeQuery vs executeUpdate)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Statement:
+    kind: str  # select | upsert | delete | create_table | create_view |
+    #            create_sequence | drop | explain | show | other_ddl
+    text: str
+
+
+_KIND_RE = [
+    ("upsert", re.compile(r"^\s*UPSERT\b", re.I)),
+    ("delete", re.compile(r"^\s*DELETE\b", re.I)),
+    ("create_table", re.compile(r"^\s*CREATE\s+TABLE\b", re.I)),
+    ("create_view", re.compile(r"^\s*CREATE\s+VIEW\b", re.I)),
+    ("create_sequence", re.compile(r"^\s*CREATE\s+SEQUENCE\b", re.I)),
+    ("create_index", re.compile(r"^\s*CREATE\s+(LOCAL\s+|UNCOVERED\s+)?INDEX\b", re.I)),
+    ("drop", re.compile(r"^\s*(DROP|TRUNCATE)\b", re.I)),
+    ("explain", re.compile(r"^\s*EXPLAIN\b", re.I)),
+    ("show", re.compile(r"^\s*SHOW\b", re.I)),
+    ("alter", re.compile(r"^\s*ALTER\b", re.I)),
+]
+
+
+def classify(sql: str) -> Statement:
+    for kind, rx in _KIND_RE:
+        if rx.match(sql):
+            return Statement(kind, sql)
+    return Statement("select", sql)

@@ -1,0 +1,219 @@
+"""Engine / DDL / mutation / sqlfront tests (the UpsertCompiler /
+DeleteCompiler / CreateTableCompiler / MutationState behavior pins —
+reference ITs: phoenix-core/src/it/.../end2end/UpsertValuesIT.java,
+DeleteIT.java, CreateTableIT.java, SequenceIT.java, CDCQueryIT.java)."""
+
+from __future__ import annotations
+
+import pytest
+
+from phoenix_spark.sqlfront import PhoenixTranslationError, translate_phoenix_sql
+from tests.conftest import SF_TEST_DIR
+
+
+# ---------------------------------------------------------------------------
+# sqlfront translation (pure, no Spark needed)
+# ---------------------------------------------------------------------------
+
+def test_translate_preserves_string_literals():
+    sql = "SELECT 'CALL ARRAY_LENGTH(x)' AS s, ARRAY_LENGTH(a) AS n FROM t"
+    out = translate_phoenix_sql(sql)
+    assert "'CALL ARRAY_LENGTH(x)'" in out
+    assert "size(a) AS n" in out
+
+
+def test_translate_regexp_substr_whole_match():
+    out = translate_phoenix_sql("SELECT REGEXP_SUBSTR(s, '[0-9]+') FROM t")
+    assert "regexp_extract(s, '[0-9]+', 0)" in out
+
+
+def test_translate_regexp_substr_offset():
+    out = translate_phoenix_sql("SELECT REGEXP_SUBSTR(s, 'a.c', 5) FROM t")
+    assert "regexp_extract(substring(s, 5), 'a.c', 0)" in out
+
+
+def test_translate_string_to_array_escapes_delimiter():
+    out = translate_phoenix_sql("SELECT STRING_TO_ARRAY(s, '.') FROM t")
+    assert "split(s, '\\\\.')" in out
+
+
+def test_translate_to_number_two_arg_rejected():
+    with pytest.raises(PhoenixTranslationError):
+        translate_phoenix_sql("SELECT TO_NUMBER(s, '#,##0') FROM t")
+
+
+def test_translate_nested_call():
+    out = translate_phoenix_sql("SELECT ARRAY_LENGTH(ARRAY_CAT(a, b)) FROM t")
+    assert "size(concat(a, b))" in out
+
+
+# ---------------------------------------------------------------------------
+# DDL parsing (pure)
+# ---------------------------------------------------------------------------
+
+def test_parse_create_table_composite_pk():
+    from phoenix_spark.ddl import parse_create_table
+
+    ct = parse_create_table(
+        """
+        CREATE TABLE IF NOT EXISTS web_stat (
+          host VARCHAR NOT NULL,
+          created DATE NOT NULL,
+          usage_core DECIMAL(10,2),
+          active_visitor INTEGER,
+          CONSTRAINT pk PRIMARY KEY (host, created DESC ROW_TIMESTAMP)
+        ) SALT_BUCKETS=16, IMMUTABLE_ROWS=true
+        """
+    )
+    assert ct.name == "web_stat"
+    assert ct.pk == ["host", "created"]
+    assert ct.sort_orders == {"created": "DESC"}
+    assert ct.row_timestamp == "created"
+    assert ct.if_not_exists
+    assert ct.props["SALT_BUCKETS"] == "16"
+    assert [f.name for f in ct.schema.fields] == [
+        "host",
+        "created",
+        "usage_core",
+        "active_visitor",
+    ]
+    assert ct.schema["created"].dataType.simpleString() == "timestamp"
+    assert ct.schema["usage_core"].dataType.simpleString() == "decimal(10,2)"
+
+
+def test_parse_upsert_values_on_duplicate():
+    from phoenix_spark.ddl import parse_upsert
+
+    up = parse_upsert(
+        "UPSERT INTO t (id, n) VALUES (1, 10), (2, 20) "
+        "ON DUPLICATE KEY UPDATE n = n + 1"
+    )
+    assert up.table == "t"
+    assert up.columns == ["id", "n"]
+    assert up.values == [["1", "10"], ["2", "20"]]
+    assert up.on_duplicate == {"n": "n + 1"}
+
+
+# ---------------------------------------------------------------------------
+# Engine end-to-end (Spark)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from phoenix_spark.engine import Engine
+
+    return Engine(spark, sf_dir=SF_TEST_DIR, warehouse=str(tmp_path / "wh"))
+
+
+def test_create_upsert_latest_wins(engine):
+    engine.sql("CREATE TABLE kv (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))")
+    assert engine.sql("UPSERT INTO kv VALUES (1, 'a'), (2, 'b')") == 2
+    assert engine.sql("UPSERT INTO kv VALUES (2, 'b2'), (3, 'c')") == 2
+    got = {r.k: r.v for r in engine.table("kv").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_upsert_partial_columns_null_fill(engine):
+    engine.sql(
+        "CREATE TABLE p (k BIGINT NOT NULL, a VARCHAR, b DOUBLE, CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO p (k, b) VALUES (7, 1.5)")
+    row = engine.table("p").collect()[0]
+    assert row.k == 7 and row.a is None and row.b == 1.5
+
+
+def test_on_duplicate_key_ignore_and_update(engine):
+    engine.sql("CREATE TABLE c (k BIGINT NOT NULL, n BIGINT, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO c VALUES (1, 10)")
+    engine.sql("UPSERT INTO c VALUES (1, 99), (2, 20) ON DUPLICATE KEY IGNORE")
+    got = {r.k: r.n for r in engine.table("c").collect()}
+    assert got == {1: 10, 2: 20}  # k=1 kept its original value
+    engine.sql("UPSERT INTO c VALUES (1, 0), (3, 30) ON DUPLICATE KEY UPDATE n = n + 1")
+    got = {r.k: r.n for r in engine.table("c").collect()}
+    assert got == {1: 11, 2: 20, 3: 30}  # matched incremented, unmatched inserted
+
+
+def test_upsert_select_and_delete(engine):
+    engine.sql(
+        "CREATE TABLE big_orders (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    n = engine.sql(
+        "UPSERT INTO big_orders SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 400000"
+    )
+    assert n > 0
+    engine.sql("DELETE FROM big_orders WHERE o_orderkey % 2 = 0")
+    rows = engine.table("big_orders").collect()
+    assert rows and all(r.o_orderkey % 2 == 1 for r in rows)
+
+
+def test_snapshot_read_time_travel(engine):
+    engine.sql("CREATE TABLE s (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO s VALUES (1, 'v1')")
+    engine.sql("UPSERT INTO s VALUES (1, 'v2')")
+    mt = engine.managed("s")
+    assert mt.read().collect()[0].v == "v2"
+    assert mt.read(as_of=1).collect()[0].v == "v1"
+
+
+def test_compact_preserves_state(engine):
+    engine.sql("CREATE TABLE cp (k BIGINT NOT NULL, v BIGINT, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO cp VALUES (1, 1), (2, 2)")
+    engine.sql("UPSERT INTO cp VALUES (2, 22)")
+    engine.sql("DELETE FROM cp WHERE k = 1")
+    mt = engine.managed("cp")
+    before = {r.k: r.v for r in mt.read().collect()}
+    mt.compact()
+    assert len(mt._segments()) == 1
+    assert {r.k: r.v for r in mt.read().collect()} == before == {2: 22}
+
+
+def test_cdc_changes_pre_post_images(engine):
+    engine.sql("CREATE TABLE cd (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO cd VALUES (1, 'a')")
+    engine.sql("UPSERT INTO cd VALUES (1, 'b')")
+    engine.sql("DELETE FROM cd WHERE k = 1")
+    ch = engine.managed("cd").changes().orderBy("change_ts").collect()
+    assert [c.change_op for c in ch] == ["UPSERT", "UPSERT", "DELETE"]
+    assert ch[0].pre_image is None and ch[0].post_image.v == "a"
+    assert ch[1].pre_image.v == "a" and ch[1].post_image.v == "b"
+    assert ch[2].pre_image.v == "b" and ch[2].post_image is None
+
+
+def test_sequence_next_value(engine):
+    engine.sql("CREATE SEQUENCE my_seq START WITH 100 INCREMENT BY 5")
+    engine.sql("CREATE TABLE sq (id BIGINT NOT NULL, tag VARCHAR, CONSTRAINT pk PRIMARY KEY (id))")
+    engine.sql("UPSERT INTO sq VALUES (NEXT VALUE FOR my_seq, 'x')")
+    engine.sql("UPSERT INTO sq VALUES (NEXT VALUE FOR my_seq, 'y')")
+    ids = sorted(r.id for r in engine.table("sq").collect())
+    assert ids == [100, 105]
+    assert engine.current_value("my_seq") == 105
+
+
+def test_view_stored_predicate(engine):
+    engine.sql("CREATE TABLE vt (k BIGINT NOT NULL, v BIGINT, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO vt VALUES (1, 5), (2, 50), (3, 500)")
+    engine.sql("CREATE VIEW big_vt AS SELECT * FROM vt WHERE v >= 50")
+    ks = sorted(r.k for r in engine.table("big_vt").collect())
+    assert ks == [2, 3]
+    # view recompiles against current data (QueryCompiler.java:803-806)
+    engine.sql("UPSERT INTO vt VALUES (4, 5000)")
+    assert sorted(r.k for r in engine.table("big_vt").collect()) == [2, 3, 4]
+
+
+def test_drop_and_truncate(engine):
+    engine.sql("CREATE TABLE dt (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO dt VALUES (1)")
+    engine.sql("TRUNCATE TABLE dt")
+    assert engine.table("dt").count() == 0
+    engine.sql("DROP TABLE dt")
+    with pytest.raises(ValueError):
+        engine.managed("dt")
+
+
+def test_explain_and_fixture_query(engine):
+    df = engine.sql("SELECT o_orderkey FROM orders WHERE o_orderkey = 5")
+    assert df.count() <= 1
+    plan = engine.explain("SELECT count(*) FROM lineitem WHERE l_orderkey > 100")
+    assert "PushedFilters" in plan or "Filter" in plan
