@@ -59,17 +59,42 @@ class Engine:
         self.catalog.register_all()
         return self
 
-    def table(self, name: str) -> DataFrame:
+    def table(
+        self,
+        name: str,
+        dyn_cols: dict[str, str] | None = None,
+        json_col: str = "props",
+    ) -> DataFrame:
+        """Resolve a table/view.
+
+        ``dyn_cols`` is the dynamic-column surface (``SELECT * FROM t (mycol
+        VARCHAR)`` — grammar PhoenixSQL.g:832-855): extra typed columns
+        declared at query time, resolved from the table's JSON overflow
+        column (schema-on-read).
+        """
         name = name.lower()
         if name in self._views:
             parent, where = self._views[name]
             df = self.table(parent)
-            return df.filter(where) if where else df
-        mt = ManagedTable(self.spark, self.warehouse, name)
-        if mt.exists():
-            return mt.read()
-        assert self.catalog is not None, "attach(sf_dir) first"
-        return self.catalog.df(name)
+            df = df.filter(where) if where else df
+        else:
+            mt = ManagedTable(self.spark, self.warehouse, name)
+            if mt.exists():
+                df = mt.read()
+            else:
+                assert self.catalog is not None, "attach(sf_dir) first"
+                df = self.catalog.df(name)
+        if dyn_cols:
+            from phoenix_spark.types import parse_type
+
+            for col, typ in dyn_cols.items():
+                df = df.withColumn(
+                    col,
+                    F.get_json_object(F.col(json_col), f"$.{col}").cast(
+                        parse_type(typ)
+                    ),
+                )
+        return df
 
     def managed(self, name: str) -> ManagedTable:
         mt = ManagedTable(self.spark, self.warehouse, name.lower())
@@ -167,6 +192,52 @@ class Engine:
         cs = D.parse_create_sequence(text)
         self.create_sequence(cs.name, cs.start, cs.increment)
         return 0
+
+    def _exec_create_function(self, text: str) -> int:
+        """CREATE [TEMPORARY] FUNCTION name AS 'module:callable' RETURNS type.
+
+        Phoenix binds scalar UDFs from JARs at runtime (grammar
+        PhoenixSQL.g:737-745; UDFExpression.java:47-59 DynamicClassLoader);
+        the Spark-native binding is a registered Python callable — strictly
+        more capable (SURVEY §2.12).  Python UDFs are the slow path: prefer
+        built-ins; this is the escape hatch.
+        """
+        m = re.match(
+            r"^\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(\w+)\s+AS\s+"
+            r"'([\w.]+):(\w+)'(?:\s+RETURNS\s+([\w()0-9,]+))?\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "CREATE FUNCTION must be "
+                "`CREATE FUNCTION name AS 'module:callable' [RETURNS type]`"
+            )
+        name, module, func, rtype = m.groups()
+        import importlib
+
+        fn = getattr(importlib.import_module(module), func)
+        from phoenix_spark.types import parse_type
+
+        self.spark.udf.register(
+            name, fn, parse_type(rtype) if rtype else None
+        )
+        return 0
+
+    def create_function(self, name: str, fn, return_type=None) -> None:
+        """Programmatic CREATE FUNCTION (bind any Python callable)."""
+        self.spark.udf.register(name, fn, return_type)
+
+    def bulk_load_csv(self, table: str, csv_path: str, header: bool = True) -> int:
+        """CSV bulk load into a managed table (CsvBulkLoadTool analogue —
+        reference phoenix-core-server/.../mapreduce/CsvBulkLoadTool; here a
+        distributed spark.read.csv → one change-log commit)."""
+        mt = self.managed(table)
+        df = self.spark.read.csv(csv_path, header=header, schema=mt.schema)
+        n = df.count()
+        mt.upsert_df(df)
+        self._register(table)
+        return n
 
     def _exec_create_index(self, text: str) -> int:
         # Parse-only per SURVEY §4.1: Parquet + AQE replace index selection;

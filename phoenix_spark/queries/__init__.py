@@ -25,6 +25,9 @@ def build_registry() -> Registry:
         "sorts",
         "setops",
         "mutations_ddl",
+        "aggregates_ext",
+        "scalar_binary",
+        "sources_ext",
         "scalar_str",
         "scalar_math",
         "scalar_datetime",

@@ -1,0 +1,160 @@
+"""Ordered-set aggregate tail + grouping extensions (SURVEY.md §2.4).
+
+Closes the VERDICT-flagged partials:
+  * PERCENT_RANK (PercentRankClientAggregator — Phoenix computes it as an
+    inverse-distribution aggregate; the window form is the Spark-native
+    superset and yields the same (rank-1)/(n-1) values)
+  * NTH_VALUE / FIRST_VALUES / LAST_VALUES (NthValueFunction.java,
+    FirstValuesFunction / LastValuesFunction — ordered-set aggregates that
+    return the value(s) at the order extremes per group)
+  * CUBE / GROUPING SETS (beyond-reference extensions; ROLLUP already pinned
+    in aggregates.py)
+  * APPROX_PERCENTILE — the at-scale variant of agg_percentile: Phoenix
+    ships the full value map to the client (exact but O(cardinality));
+    `approx_percentile` is the bounded-memory sketch answer (rows-only
+    check, sketches are engine-specific).
+
+Determinism: nth/first/last orderings always carry the value itself as the
+final sort key so duplicate (orderkey, linenumber) rows (the fixture PK is
+not unique!) can't flip the selection; quantities are integral so their
+string/array renderings agree across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from phoenix_spark.queries._util import Registry, t, views
+
+REG = Registry()
+
+# --- PERCENT_RANK ------------------------------------------------------------
+def _percent_rank(spark, sf):
+    views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               percent_rank() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice) AS pr
+        FROM orders
+        """
+    )
+
+
+REG.add(
+    "agg_percent_rank",
+    _percent_rank,
+    """
+    SELECT o_orderkey,
+           percent_rank() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice) AS pr
+    FROM orders
+    """,
+)
+
+# --- NTH_VALUE / FIRST_VALUES / LAST_VALUES as ordered-set aggregates --------
+# Spark lowering: collect_list(struct(order_keys..., value)) → sort_array →
+# slice; the struct sort is lexicographic, matching DuckDB's multi-key
+# `list(x ORDER BY ...)`.
+def _nth_values(spark, sf):
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    sorted_arr = F.sort_array(
+        F.collect_list(F.struct("k1", "k2", "q"))
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.element_at(sorted_arr, 3)["q"].alias("nth3_qty"),
+        F.array_join(
+            F.transform(F.slice(sorted_arr, 1, 4), lambda s: s["q"].cast("string")),
+            ",",
+        ).alias("first4_qty"),
+        F.array_join(
+            F.transform(
+                F.slice(F.reverse(sorted_arr), 1, 4), lambda s: s["q"].cast("string")
+            ),
+            ",",
+        ).alias("last4_qty"),
+    )
+
+
+REG.add(
+    "agg_nth_first_last_values",
+    _nth_values,
+    """
+    SELECT l_returnflag,
+           (list(CAST(l_quantity AS BIGINT)
+                 ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)))[3]
+             AS nth3_qty,
+           array_to_string(
+             (list(CAST(l_quantity AS BIGINT)
+                   ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)))[1:4],
+             ',') AS first4_qty,
+           array_to_string(
+             (list(CAST(l_quantity AS BIGINT)
+                   ORDER BY l_orderkey DESC, l_linenumber DESC,
+                            CAST(l_quantity AS BIGINT) DESC))[1:4],
+             ',') AS last4_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+# --- CUBE --------------------------------------------------------------------
+def _cube(spark, sf):
+    views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """
+    )
+
+
+REG.add(
+    "agg_cube",
+    _cube,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+# --- GROUPING SETS -----------------------------------------------------------
+def _grouping_sets(spark, sf):
+    views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_suppkey, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+        """
+    )
+
+
+REG.add(
+    "agg_grouping_sets",
+    _grouping_sets,
+    """
+    SELECT l_returnflag, l_suppkey, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+    """,
+)
+
+# --- APPROX_PERCENTILE (bounded-memory sketch; the 100 TB percentile path) ---
+REG.add(
+    "agg_percentile_approx",
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    ),
+    None,  # sketch internals are engine-specific; exact path pinned by
+    # agg_percentile in aggregates.py
+)

@@ -1,0 +1,81 @@
+"""Binary / bit / encode function surface (SURVEY.md §2.8 binary group).
+
+Reference: GetByteFunction / GetBitFunction / SetByteFunction /
+OctetLengthFunction / SubBinaryFunction / EncodeBinaryFunction /
+DecodeBinaryFunction under phoenix-core-client/.../expression/function/.
+
+Mappings pinned:
+  OCTET_LENGTH(bin)     → length(binary)  /  octet_length
+  GET_BYTE(bin, i)      → ascii(substr(s, i, 1)) for ASCII payloads;
+                          general bytes go through conv(hex(...)) — pinned
+                          via the ascii form on the documents payload
+  GET_BIT(bin, i)       → (byte >> bit) & 1 expression
+  SUBBINARY(bin, s, n)  → substring on binary (rendered as lowercase hex)
+  ENCODE/DECODE base64  → base64/unbase64 round-trip
+  ENCODE/DECODE hex     → hex/unhex (lowercased — DuckDB renders lowercase)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from phoenix_spark.queries._util import Registry, t
+
+REG = Registry()
+
+REG.add(
+    "bin_bytes_bits",
+    lambda spark, sf: t(spark, sf, "documents").select(
+        "doc_id",
+        F.length(F.col("text").cast("binary")).cast("int").alias("octet_len"),
+        F.ascii(F.substring("text", 3, 1)).cast("int").alias("byte3"),
+        (
+            F.shiftright(F.ascii(F.substring("text", 3, 1)), 2).bitwiseAND(F.lit(1))
+        ).cast("int").alias("bit2_of_byte3"),
+        F.lower(F.hex(F.substring(F.col("text"), 5, 6).cast("binary"))).alias(
+            "subbin_hex"
+        ),
+    ),
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT)        AS octet_len,
+           CAST(ascii(substr(text, 3, 1)) AS INT)         AS byte3,
+           CAST((ascii(substr(text, 3, 1)) >> 2) & 1 AS INT) AS bit2_of_byte3,
+           lower(hex(encode(substr(text, 5, 6))))         AS subbin_hex
+    FROM documents
+    """,
+)
+
+REG.add(
+    "bin_encode_decode",
+    lambda spark, sf: t(spark, sf, "documents").select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.substring("text", 1, 12).cast("binary")))
+        .cast("string")
+        .alias("b64_roundtrip"),
+        F.lower(F.hex(F.substring("text", 1, 6).cast("binary"))).alias("hx"),
+        F.unhex(F.hex(F.substring("text", 1, 6).cast("binary")))
+        .cast("string")
+        .alias("hx_roundtrip"),
+    ),
+    """
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 12)))                  AS b64,
+           decode(from_base64(to_base64(encode(substr(text, 1, 12))))) AS b64_roundtrip,
+           lower(hex(encode(substr(text, 1, 6))))                  AS hx,
+           decode(from_hex(lower(hex(encode(substr(text, 1, 6)))))) AS hx_roundtrip
+    FROM documents
+    """,
+)
+
+# --- system/meta: PARTITION_ID() (PartitionIdFunction.java → the physical
+# partition the row came from; value set is engine/parallelism-specific, so
+# the check is shape-only: one row out) ---------------------------------------
+REG.add(
+    "meta_partition_id",
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .select(F.spark_partition_id().alias("pid"))
+    .agg(F.countDistinct("pid").alias("n_partitions")),
+    None,
+)

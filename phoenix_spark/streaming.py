@@ -1,0 +1,141 @@
+"""Structured Streaming surface (SURVEY.md §2.11).
+
+Phoenix's stream-shaped features and their Spark-native homes:
+
+  * CREATE CDC change feed (grammar PhoenixSQL.g:593-616; server scanner
+    CDCGlobalIndexRegionScanner.java:99) → the change log written by every
+    mutation (mutations.py) doubles as a file-source stream: each committed
+    segment is an immutable parquet directory, exactly the append-only
+    contract `spark.readStream` expects.
+  * ROW_TIMESTAMP event-time PK (grammar :140,:655-658) → event-time column
+    + `withWatermark` for late-data bounds.
+  * TTL / max-lookback (PhoenixTTLRegionObserver) → retention predicate views
+    (`ttl_view`) + the compaction job dropping aged-out rows.
+  * tumbling/sliding/session windows — no reference equivalent; declared
+    beyond-reference surface (window(), session_window()).
+
+Scale: the stream source lists only NEW segment files per micro-batch; state
+for windowed aggregation is bounded by the watermark horizon, and the CDC
+apply job (`apply_changes`) writes through the same latest-wins change-log
+commit path as batch mutations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from phoenix_spark.mutations import _DEL_COL, _TS_COL, ManagedTable
+
+
+def stream_changes(spark: SparkSession, table: ManagedTable) -> DataFrame:
+    """Streaming CDC feed over a managed table's change log.
+
+    One row per mutation: PK columns + data columns + change_ts + change_op.
+    (Pre-images need cross-commit state and belong to the batch
+    ``ManagedTable.changes`` / ``apply_changes`` path.)
+    """
+    schema = table.schema.add(_TS_COL, "long").add(_DEL_COL, "boolean")
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(table.seg_dir)
+    )
+    return raw.select(
+        *table.schema.fieldNames(),
+        F.col(_TS_COL).alias("change_ts"),
+        F.when(F.col(_DEL_COL), F.lit("DELETE")).otherwise(F.lit("UPSERT")).alias(
+            "change_op"
+        ),
+    )
+
+
+def apply_changes(
+    spark: SparkSession, source: ManagedTable, target: ManagedTable, checkpoint: str
+):
+    """CDC-apply: replicate a source change log into a target table.
+
+    foreachBatch receives each micro-batch of change rows; within a batch,
+    latest-wins per PK is resolved before the single change-log commit, so
+    the target's history stays compact (the MutationState batch analogue).
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from pyspark.sql.window import Window
+
+    pk = source.pk
+    data_cols = source.schema.fieldNames()
+
+    def _apply(batch: DataFrame, _epoch: int) -> None:
+        w = Window.partitionBy(*pk).orderBy(F.col("change_ts").desc())
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        ups = latest.filter(F.col("change_op") == "UPSERT").select(*data_cols)
+        dels = latest.filter(F.col("change_op") == "DELETE").select(*data_cols)
+        if ups.limit(1).count():
+            target.upsert_df(ups)
+        if dels.limit(1).count():
+            # tombstone exactly these PKs
+            victims = target.read().join(dels.select(pk), on=pk, how="left_semi")
+            if victims.limit(1).count():
+                target._append_segment(victims, target._next_ts(), deleted=True)
+
+    return (
+        stream_changes(spark, source)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts with a late-data watermark (works on both
+    batch and streaming DataFrames — the beyond-reference §2.11 surface)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows by inactivity gap (session_window — the streaming twin
+    of queries/windows.py::window_sessionize)."""
+    return (
+        events.withWatermark(ts_col, "1 hour")
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def ttl_view(df: DataFrame, ts_col: str, ttl_expr: str, now_expr: str) -> DataFrame:
+    """TTL / max-lookback view: rows older than the retention horizon are
+    invisible (PhoenixTTLRegionObserver analogue; the physical delete happens
+    at compaction).  ``now_expr`` is injected (e.g. a literal) so results are
+    deterministic/testable — Phoenix similarly pins 'now' per query."""
+    return df.filter(F.expr(f"{ts_col} > {now_expr} - INTERVAL {ttl_expr}"))

@@ -217,3 +217,11 @@ def test_explain_and_fixture_query(engine):
     assert df.count() <= 1
     plan = engine.explain("SELECT count(*) FROM lineitem WHERE l_orderkey > 100")
     assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_create_function_udf_binding(engine):
+    engine.sql("CREATE FUNCTION py_sqrt AS 'math:sqrt' RETURNS DOUBLE")
+    row = engine.sql("SELECT py_sqrt(16.0) AS r").collect()[0]
+    assert row.r == 4.0
+    engine.create_function("twice", lambda x: x * 2, "long")
+    assert engine.sql("SELECT twice(21) AS r").collect()[0].r == 42

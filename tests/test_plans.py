@@ -1,0 +1,113 @@
+"""Plan-shape tests — the Spark analogue of the reference's compile-time
+plan assertions (phoenix-core/src/test/.../compile/QueryCompilerTest.java,
+WhereOptimizerTest.java, JoinQueryCompilerTest.java).
+
+Phoenix asserts on the compiled Scan/ExplainPlan; here we assert on Spark's
+physical plan string: these pins are what make the engine hold up at 100 TB
+(broadcasts where expected, pushed filters, no cartesian products, top-K via
+TakeOrderedAndProject, partial aggregation before the shuffle).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from phoenix_spark.queries import all_queries
+from tests.conftest import SF_TEST_DIR
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_TEST_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_star_join_all_broadcast(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    # all five joins resolve to broadcast — the fact scan never shuffles
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_filter_pushdown_reaches_parquet(spark):
+    df = QUERIES["filter_range_pred"](spark, SF_TEST_DIR)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [" in formatted
+    # the shipdate range predicate must appear pushed, not only residual
+    assert "l_shipdate" in formatted.split("PushedFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_projection_prunes_columns(spark):
+    df = QUERIES["scan_projection"](spark, SF_TEST_DIR)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    read_schema = formatted.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" not in read_schema  # unprojected column not read
+    assert "l_quantity" in read_schema
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in plan  # per-partition topN + merge,
+    # the MergeSortTopNResultIterator shape — never a full sort
+
+
+def test_groupby_has_partial_aggregation(spark):
+    plan = plan_of(spark, "agg_groupby_hash")
+    # two HashAggregate nodes (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_lsh_no_cartesian(spark):
+    plan = plan_of(spark, "similarity_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi")
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_sort_merge_full_outer(spark):
+    plan = plan_of(spark, "join_sort_merge_full")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_point_lookup_pushes_equality(spark):
+    df = QUERIES["scan_point_lookup"](spark, SF_TEST_DIR)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = formatted.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "EqualTo" in pushed or "o_orderkey" in pushed
+
+
+def test_no_python_udfs_in_core_queries(spark):
+    """Everything except the explicitly-Pandas multimodal path stays JVM-side
+    (whole-stage codegen); a stray Python UDF would show BatchEvalPython."""
+    for name in (
+        "q1_pricing_summary",
+        "q5_local_supplier_volume",
+        "text_stats",
+        "dedup_minhash_lsh",
+        "similarity_topk",
+    ):
+        assert "BatchEvalPython" not in plan_of(spark, name), name

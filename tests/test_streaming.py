@@ -1,0 +1,108 @@
+"""Structured Streaming surface tests (§2.11): CDC stream, CDC apply,
+watermarked windows, session windows, TTL view.
+
+Reference test parity: phoenix-core/src/it/.../end2end/CDCQueryIT.java
+(change feed contents) — replayed here against the streaming source with an
+availableNow trigger so runs are bounded."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TEST_DIR
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from phoenix_spark.engine import Engine
+
+    return Engine(spark, sf_dir=SF_TEST_DIR, warehouse=str(tmp_path / "wh"))
+
+
+def test_stream_changes_cdc_feed(engine, spark, tmp_path):
+    from phoenix_spark.streaming import stream_changes
+
+    engine.sql("CREATE TABLE st (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO st VALUES (1, 'a'), (2, 'b')")
+    engine.sql("UPSERT INTO st VALUES (2, 'b2')")
+    engine.sql("DELETE FROM st WHERE k = 1")
+
+    q = (
+        stream_changes(spark, engine.managed("st"))
+        .writeStream.format("memory")
+        .queryName("cdc_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM cdc_sink ORDER BY change_ts, k").collect()
+    ops = [(r.k, r.change_op) for r in rows]
+    assert ops == [(1, "UPSERT"), (2, "UPSERT"), (2, "UPSERT"), (1, "DELETE")]
+
+
+def test_apply_changes_replicates_table(engine, spark, tmp_path):
+    from phoenix_spark.mutations import ManagedTable
+    from phoenix_spark.streaming import apply_changes
+
+    engine.sql("CREATE TABLE src (k BIGINT NOT NULL, v BIGINT, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO src VALUES (1, 10), (2, 20), (3, 30)")
+    engine.sql("UPSERT INTO src VALUES (2, 22)")
+    engine.sql("DELETE FROM src WHERE k = 3")
+
+    src = engine.managed("src")
+    tgt = ManagedTable.create(
+        spark, engine.warehouse, "tgt", src.schema, src.pk
+    )
+    q = apply_changes(spark, src, tgt, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in tgt.read().collect()}
+    assert got == {1: 10, 2: 22}
+
+
+def test_windowed_counts_matches_batch(engine, spark):
+    from phoenix_spark.catalog import read_table
+    from phoenix_spark.streaming import windowed_counts
+
+    ev = read_table(spark, f"{SF_TEST_DIR}/events.parquet")
+    got = windowed_counts(ev, window="1 hour").orderBy("window_start", "event_type")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            F.col("count").alias("n"),
+        )
+    )
+    a = {(r.window_start, r.event_type): r.n for r in got.collect()}
+    b = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_session_window_bounds(spark):
+    from phoenix_spark.catalog import read_table
+    from phoenix_spark.streaming import sessionized
+
+    ev = read_table(spark, f"{SF_TEST_DIR}/events.parquet")
+    sess = sessionized(ev, gap="30 minutes").collect()
+    assert sess
+    for r in sess:
+        assert r.session_end > r.session_start and r.n_events >= 1
+
+
+def test_ttl_view_retention(spark):
+    from phoenix_spark.catalog import read_table
+    from phoenix_spark.streaming import ttl_view
+
+    ev = read_table(spark, f"{SF_TEST_DIR}/events.parquet")
+    horizon = ev.agg(F.max("ts")).collect()[0][0]
+    kept = ttl_view(
+        ev, "ts", "6 HOURS", f"TIMESTAMP '{horizon}'"
+    )
+    n_all, n_kept = ev.count(), kept.count()
+    assert 0 < n_kept < n_all
+    oldest = kept.agg(F.min("ts")).collect()[0][0]
+    assert (horizon - oldest).total_seconds() <= 6 * 3600
