@@ -272,6 +272,83 @@ class Engine:
             self.spark.catalog.dropTempView(dr.name)
         return 0
 
+    def _exec_alter(self, text: str) -> int:
+        """ALTER TABLE t ADD|DROP COLUMN ... — metadata-only, like the
+        reference (grammar PhoenixSQL.g:774-778; MetaDataClient.addColumn):
+        existing segments are untouched; reads project the evolved schema
+        (missing columns read as NULL via the cast-projection in
+        ManagedTable.read)."""
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(?:COLUMN\s+)?(.+?)\s*;?\s*$",
+            text,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"unparseable ALTER TABLE: {text[:120]!r}")
+        name, op, rest = m.group(1).lower(), m.group(2).upper(), m.group(3)
+        mt = self.managed(name)
+        meta = mt.meta
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(meta["schema"])
+        if op == "ADD":
+            from phoenix_spark.types import parse_type
+
+            col, typ = rest.split(None, 1)
+            typ = re.sub(r"\bNOT\s+NULL\b|\bNULL\b", "", typ, flags=re.I)
+            schema = schema.add(col.lower(), parse_type(typ.strip()))
+        else:
+            col = rest.strip().strip('"').lower()
+            if col in mt.pk:
+                raise ValueError("cannot drop a PK column")
+            schema = T.StructType([f for f in schema.fields if f.name != col])
+        meta["schema"] = schema.jsonValue()
+        with open(mt.meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+        self._register(name)
+        return 0
+
+    def _exec_show(self, text: str) -> DataFrame:
+        """SHOW TABLES / SHOW SEQUENCES over the combined catalog."""
+        up = text.upper()
+        if "SEQUENCE" in up:
+            rows = [(k,) for k in sorted(self._sequences())]
+            return self.spark.createDataFrame(rows or [("",)], "sequence_name: string")
+        names = set()
+        if self.catalog is not None:
+            names |= set(self.catalog.tables)
+        if os.path.isdir(self.warehouse):
+            for d in os.listdir(self.warehouse):
+                if os.path.exists(os.path.join(self.warehouse, d, "meta.json")):
+                    names.add(d)
+        names |= set(self._views)
+        return self.spark.createDataFrame(
+            [(n,) for n in sorted(names)], "table_name: string"
+        )
+
+    def update_statistics(self, name: str) -> dict:
+        """UPDATE STATISTICS t — collect row-count/size stats into the table
+        meta (guidepost analogue: reference DefaultStatisticsCollector;
+        Spark's AQE replaces guidepost-driven parallelism, so these stats are
+        informational)."""
+        mt = self.managed(name)
+        stats = {
+            "row_count": mt.read().count(),
+            "n_segments": len(mt._segments()),
+        }
+        meta = mt.meta
+        meta["stats"] = stats
+        with open(mt.meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+        return stats
+
+    def _exec_update_stats(self, text: str) -> int:
+        m = re.match(r"^\s*UPDATE\s+STATISTICS\s+([\w.]+)", text, re.I)
+        if not m:
+            raise ValueError(f"unparseable UPDATE STATISTICS: {text[:80]!r}")
+        self.update_statistics(m.group(1).lower())
+        return 0
+
     def _exec_upsert(self, text: str) -> int:
         up = D.parse_upsert(text)
         mt = self.managed(up.table)

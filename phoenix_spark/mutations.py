@@ -216,9 +216,13 @@ class ManagedTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, as_of: int | None = None) -> DataFrame:
-        """Latest-wins compacted view (optionally AS OF a mutation ts —
-        the TableSnapshotResultIterator analogue)."""
+    def read(
+        self, as_of: int | None = None, with_row_timestamp: bool = False
+    ) -> DataFrame:
+        """Latest-wins compacted view (optionally AS OF a mutation ts — the
+        TableSnapshotResultIterator analogue).  ``with_row_timestamp``
+        exposes the commit ts as ``phoenix_row_timestamp`` (the
+        PhoenixRowTimestampFunction analogue)."""
         segs = self._segments()
         if as_of is not None:
             segs = [
@@ -226,10 +230,20 @@ class ManagedTable:
                 for p in segs
                 if int(_SEG_RE.search(os.path.basename(p)).group(1)) <= as_of
             ]
-        data_cols = self.schema.fieldNames()
         if not segs:
             return self.spark.createDataFrame([], schema=self.schema)
-        df = self.spark.read.parquet(*segs)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*segs)
+        # Schema evolution (ALTER TABLE ADD COLUMN is metadata-only): columns
+        # missing from old segments read as NULL; dropped columns are simply
+        # not projected.
+        data_cols = []
+        for f in self.schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            data_cols.append(f.name)
+        if with_row_timestamp:
+            data_cols.append("phoenix_row_timestamp")
+            df = df.withColumn("phoenix_row_timestamp", F.col(_TS_COL))
         if len(segs) == 1:
             # Fast path: a single segment holds no superseded versions; only
             # tombstones (rare in a fresh segment) need filtering.

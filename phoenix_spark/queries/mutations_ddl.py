@@ -141,6 +141,78 @@ REG.add(
     """,
 )
 
+# --- salted table round-trip: SALT_BUCKETS parsed, hash-partitioning native --
+# Reference: SaltingUtil.java:32-70 — the salt byte spreads write-hot
+# monotonic keys across regions; Spark's hash partitioning does this natively,
+# so the DDL property is recorded and the data path is a semantic no-op.
+def _salted_roundtrip(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_salted (n_nationkey INTEGER NOT NULL, n_name VARCHAR, "
+        "n_regionkey INTEGER, CONSTRAINT pk PRIMARY KEY (n_nationkey)) "
+        "SALT_BUCKETS=8"
+    )
+    assert e.managed("t_salted").meta["props"]["SALT_BUCKETS"] == "8"
+    e.sql("UPSERT INTO t_salted SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    return e.table("t_salted")
+
+
+REG.add(
+    "scan_salted_roundtrip",
+    _salted_roundtrip,
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+
+# --- PHOENIX_ROW_TIMESTAMP(): commit-ts metadata column ----------------------
+def _row_timestamp(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_rts (r_regionkey INTEGER NOT NULL, r_name VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (r_regionkey))"
+    )
+    e.sql("UPSERT INTO t_rts SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3")
+    e.sql("UPSERT INTO t_rts SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 3")
+    return e.managed("t_rts").read(with_row_timestamp=True)
+
+
+REG.add(
+    "meta_row_timestamp",
+    _row_timestamp,
+    """
+    SELECT r_regionkey, r_name,
+           CAST(CASE WHEN r_regionkey < 3 THEN 1 ELSE 2 END AS BIGINT)
+             AS phoenix_row_timestamp
+    FROM region
+    """,
+)
+
+# --- Engine.sql round-trip: the JDBC-surface analogue with Phoenix-dialect
+# function names flowing through the sqlfront tokenizer -----------------------
+def _engine_sql(spark, sf):
+    e = _engine(spark, sf)
+    return e.sql(
+        """
+        SELECT p_partkey,
+               REGEXP_SUBSTR(p_name, '[0-9]+') AS first_num,
+               ARRAY_LENGTH(STRING_TO_ARRAY(p_type, ' ')) AS n_type_words,
+               TO_NUMBER(SUBSTR(CAST(p_partkey AS STRING), 1, 2)) AS key2
+        FROM part WHERE p_size <= 10
+        """
+    )
+
+
+REG.add(
+    "engine_sql_roundtrip",
+    _engine_sql,
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '[0-9]+')                    AS first_num,
+           CAST(len(string_split(p_type, ' ')) AS INT)         AS n_type_words,
+           CAST(substr(CAST(p_partkey AS VARCHAR), 1, 2) AS DOUBLE) AS key2
+    FROM part WHERE p_size <= 10
+    """,
+)
+
 # --- CREATE VIEW: stored predicate recompiled per read (§2.10) ---------------
 def _view_predicate(spark, sf):
     e = _engine(spark, sf)

@@ -229,6 +229,7 @@ _KIND_RE = [
     ("explain", re.compile(r"^\s*EXPLAIN\b", re.I)),
     ("show", re.compile(r"^\s*SHOW\b", re.I)),
     ("alter", re.compile(r"^\s*ALTER\b", re.I)),
+    ("update_stats", re.compile(r"^\s*UPDATE\s+STATISTICS\b", re.I)),
 ]
 
 

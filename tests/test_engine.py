@@ -225,3 +225,23 @@ def test_create_function_udf_binding(engine):
     assert row.r == 4.0
     engine.create_function("twice", lambda x: x * 2, "long")
     assert engine.sql("SELECT twice(21) AS r").collect()[0].r == 42
+
+
+def test_alter_table_add_drop_column(engine):
+    engine.sql("CREATE TABLE al (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO al VALUES (1, 'a')")
+    engine.sql("ALTER TABLE al ADD extra DOUBLE")
+    engine.sql("UPSERT INTO al VALUES (2, 'b', 2.5)")
+    rows = {r.k: (r.v, r.extra) for r in engine.table("al").collect()}
+    assert rows == {1: ("a", None), 2: ("b", 2.5)}  # old rows null-fill
+    engine.sql("ALTER TABLE al DROP COLUMN v")
+    assert engine.table("al").columns == ["k", "extra"]
+
+
+def test_show_tables_and_update_statistics(engine):
+    engine.sql("CREATE TABLE shw (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    names = [r.table_name for r in engine.sql("SHOW TABLES").collect()]
+    assert "shw" in names and "lineitem" in names
+    engine.sql("UPSERT INTO shw VALUES (1), (2)")
+    engine.sql("UPDATE STATISTICS shw")
+    assert engine.managed("shw").meta["stats"]["row_count"] == 2
