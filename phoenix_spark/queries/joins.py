@@ -217,6 +217,57 @@ REG.add(
     """,
 )
 
+# --- TPC-H Q10 shape: returned-item revenue per customer (4-table join,
+# multi-key group-by, top-K) — the widest "client hash agg" shape ------------
+def _q10(spark, sf):
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            t(spark, sf, "orders").filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t(spark, sf, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            F.sum(d12("l_extendedprice") * (one - d12("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+REG.add(
+    "q10_returned_items",
+    _q10,
+    """
+    SELECT c_custkey, c_name, n_name, c_mktsegment,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
 # --- TPC-H Q5 shape: 6-table star join, dims broadcast ----------------------
 # The c_nationkey = s_nationkey equi-condition ("local supplier") makes this
 # the widest join in the suite; supplier/nation/region are broadcast

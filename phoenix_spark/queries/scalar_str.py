@@ -79,6 +79,28 @@ REG.add(
     """,
 )
 
+# --- CHAR(n) space-padding comparison semantics (SURVEY §7 hard part #5) ----
+# Phoenix CHAR values are space-padded to n but compare as if trimmed
+# (PChar.java pads on write; comparisons strip).  The engine's rule: CHAR
+# columns keep StringType and equality against CHAR-typed operands goes
+# through rtrim — pinned here by comparing padded vs unpadded forms.
+REG.add(
+    "str_char_padding",
+    lambda spark, sf: t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.rpad("n_name", 20, " ").alias("as_char20"),
+        (F.rtrim(F.rpad("n_name", 20, " ")) == F.col("n_name")).alias("char_eq"),
+        F.length(F.rpad("n_name", 20, " ")).cast("int").alias("char_len"),
+    ),
+    """
+    SELECT n_nationkey,
+           rpad(n_name, 20, ' ')                        AS as_char20,
+           rtrim(rpad(n_name, 20, ' ')) = n_name        AS char_eq,
+           CAST(length(rpad(n_name, 20, ' ')) AS INT)   AS char_len
+    FROM nation
+    """,
+)
+
 REG.add(
     "str_regexp",
     lambda spark, sf: t(spark, sf, "part").select(

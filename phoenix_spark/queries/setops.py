@@ -197,6 +197,24 @@ def _subq_scalar(spark, sf):
 
 REG.add("subq_scalar", _subq_scalar, _SCALAR_SQL)
 
+# --- correlated scalar subquery (CorrelateVariableFieldAccessExpression;
+# Catalyst decorrelates into an aggregate + join) ------------------------------
+_CORR_SCALAR_SQL = """
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+      AND o_custkey <= 300
+"""
+
+
+def _subq_scalar_corr(spark, sf):
+    views(spark, sf)
+    return spark.sql(_CORR_SCALAR_SQL)
+
+
+REG.add("subq_scalar_correlated", _subq_scalar_corr, _CORR_SCALAR_SQL)
+
 # --- ANY/ALL quantified comparison (grammar :1087-1098).  Phoenix rewrites
 # ALL to a MIN/MAX aggregate of the subquery; Spark SQL lacks ANY/ALL, so the
 # Spark side IS that rewrite, while the oracle runs the literal > ALL form. ---
