@@ -55,12 +55,14 @@ class Upsert:
     values: list[list[str]] | None  # literal rows (as SQL expr strings)
     select: str | None  # UPSERT ... SELECT text
     on_duplicate: str | dict | None  # None | 'ignore' | {col: expr}
+    returning: bool = False  # RETURNING * (grammar :901)
 
 
 @dataclass
 class Delete:
     table: str
     where: str | None
+    returning: bool = False  # RETURNING * (grammar :958)
 
 
 @dataclass
@@ -243,7 +245,11 @@ _ON_DUP_RE = re.compile(
 )
 
 
+_RETURNING_RE = re.compile(r"\s+RETURNING\s+\*\s*$", re.IGNORECASE)
+
+
 def parse_upsert(sql: str) -> Upsert:
+    sql, n_ret = _RETURNING_RE.subn("", _strip(sql))
     m = _UPSERT_RE.match(_strip(sql))
     if not m:
         raise ValueError(f"unparseable UPSERT: {sql[:120]!r}")
@@ -276,8 +282,8 @@ def parse_upsert(sql: str) -> Upsert:
             if not (grp.startswith("(") and grp.endswith(")")):
                 raise ValueError(f"bad VALUES row: {grp!r}")
             rows.append(_split_top(grp[1:-1]))
-        return Upsert(table, columns, rows, None, on_dup)
-    return Upsert(table, columns, None, rest, on_dup)
+        return Upsert(table, columns, rows, None, on_dup, returning=bool(n_ret))
+    return Upsert(table, columns, None, rest, on_dup, returning=bool(n_ret))
 
 
 _DELETE_RE = re.compile(
@@ -287,12 +293,14 @@ _DELETE_RE = re.compile(
 
 
 def parse_delete(sql: str) -> Delete:
+    sql, n_ret = _RETURNING_RE.subn("", _strip(sql))
     m = _DELETE_RE.match(_strip(sql))
     if not m:
         raise ValueError(f"unparseable DELETE: {sql[:120]!r}")
     return Delete(
         table=m.group("name").strip('"').lower(),
         where=_strip(m.group("where")) if m.group("where") else None,
+        returning=bool(n_ret),
     )
 
 

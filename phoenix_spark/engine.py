@@ -349,7 +349,7 @@ class Engine:
         self.update_statistics(m.group(1).lower())
         return 0
 
-    def _exec_upsert(self, text: str) -> int:
+    def _exec_upsert(self, text: str) -> DataFrame | int:
         up = D.parse_upsert(text)
         mt = self.managed(up.table)
         cols = up.columns or mt.schema.fieldNames()
@@ -357,6 +357,7 @@ class Engine:
             df = self._exec_select(up.select).toDF(*cols)
             n = df.count()
             mt.upsert_df(df, on_duplicate=up.on_duplicate)
+            written = df
         else:
             rows = []
             for lits in up.values:
@@ -365,16 +366,29 @@ class Engine:
                 rows.append(row)
             n = len(rows)
             mt.upsert_rows(rows, on_duplicate=up.on_duplicate)
+            full = [{f.name: r.get(f.name) for f in mt.schema.fields} for r in rows]
+            written = self.spark.createDataFrame(full, schema=mt.schema)
         self._register(up.table)
+        if up.returning:
+            # RETURNING * (grammar :901): the written slice as full rows
+            for f in mt.schema.fields:
+                if f.name not in written.columns:
+                    written = written.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return written.select(*mt.schema.fieldNames())
         return n
 
-    def _exec_delete(self, text: str) -> int:
+    def _exec_delete(self, text: str) -> DataFrame | int:
         dl = D.parse_delete(text)
         mt = self.managed(dl.table)
         cond = translate_phoenix_sql(dl.where) if dl.where else None
+        victims = None
+        if dl.returning:
+            # capture the affected slice against the pre-delete segment list
+            # (segments are immutable; the tombstone commit adds new files)
+            victims = mt.read().filter(cond) if cond else mt.read()
         mt.delete_where(cond)
         self._register(dl.table)
-        return 0
+        return victims if dl.returning else 0
 
     def _eval_literal(self, lit: str):
         """Evaluate one UPSERT VALUES literal driver-side (UpsertCompiler's

@@ -209,3 +209,77 @@ def _lsh_pairs(spark, sf):
 
 
 REG.add("similarity_lsh_pairs", _lsh_pairs, None)
+
+# --- IVF-style probe: coarse cells + probe-P search (rows-only check) --------
+# The inverted-file ANN shape at 100 TB: vectors are assigned once to a
+# coarse cell (one narrow shuffle, result would be written bucketed-by-cell),
+# and a query probes only the P nearest cells — candidate set ~P/C of the
+# corpus instead of a full scan.  Cell "centroids" here are fixture vectors
+# (vec_id 0..7) picked deterministically; production would train k-means via
+# Spark ML — the assignment/probe plumbing pinned here is identical.  All
+# distances are exact integer arithmetic (see module docstring), so cell
+# assignment and the final ranking are fully deterministic.
+_N_CELLS = 8
+_N_PROBE = 2
+
+
+def _ivf_probe(spark, sf):
+    emb = _quantized(spark, sf)
+    cents = (
+        emb.filter(F.col("vec_id") < _N_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("q").alias("cq"),
+            F.col("qn").alias("cqn"),
+        )
+    )
+    dot_c = F.expr(
+        "aggregate(zip_with(q, cq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    # squared L2 in integer space: |v|^2 + |c|^2 - 2 v·c
+    dist = F.col("qn") + F.col("cqn") - 2 * dot_c
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("cell").alias("cell"))).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    # probe cells: the P nearest centroids to the query vector (vec_id = 1)
+    qrow = emb.filter(F.col("vec_id") == 1).select(
+        F.col("q").alias("qq"), F.col("qn").alias("qqn")
+    )
+    qdist = F.col("qqn") + F.col("cqn") - F.expr(
+        "2 * aggregate(zip_with(qq, cq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qrow))
+        .select("cell", qdist.alias("qd"))
+        .orderBy("qd", "cell")
+        .limit(_N_PROBE)
+        .select("cell")
+    )
+    # candidates = vectors assigned to a probed cell; exact cosine top-k
+    cand = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cell", "left_semi")
+        .filter(F.col("vec_id") != 1)
+    )
+    dot_q = F.expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    return (
+        cand.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "cell",
+            (dot_q / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+REG.add("similarity_ivf_probe", _ivf_probe, None)

@@ -245,3 +245,12 @@ def test_show_tables_and_update_statistics(engine):
     engine.sql("UPSERT INTO shw VALUES (1), (2)")
     engine.sql("UPDATE STATISTICS shw")
     assert engine.managed("shw").meta["stats"]["row_count"] == 2
+
+
+def test_upsert_delete_returning(engine):
+    engine.sql("CREATE TABLE rt (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))")
+    out = engine.sql("UPSERT INTO rt VALUES (1, 'a'), (2, 'b') RETURNING *")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "b")}
+    out = engine.sql("DELETE FROM rt WHERE k = 1 RETURNING *")
+    assert [(r.k, r.v) for r in out.collect()] == [(1, "a")]
+    assert {r.k for r in engine.table("rt").collect()} == {2}

@@ -111,3 +111,14 @@ def test_no_python_udfs_in_core_queries(spark):
         "similarity_topk",
     ):
         assert "BatchEvalPython" not in plan_of(spark, name), name
+
+
+def test_redundant_sort_eliminated(spark):
+    """Sort elimination (OrderPreservingTracker analogue): Catalyst's
+    EliminateSorts collapses a sort over an identically-sorted input."""
+    df = QUERIES["scan_projection"](spark, SF_TEST_DIR)
+    double_sorted = df.orderBy("l_orderkey", "l_linenumber").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    plan = double_sorted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Sort ") <= 1
