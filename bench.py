@@ -28,6 +28,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q10_returned_items",
     "agg_groupby_hash",
     "scan_projection",
     "filter_range_pred",

@@ -39,6 +39,7 @@ class Engine:
         spark: SparkSession,
         sf_dir: str | None = None,
         warehouse: str | None = None,
+        tenant_id: str | None = None,
     ):
         self.spark = spark
         self.catalog: Catalog | None = None
@@ -48,8 +49,27 @@ class Engine:
         os.makedirs(self.warehouse, exist_ok=True)
         self._views: dict[str, tuple[str, str | None]] = {}  # name -> (parent, where)
         self._seq_path = os.path.join(self.warehouse, "_sequences.json")
+        self._cursors: dict[str, dict] = {}
+        # Tenant-specific connection (PTable.isMultiTenant, PTable.java:915):
+        # the first PK column of a MULTI_TENANT table is the tenant id; a
+        # tenant connection sees an implicit WHERE tenant = ? and never the
+        # tenant column itself.
+        self.tenant_id = tenant_id
         if sf_dir is not None:
             self.attach(sf_dir)
+
+    def with_tenant(self, tenant_id: str) -> "Engine":
+        """A tenant-scoped connection sharing this engine's warehouse."""
+        e = Engine(self.spark, warehouse=self.warehouse, tenant_id=tenant_id)
+        e.catalog = self.catalog
+        e._views = self._views
+        return e
+
+    def _tenant_col(self, mt: ManagedTable) -> str | None:
+        props = mt.meta.get("props", {})
+        if str(props.get("MULTI_TENANT", "")).lower() == "true":
+            return mt.pk[0]
+        return None
 
     # -- catalog wiring ----------------------------------------------------
 
@@ -81,6 +101,9 @@ class Engine:
             mt = ManagedTable(self.spark, self.warehouse, name)
             if mt.exists():
                 df = mt.read()
+                tcol = self._tenant_col(mt) if self.tenant_id else None
+                if tcol:
+                    df = df.filter(F.col(tcol) == self.tenant_id).drop(tcol)
             else:
                 assert self.catalog is not None, "attach(sf_dir) first"
                 df = self.catalog.df(name)
@@ -191,6 +214,43 @@ class Engine:
     def _exec_create_sequence(self, text: str) -> int:
         cs = D.parse_create_sequence(text)
         self.create_sequence(cs.name, cs.start, cs.increment)
+        return 0
+
+    # -- cursors (grammar PhoenixSQL.g:935-950: DECLARE/OPEN/FETCH/CLOSE) --
+
+    def _exec_declare_cursor(self, text: str) -> int:
+        m = re.match(r"^\s*DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.+)$", text, re.I | re.S)
+        if not m:
+            raise ValueError(f"unparseable DECLARE CURSOR: {text[:80]!r}")
+        self._cursors[m.group(1).lower()] = {"sql": m.group(2), "it": None}
+        return 0
+
+    def _exec_open_cursor(self, text: str) -> int:
+        m = re.match(r"^\s*OPEN\s+(\w+)\s*;?\s*$", text, re.I)
+        cur = self._cursors[m.group(1).lower()]
+        # toLocalIterator streams partition-by-partition — client paging
+        # without materializing the result on the driver.
+        cur["it"] = self._exec_select(cur["sql"]).toLocalIterator()
+        return 0
+
+    def _exec_fetch_cursor(self, text: str) -> DataFrame:
+        m = re.match(
+            r"^\s*FETCH\s+NEXT(?:\s+(\d+)\s+ROWS?)?\s+FROM\s+(\w+)\s*;?\s*$", text, re.I
+        )
+        if not m:
+            raise ValueError(f"unparseable FETCH: {text[:80]!r}")
+        n = int(m.group(1) or 1)
+        cur = self._cursors[m.group(2).lower()]
+        assert cur["it"] is not None, "cursor not open"
+        import itertools
+
+        rows = list(itertools.islice(cur["it"], n))
+        schema = self._exec_select(cur["sql"]).schema
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def _exec_close_cursor(self, text: str) -> int:
+        m = re.match(r"^\s*CLOSE\s+(\w+)\s*;?\s*$", text, re.I)
+        self._cursors.pop(m.group(1).lower(), None)
         return 0
 
     def _exec_create_function(self, text: str) -> int:
@@ -352,7 +412,31 @@ class Engine:
     def _exec_upsert(self, text: str) -> DataFrame | int:
         up = D.parse_upsert(text)
         mt = self.managed(up.table)
-        cols = up.columns or mt.schema.fieldNames()
+        tcol = self._tenant_col(mt) if self.tenant_id else None
+        cols = up.columns or [
+            c for c in mt.schema.fieldNames() if c != tcol
+        ]
+        if tcol and tcol not in cols:
+            # tenant connections write their tenant id implicitly
+            if up.values is not None:
+                up = D.Upsert(
+                    up.table,
+                    [tcol, *cols],
+                    [[f"'{self.tenant_id}'", *row] for row in up.values],
+                    None,
+                    up.on_duplicate,
+                    up.returning,
+                )
+            else:
+                up = D.Upsert(
+                    up.table,
+                    [tcol, *cols],
+                    None,
+                    f"SELECT '{self.tenant_id}', * FROM ({up.select})",
+                    up.on_duplicate,
+                    up.returning,
+                )
+            cols = up.columns
         if up.select is not None:
             df = self._exec_select(up.select).toDF(*cols)
             n = df.count()

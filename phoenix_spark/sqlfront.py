@@ -230,6 +230,10 @@ _KIND_RE = [
     ("show", re.compile(r"^\s*SHOW\b", re.I)),
     ("alter", re.compile(r"^\s*ALTER\b", re.I)),
     ("update_stats", re.compile(r"^\s*UPDATE\s+STATISTICS\b", re.I)),
+    ("declare_cursor", re.compile(r"^\s*DECLARE\b", re.I)),
+    ("open_cursor", re.compile(r"^\s*OPEN\b", re.I)),
+    ("fetch_cursor", re.compile(r"^\s*FETCH\b", re.I)),
+    ("close_cursor", re.compile(r"^\s*CLOSE\b", re.I)),
 ]
 
 

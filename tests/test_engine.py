@@ -254,3 +254,29 @@ def test_upsert_delete_returning(engine):
     out = engine.sql("DELETE FROM rt WHERE k = 1 RETURNING *")
     assert [(r.k, r.v) for r in out.collect()] == [(1, "a")]
     assert {r.k for r in engine.table("rt").collect()} == {2}
+
+
+def test_multi_tenant_connections(engine):
+    engine.sql(
+        "CREATE TABLE mt_tab (tenant VARCHAR NOT NULL, k BIGINT NOT NULL, v VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (tenant, k)) MULTI_TENANT=true"
+    )
+    engine.sql("UPSERT INTO mt_tab VALUES ('t1', 1, 'a'), ('t2', 1, 'b')")
+    t1 = engine.with_tenant("t1")
+    rows = t1.table("mt_tab").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a")]
+    assert "tenant" not in t1.table("mt_tab").columns  # tenant col hidden
+    t1.sql("UPSERT INTO mt_tab VALUES (2, 'c')")  # implicit tenant fill
+    assert {(r.k, r.v) for r in t1.table("mt_tab").collect()} == {(1, "a"), (2, "c")}
+    # global connection still sees both tenants
+    assert engine.table("mt_tab").count() == 3
+
+
+def test_cursor_paging(engine):
+    engine.sql("DECLARE c1 CURSOR FOR SELECT o_orderkey FROM orders ORDER BY o_orderkey")
+    engine.sql("OPEN c1")
+    first = [r.o_orderkey for r in engine.sql("FETCH NEXT 3 ROWS FROM c1").collect()]
+    nxt = [r.o_orderkey for r in engine.sql("FETCH NEXT 2 ROWS FROM c1").collect()]
+    assert len(first) == 3 and len(nxt) == 2
+    assert nxt[0] > first[-1]  # paging advances in order
+    engine.sql("CLOSE c1")
