@@ -22,6 +22,7 @@ def build_registry() -> Registry:
     modules = [scans, filters, aggregates]
     for name in (
         "joins",
+        "joins_ext",
         "sorts",
         "setops",
         "mutations_ddl",

@@ -133,6 +133,77 @@ def sessionized(
     )
 
 
+def stateful_user_stats(events: DataFrame, timeout_minutes: int = 0) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    running per-user profile (event count, total value, last seen) carried
+    across micro-batches.
+
+    This is the §2.11 "custom stateful ops" surface the brief calls for —
+    state lives in the state store keyed by user_id, each micro-batch updates
+    it from Arrow-batched pandas frames, and idle users time out.  Works only
+    on streaming DataFrames (batch callers use plain groupBy).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def _update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, total))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [(key[0], n, total, last_ts)],
+            columns=["user_id", "n_events", "total_value", "last_ts"],
+        )
+
+    # ProcessingTimeTimeout keeps an availableNow query alive waiting for
+    # idle-key expiry; only enable it when the caller asked for timeouts.
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
 def ttl_view(df: DataFrame, ts_col: str, ttl_expr: str, now_expr: str) -> DataFrame:
     """TTL / max-lookback view: rows older than the retention horizon are
     invisible (PhoenixTTLRegionObserver analogue; the physical delete happens

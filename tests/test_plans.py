@@ -122,3 +122,10 @@ def test_redundant_sort_eliminated(spark):
     )
     plan = double_sorted._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Sort ") <= 1
+
+
+def test_extension_joins_no_cartesian(spark):
+    for name in ("join_asof", "join_range_bucketed"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

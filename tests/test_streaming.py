@@ -106,3 +106,42 @@ def test_ttl_view_retention(spark):
     assert 0 < n_kept < n_all
     oldest = kept.agg(F.min("ts")).collect()[0][0]
     assert (horizon - oldest).total_seconds() <= 6 * 3600
+
+
+def test_stateful_user_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from phoenix_spark.streaming import stateful_user_stats
+
+    # a small nanos-free copy of events so readStream can infer cleanly
+    from phoenix_spark.catalog import read_table
+
+    src = str(tmp_path / "ev_us")
+    read_table(spark, f"{SF_TEST_DIR}/events.parquet").filter(
+        "user_id < 40"  # keep the state-store group count small: the pin is
+        # semantics (state carried per key), not throughput
+    ).select("user_id", "ts", "value").write.parquet(src)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp, value double").parquet(src)
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in spark.sql(
+        "SELECT * FROM user_stats"
+    ).collect()}
+    from pyspark.sql import functions as F
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in read_table(spark, f"{SF_TEST_DIR}/events.parquet")
+        .filter("user_id < 40")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
