@@ -83,6 +83,33 @@ REG.add(
     """,
 )
 
+# --- UNNEST / explode (UnnestArrayPlan exists in the reference,
+# .../execute/UnnestArrayPlan.java, but is unreachable from its SQL grammar;
+# Spark's explode/posexplode is the declared superset) -------------------------
+REG.add(
+    "arr_unnest",
+    lambda spark, sf: t(spark, sf, "embeddings")
+    .filter(F.col("vec_id") <= 5)
+    .select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos0", "val"),
+    )
+    .select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("dim"),  # 1-based like ARRAY_ELEM
+        F.col("val").cast("double").alias("val"),
+    ),
+    """
+    SELECT vec_id,
+           CAST(u.pos AS INT)         AS dim,
+           CAST(u.val AS DOUBLE)      AS val
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS pos) u
+    WHERE vec_id <= 5
+    """,
+)
+
 # --- ANY / ALL quantified array comparisons (ArrayAnyComparisonExpression,
 # ArrayAllComparisonExpression) ------------------------------------------------
 REG.add(

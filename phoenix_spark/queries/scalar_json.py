@@ -59,6 +59,41 @@ REG.add(
     """,
 )
 
+# --- BSON_CONDITION_EXPRESSION: the DynamoDB-style document condition
+# grammar (PhoenixBsonExpression.g; BsonConditionExpressionFunction) compiled
+# to JVM Column predicates — see phoenix_spark/bson.py -------------------------
+def _bson_condition(spark, sf):
+    from phoenix_spark.bson import bson_condition
+
+    return (
+        t(spark, sf, "events")
+        .filter(
+            bson_condition(
+                "props",
+                "attribute_exists(k) AND field_type(k, 'N') "
+                "AND (k BETWEEN 20 AND 40 OR k IN (77, 88, 99)) "
+                "AND NOT size(k) > 2 AND attribute_not_exists(missing)",
+            )
+        )
+        .select("event_id", "event_type", F.get_json_object("props", "$.k").alias("k"))
+    )
+
+
+REG.add(
+    "bson_condition_filter",
+    _bson_condition,
+    """
+    SELECT event_id, event_type, json_extract_string(props, '$.k') AS k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+      AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+(\\.[0-9]+)?$')
+      AND (CAST(json_extract_string(props, '$.k') AS DOUBLE) BETWEEN 20 AND 40
+           OR CAST(json_extract_string(props, '$.k') AS DOUBLE) IN (77, 88, 99))
+      AND NOT length(json_extract_string(props, '$.k')) > 2
+      AND json_extract(props, '$.missing') IS NULL
+    """,
+)
+
 # --- JSON construction (JSON_MODIFY analogue: build/rewrite documents) -------
 REG.add(
     "json_construct",
