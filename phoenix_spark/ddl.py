@@ -119,7 +119,7 @@ def parse_create_table(sql: str) -> CreateTable:
     m = _CREATE_TABLE_RE.match(_strip(sql))
     if not m:
         raise ValueError(f"unparseable CREATE TABLE: {sql[:120]!r}")
-    name = m.group("name").strip('"').split(".")[-1].lower()
+    name = m.group("name").strip('"').lower()  # may be schema-qualified
     body = m.group("body")
     # body ends at the matching paren of the column list; tail re-split below
     # handles `) SALT_BUCKETS=...` because the greedy regex grabs the LAST

@@ -50,6 +50,7 @@ class Engine:
         self._views: dict[str, tuple[str, str | None]] = {}  # name -> (parent, where)
         self._seq_path = os.path.join(self.warehouse, "_sequences.json")
         self._cursors: dict[str, dict] = {}
+        self.default_schema: str | None = None
         # Tenant-specific connection (PTable.isMultiTenant, PTable.java:915):
         # the first PK column of a MULTI_TENANT table is the tenant id; a
         # tenant connection sees an implicit WHERE tenant = ? and never the
@@ -92,7 +93,7 @@ class Engine:
         declared at query time, resolved from the table's JSON overflow
         column (schema-on-read).
         """
-        name = name.lower()
+        name = self._qualify(name)
         if name in self._views:
             parent, where = self._views[name]
             df = self.table(parent)
@@ -120,13 +121,14 @@ class Engine:
         return df
 
     def managed(self, name: str) -> ManagedTable:
-        mt = ManagedTable(self.spark, self.warehouse, name.lower())
+        mt = ManagedTable(self.spark, self.warehouse, self._qualify(name))
         if not mt.exists():
             raise ValueError(f"no managed table {name}")
         return mt
 
     def _register(self, name: str) -> None:
-        self.table(name).createOrReplaceTempView(name)
+        # temp view names cannot be dotted; register the bare table name
+        self.table(name).createOrReplaceTempView(name.split(".")[-1])
 
     # -- sequences (SequenceRegionObserver analogue) -----------------------
 
@@ -215,6 +217,36 @@ class Engine:
         cs = D.parse_create_sequence(text)
         self.create_sequence(cs.name, cs.start, cs.increment)
         return 0
+
+    # -- schemas (grammar PhoenixSQL.g:516-518: CREATE SCHEMA / USE) --------
+
+    def _exec_create_schema(self, text: str) -> int:
+        m = re.match(
+            r"^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w\"]+)\s*;?\s*$",
+            text,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"unparseable CREATE SCHEMA: {text[:80]!r}")
+        os.makedirs(os.path.join(self.warehouse, m.group(1).strip('"').lower()), exist_ok=True)
+        return 0
+
+    def _exec_use_schema(self, text: str) -> int:
+        m = re.match(r"^\s*USE\s+([\w\"]+)\s*;?\s*$", text, re.I)
+        if not m:
+            raise ValueError(f"unparseable USE: {text[:80]!r}")
+        name = m.group(1).strip('"').lower()
+        self.default_schema = None if name == "default" else name
+        return 0
+
+    def _qualify(self, name: str) -> str:
+        """Resolve an unqualified managed-table name against USE'd schema."""
+        name = name.lower()
+        if "." not in name and getattr(self, "default_schema", None):
+            qualified = f"{self.default_schema}.{name}"
+            if ManagedTable(self.spark, self.warehouse, qualified).exists():
+                return qualified
+        return name
 
     # -- cursors (grammar PhoenixSQL.g:935-950: DECLARE/OPEN/FETCH/CLOSE) --
 
@@ -377,10 +409,10 @@ class Engine:
         names = set()
         if self.catalog is not None:
             names |= set(self.catalog.tables)
-        if os.path.isdir(self.warehouse):
-            for d in os.listdir(self.warehouse):
-                if os.path.exists(os.path.join(self.warehouse, d, "meta.json")):
-                    names.add(d)
+        for root, _dirs, files in os.walk(self.warehouse):
+            if "meta.json" in files:
+                rel = os.path.relpath(root, self.warehouse)
+                names.add(rel.replace(os.sep, "."))
         names |= set(self._views)
         return self.spark.createDataFrame(
             [(n,) for n in sorted(names)], "table_name: string"

@@ -51,7 +51,8 @@ class ManagedTable:
     def __init__(self, spark: SparkSession, warehouse: str, name: str):
         self.spark = spark
         self.name = name
-        self.dir = os.path.join(warehouse, name)
+        # dotted names (schema.table, grammar :516-518) nest as directories
+        self.dir = os.path.join(warehouse, *name.split("."))
         self.meta_path = os.path.join(self.dir, "meta.json")
         self.seg_dir = os.path.join(self.dir, "segments")
 

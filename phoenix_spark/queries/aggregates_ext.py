@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from phoenix_spark.queries._util import Registry, t, views
+from phoenix_spark.queries._util import Registry, dec, t, views
 
 REG = Registry()
 
@@ -143,6 +143,39 @@ REG.add(
     SELECT l_returnflag, l_suppkey, COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+    """,
+)
+
+# --- salted two-phase aggregation: the skewed-key pattern --------------------
+# The SaltingUtil idea applied to aggregation: when one group key dominates
+# (hot key), a direct groupBy funnels that key's rows into one reducer.
+# Salting splits each key into 16 sub-groups (partial agg per (key, salt)),
+# then a second tiny aggregation merges the partials — both shuffles are
+# uniform.  Decimal sums are associative/exact, so the result is identical
+# to the direct groupBy (which is precisely what the oracle runs).
+def _salted_agg(spark, sf):
+    li = t(spark, sf, "lineitem")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec("l_quantity")).alias("_q"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_q").cast("double").alias("sum_qty"),
+    )
+
+
+REG.add(
+    "agg_salted_skew",
+    _salted_agg,
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
 

@@ -189,9 +189,15 @@ def _minhash_lsh(spark, sf):
         )
         .distinct()
     )
-    # Exact-Jaccard verification of the candidates only.
-    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Exact-Jaccard verification of the candidates only — over the HASHED
+    # shingle arrays (8-byte ints), not the raw 3-gram strings: the verify
+    # joins shuffle ~4x fewer bytes, and Jaccard over distinct hashes equals
+    # Jaccard over shingles up to 2^-31 collision noise (this entry is the
+    # approximate scale path; the string-exact variant is
+    # dedup_ngram_jaccard above).
+    hsets = hashed.select("doc_id", F.array_distinct("hs").alias("hset"))
+    da = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
+    db = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

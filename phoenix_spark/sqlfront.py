@@ -223,6 +223,8 @@ _KIND_RE = [
     ("create_table", re.compile(r"^\s*CREATE\s+TABLE\b", re.I)),
     ("create_view", re.compile(r"^\s*CREATE\s+VIEW\b", re.I)),
     ("create_sequence", re.compile(r"^\s*CREATE\s+SEQUENCE\b", re.I)),
+    ("create_schema", re.compile(r"^\s*CREATE\s+SCHEMA\b", re.I)),
+    ("use_schema", re.compile(r"^\s*USE\b", re.I)),
     ("create_function", re.compile(r"^\s*CREATE\s+(TEMPORARY\s+)?FUNCTION\b", re.I)),
     ("create_index", re.compile(r"^\s*CREATE\s+(LOCAL\s+|UNCOVERED\s+)?INDEX\b", re.I)),
     ("drop", re.compile(r"^\s*(DROP|TRUNCATE)\b", re.I)),

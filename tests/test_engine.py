@@ -280,3 +280,18 @@ def test_cursor_paging(engine):
     assert len(first) == 3 and len(nxt) == 2
     assert nxt[0] > first[-1]  # paging advances in order
     engine.sql("CLOSE c1")
+
+
+def test_create_schema_and_use(engine):
+    engine.sql("CREATE SCHEMA s1")
+    engine.sql(
+        "CREATE TABLE s1.t (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("USE s1")
+    engine.sql("UPSERT INTO t VALUES (1, 'x')")  # resolves via default schema
+    assert [(r.k, r.v) for r in engine.table("t").collect()] == [(1, "x")]
+    assert [(r.k, r.v) for r in engine.table("s1.t").collect()] == [(1, "x")]
+    names = [r.table_name for r in engine.sql("SHOW TABLES").collect()]
+    assert "s1.t" in names
+    engine.sql("USE DEFAULT")
+    assert engine.default_schema is None
