@@ -352,7 +352,7 @@ class Engine:
                 raise ValueError(f"no view {dr.name}")
             self.spark.catalog.dropTempView(dr.name)
             return 0
-        mt = ManagedTable(self.spark, self.warehouse, dr.name)
+        mt = ManagedTable(self.spark, self.warehouse, self._qualify(dr.name))
         if not mt.exists():
             if dr.if_exists:
                 return 0

@@ -27,9 +27,39 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from phoenix_spark.queries._util import Registry, t
+from phoenix_spark.queries._util import Registry, t, views
 
 REG = Registry()
+
+# --- COLLATION_KEY analogue: collation-aware compare/distinct ----------------
+# Phoenix CollationKeyFunction produces an ICU sort key for locale-aware
+# ordering; Spark 4's native collations (COLLATE UNICODE_CI, ...) are the
+# engine-level equivalent.  Pinned against the oracle through the
+# case-insensitive *semantics* (lower()-normalized on DuckDB's side).
+def _collation_ci(spark, sf):
+    views(spark, sf)
+    return spark.sql(
+        """
+        SELECT p_brand,
+               COUNT(DISTINCT upper(p_type) COLLATE UNICODE_CI) AS n_types_ci,
+               CAST(SUM(CASE WHEN p_name COLLATE UNICODE_CI = upper(p_name)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ci_eq
+        FROM part GROUP BY p_brand
+        """
+    )
+
+
+REG.add(
+    "str_collation_ci",
+    _collation_ci,
+    """
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT lower(upper(p_type))) AS BIGINT) AS n_types_ci,
+           CAST(SUM(CASE WHEN lower(p_name) = lower(upper(p_name))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ci_eq
+    FROM part GROUP BY p_brand
+    """,
+)
 
 REG.add(
     "str_substr_instr_case",

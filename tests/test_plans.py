@@ -129,3 +129,45 @@ def test_extension_joins_no_cartesian(spark):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# Stateful entries (they create temp tables / run mutations on build) and the
+# explicitly-Pandas / explicitly-cartesian ones are excluded from the sweep.
+_SWEEP_EXCLUDE_PREFIXES = ("mutation_", "ddl_", "source_", "engine_", "scan_salted", "meta_row")
+_ALLOWED_NESTED_LOOP = {"join_cross"}  # explicit CROSS JOIN of two tiny dims
+_ALLOWED_PYTHON = {"mm_decode_features"}  # the declared Pandas-UDF plumbing
+
+
+def test_plan_audit_all_queries(spark):
+    """Sweep every stateless query plan: no cartesian products, no stray
+    Python evaluation — the 100 TB anti-pattern gate for the whole registry."""
+    for name in sorted(QUERIES):
+        if name.startswith(_SWEEP_EXCLUDE_PREFIXES):
+            continue
+        plan = plan_of(spark, name)
+        if name not in _ALLOWED_NESTED_LOOP:
+            assert "CartesianProduct" not in plan, name
+        if name not in _ALLOWED_PYTHON:
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "mapInPandas" not in plan or name in _ALLOWED_PYTHON, name
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """Hive-style partition pruning — the WhereOptimizer key-range analogue
+    for partitioned fact tables (100 TB tables are partitioned by date/
+    status; a partition predicate must prune at the metadata level, not
+    filter rows)."""
+    from phoenix_spark.catalog import read_table
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "orders_part")
+    read_table(spark, f"{SF_TEST_DIR}/orders.parquet").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(src)
+    df = spark.read.parquet(src).filter(F.col("o_orderstatus") == "F")
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [" in formatted
+    pf = formatted.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "o_orderstatus" in pf  # predicate reached the partition level
