@@ -16,7 +16,7 @@ ON DUPLICATE KEY, NEXT VALUE FOR).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
 

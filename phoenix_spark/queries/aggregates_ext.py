@@ -179,6 +179,27 @@ REG.add(
     """,
 )
 
+# --- HLL sketch algebra: partial sketches merged across groups ---------------
+# The at-scale form of APPROX_COUNT_DISTINCT (reference:
+# DistinctCountHyperLogLogAggregateFunction.java uses HyperLogLogPlus the
+# same way): per-partition/per-group sketches are REAGGREGATABLE — build
+# per-status sketches, then union them to the global estimate without
+# rescanning.  Sketch bytes are engine-specific → rows-only check; the
+# estimate-vs-exact bound is pinned in tests/test_sketches.py.
+def _hll_merge(spark, sf):
+    per_group = (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
+REG.add("agg_hll_sketch_merge", _hll_merge, None)
+
 # --- APPROX_PERCENTILE (bounded-memory sketch; the 100 TB percentile path) ---
 REG.add(
     "agg_percentile_approx",
