@@ -204,6 +204,19 @@ def stateful_user_stats(events: DataFrame, timeout_minutes: int = 0) -> DataFram
     )
 
 
+def compact_with_ttl(
+    table: ManagedTable, ts_col: str, ttl_expr: str, now_expr: str
+) -> None:
+    """TTL-aware compaction (PhoenixTTLRegionObserver + CompactionScanner
+    analogue): physically expire rows older than the retention horizon, then
+    fold the change log to a single base segment.  The logical `ttl_view`
+    hides aged rows immediately; this job reclaims the storage."""
+    table.delete_where(
+        F.expr(f"NOT ({ts_col} > {now_expr} - INTERVAL {ttl_expr})")
+    )
+    table.compact()
+
+
 def ttl_view(df: DataFrame, ts_col: str, ttl_expr: str, now_expr: str) -> DataFrame:
     """TTL / max-lookback view: rows older than the retention horizon are
     invisible (PhoenixTTLRegionObserver analogue; the physical delete happens

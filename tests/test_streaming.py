@@ -145,3 +145,82 @@ def test_stateful_user_stats(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_compact_with_ttl_expires_rows(engine, spark):
+    from phoenix_spark.streaming import compact_with_ttl
+
+    engine.sql(
+        "CREATE TABLE ttl_t (k BIGINT NOT NULL, ts TIMESTAMP, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO ttl_t VALUES (1, TIMESTAMP '2024-01-01 00:00:00'), "
+        "(2, TIMESTAMP '2024-01-09 00:00:00'), (3, TIMESTAMP '2024-01-10 00:00:00')"
+    )
+    mt = engine.managed("ttl_t")
+    compact_with_ttl(mt, "ts", "2 DAYS", "TIMESTAMP '2024-01-10 00:00:00'")
+    assert sorted(r.k for r in mt.read().collect()) == [2, 3]
+    assert len(mt._segments()) == 1  # history physically reclaimed
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """True streaming late-data semantics: with a 1-hour watermark in append
+    mode, a window only emits once the watermark passes it, and a row
+    arriving after that is dropped (§2.11 late-data contract)."""
+    import os
+    from phoenix_spark.streaming import windowed_counts
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def _write(tag, rows):
+        # one file per micro-batch so maxFilesPerTrigger=1 gives a
+        # deterministic batch sequence (file source orders by mod time)
+        import time
+
+        spark.createDataFrame(
+            rows, "user_id long, ts_s string, event_type string"
+        ).selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type"
+        ).coalesce(1).write.parquet(os.path.join(src, tag))
+        time.sleep(1.1)
+
+    _write("b=1", [(1, "2024-01-01 00:10:00", "click"), (2, "2024-01-01 00:20:00", "click")])
+    # advances the watermark to 05:00...
+    _write("b=2", [(3, "2024-01-01 06:00:00", "click")])
+    # ...and eviction/emission happen at the END of the batch running under
+    # that watermark, so one more advancing batch closes the first window
+    _write("b=3", [(5, "2024-01-01 07:00:00", "click")])
+    # LATE for the closed window — must be dropped
+    _write("b=4", [(4, "2024-01-01 00:30:00", "click")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src + "/b=*")
+    )
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.window_start.isoformat(), r.n)
+        for r in spark.sql("SELECT * FROM late_sink").collect()
+    }
+    # the 00:00 window closed with ONLY the two on-time rows; the late row
+    # (user 4) was discarded by the watermark, visibly in the metrics
+    assert ("2024-01-01T00:00:00", 2) in rows
+    assert not any(n == 3 for _, n in rows)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
