@@ -47,7 +47,13 @@ class Engine:
             os.environ.get("PHOENIX_SPARK_WAREHOUSE", "/tmp/phoenix_spark_wh")
         )
         os.makedirs(self.warehouse, exist_ok=True)
-        self._views: dict[str, tuple[str, str | None]] = {}  # name -> (parent, where)
+        # views persist in the warehouse (SYSTEM.CATALOG analogue): a view is
+        # (parent, stored predicate), recompiled into every read
+        self._views_path = os.path.join(self.warehouse, "_views.json")
+        self._views: dict[str, tuple[str, str | None]] = {}
+        if os.path.exists(self._views_path):
+            with open(self._views_path) as f:
+                self._views = {k: tuple(v) for k, v in json.load(f).items()}
         self._seq_path = os.path.join(self.warehouse, "_sequences.json")
         self._cursors: dict[str, dict] = {}
         self.default_schema: str | None = None
@@ -175,6 +181,14 @@ class Engine:
             raise ValueError(f"unsupported statement kind {stmt.kind}")
         return handler(text)
 
+    def script(self, text: str) -> list[DataFrame | int]:
+        """Run a multi-statement script (the SQL-file surface — reference
+        fixture scripts live in phoenix-core/src/it/resources/sql_files/).
+        Statements split on ';' outside string literals."""
+        from phoenix_spark.ddl import _split_top
+
+        return [self.sql(stmt) for stmt in _split_top(text, ";") if stmt.strip()]
+
     def explain(self, text: str) -> str:
         df = self._exec_select(text)
         return df._jdf.queryExecution().explainString(  # noqa: SLF001
@@ -207,9 +221,14 @@ class Engine:
         self._register(ct.name)
         return 0
 
+    def _save_views(self) -> None:
+        with open(self._views_path, "w") as f:
+            json.dump({k: list(v) for k, v in self._views.items()}, f)
+
     def _exec_create_view(self, text: str) -> int:
         cv = D.parse_create_view(text)
         self._views[cv.name] = (cv.parent, cv.where)
+        self._save_views()
         self._register(cv.name)
         return 0
 
@@ -350,6 +369,7 @@ class Engine:
         if dr.kind == "view":
             if self._views.pop(dr.name, None) is None and not dr.if_exists:
                 raise ValueError(f"no view {dr.name}")
+            self._save_views()
             self.spark.catalog.dropTempView(dr.name)
             return 0
         mt = ManagedTable(self.spark, self.warehouse, self._qualify(dr.name))

@@ -295,3 +295,28 @@ def test_create_schema_and_use(engine):
     assert "s1.t" in names
     engine.sql("USE DEFAULT")
     assert engine.default_schema is None
+
+
+def test_views_persist_across_engine_instances(spark, tmp_path):
+    from phoenix_spark.engine import Engine
+
+    wh = str(tmp_path / "wh_persist")
+    e1 = Engine(spark, sf_dir=SF_TEST_DIR, warehouse=wh)
+    e1.sql("CREATE TABLE pv (k BIGINT NOT NULL, v BIGINT, CONSTRAINT pk PRIMARY KEY (k))")
+    e1.sql("UPSERT INTO pv VALUES (1, 10), (2, 200)")
+    e1.sql("CREATE VIEW big_pv AS SELECT * FROM pv WHERE v >= 100")
+    # a brand-new engine over the same warehouse sees table AND view
+    e2 = Engine(spark, sf_dir=SF_TEST_DIR, warehouse=wh)
+    assert [r.k for r in e2.table("big_pv").collect()] == [2]
+
+
+def test_script_multi_statement(engine):
+    results = engine.script(
+        """
+        CREATE TABLE sc (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k));
+        UPSERT INTO sc VALUES (1, 'a;b');
+        SELECT k, v FROM sc
+        """
+    )
+    assert results[1] == 1
+    assert [(r.k, r.v) for r in results[2].collect()] == [(1, "a;b")]
