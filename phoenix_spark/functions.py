@@ -1,0 +1,221 @@
+"""Complete Phoenix built-in function surface → Spark lowering
+(SURVEY.md §2.8; authoritative list: /root/reference/docs/phoenix.csv
+"Functions (...)" sections, 82 documented functions; implementations under
+phoenix-core-client/.../expression/function/).
+
+Three lowering kinds:
+  * rename   — 1:1 Spark builtin under another name (wired into
+               sqlfront.RENAME so Engine.sql accepts the Phoenix spelling)
+  * template — argument-shape/order rewrite (sqlfront handles the SQL form;
+               the Column helpers below are the DataFrame form)
+  * helper   — no Spark builtin; composed here from JVM expressions (still
+               zero Python UDFs)
+
+`coverage()` reports every documented function with its lowering and the
+query/test that pins it — the §2.8 completeness check in executable form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# name -> (group, lowering, pinned_by)
+FUNCTIONS: dict[str, tuple[str, str, str]] = {
+    # Aggregate
+    "AVG": ("agg", "avg", "agg_ungrouped"),
+    "COUNT": ("agg", "count", "agg_ungrouped"),
+    "APPROX_COUNT_DISTINCT": ("agg", "approx_count_distinct / hll_sketch_agg", "agg_approx_count_distinct"),
+    "MAX": ("agg", "max", "agg_ungrouped"),
+    "MIN": ("agg", "min", "agg_ungrouped"),
+    "SUM": ("agg", "sum (exact-decimal discipline)", "agg_ungrouped"),
+    "PERCENTILE_CONT": ("agg", "percentile_cont WITHIN GROUP", "agg_percentile"),
+    "PERCENTILE_DISC": ("agg", "percentile_disc WITHIN GROUP", "agg_percentile"),
+    "PERCENT_RANK": ("agg", "percent_rank window", "agg_percent_rank"),
+    "FIRST_VALUE": ("agg", "min(struct(ord, v)) ordered-set", "agg_first_last_value"),
+    "LAST_VALUE": ("agg", "max(struct(ord, v)) ordered-set", "agg_first_last_value"),
+    "FIRST_VALUES": ("agg", "slice(sort_array(collect_list(struct)), 1, k)", "agg_nth_first_last_values"),
+    "LAST_VALUES": ("agg", "slice(reverse(sort_array(...)), 1, k)", "agg_nth_first_last_values"),
+    "NTH_VALUE": ("agg", "element_at(sort_array(collect_list(struct)), n)", "agg_nth_first_last_values"),
+    "STDDEV_POP": ("agg", "stddev_pop (exact-decimal moments)", "agg_stddev"),
+    "STDDEV_SAMP": ("agg", "stddev_samp (exact-decimal moments)", "agg_stddev"),
+    # Numeric
+    "ROUND": ("num", "round (numbers); epoch-int arithmetic (dates)", "math_round_floor_ceil / dt_trunc_round"),
+    "CEIL": ("num", "ceil; date_trunc+interval (dates)", "math_round_floor_ceil"),
+    "FLOOR": ("num", "floor; date_trunc (dates)", "math_round_floor_ceil"),
+    "TRUNC": ("num", "floor on positives; date_trunc (dates)", "math_round_floor_ceil / dt_trunc_round"),
+    "TO_NUMBER": ("num", "cast(x as double); format form rejected", "math_to_number"),
+    "RAND": ("num", "rand([seed])", "tests/test_functions.py"),
+    # Math
+    "SIGN": ("math", "signum", "math_round_floor_ceil"),
+    "ABS": ("math", "abs", "math_round_floor_ceil"),
+    "SQRT": ("math", "sqrt", "math_transcendental"),
+    "CBRT": ("math", "cbrt", "math_transcendental"),
+    "EXP": ("math", "exp", "math_transcendental"),
+    "POWER": ("math", "pow", "math_transcendental"),
+    "LN": ("math", "ln", "math_transcendental"),
+    "LOG": ("math", "LOG(x[,b]) -> log10(x) / log(b, x) — arg order flips", "tests/test_functions.py"),
+    # String
+    "SUBSTR": ("str", "substring (1-based, negative=from-end)", "str_substr_instr_case"),
+    "INSTR": ("str", "instr", "str_substr_instr_case"),
+    "TRIM": ("str", "trim", "str_trim_pad_concat"),
+    "LTRIM": ("str", "ltrim", "str_trim_pad_concat"),
+    "RTRIM": ("str", "rtrim", "str_trim_pad_concat"),
+    "LPAD": ("str", "lpad", "str_trim_pad_concat"),
+    "LENGTH": ("str", "length", "str_substr_instr_case"),
+    "REGEXP_SUBSTR": ("str", "regexp_extract(s, p, 0) (whole match)", "str_regexp / engine_sql_roundtrip"),
+    "REGEXP_REPLACE": ("str", "regexp_replace (all matches)", "str_regexp"),
+    "REGEXP_SPLIT": ("str", "split", "tests/test_functions.py"),
+    "REGEXP_LIKE": ("str", "rlike / regexp_like", "str_regexp"),
+    "UPPER": ("str", "upper", "str_substr_instr_case"),
+    "LOWER": ("str", "lower", "str_substr_instr_case"),
+    "REVERSE": ("str", "reverse", "str_substr_instr_case"),
+    "TO_CHAR": ("str", "date_format / format_number (pattern dialects differ)", "dt_format_arith_tz"),
+    "COLLATION_KEY": ("str", "COLLATE collations (Spark 4 native)", "str_collation_ci"),
+    # Time and Date
+    "TO_DATE": ("dt", "to_timestamp (Phoenix DATE carries time)", "dt_parse"),
+    "TO_TIME": ("dt", "to_timestamp", "dt_parse"),
+    "TO_TIMESTAMP": ("dt", "to_timestamp", "dt_parse"),
+    "CURRENT_DATE": ("dt", "current_timestamp (DATE carries time)", "sqlfront rename"),
+    "CURRENT_TIME": ("dt", "current_timestamp", "sqlfront rename"),
+    "NOW": ("dt", "current_timestamp", "sqlfront rename"),
+    "CONVERT_TZ": ("dt", "to_utc_timestamp ∘ from_utc_timestamp (3-arg)", "dt_format_arith_tz / tests"),
+    "TIMEZONE_OFFSET": ("dt", "helper timezone_offset (minutes)", "tests/test_functions.py"),
+    "YEAR": ("dt", "year", "dt_extract_fields"),
+    "MONTH": ("dt", "month", "dt_extract_fields"),
+    "WEEK": ("dt", "weekofyear (ISO)", "dt_extract_fields"),
+    "DAYOFYEAR": ("dt", "dayofyear", "dt_extract_fields"),
+    "DAYOFMONTH": ("dt", "dayofmonth", "dt_extract_fields"),
+    "DAYOFWEEK": ("dt", "weekday(ts)+1 (ISO Monday=1)", "dt_extract_fields"),
+    "HOUR": ("dt", "hour", "dt_extract_fields"),
+    "MINUTE": ("dt", "minute", "dt_extract_fields"),
+    "SECOND": ("dt", "second", "dt_extract_fields"),
+    # Array
+    "ARRAY_ELEM": ("arr", "element_at (both 1-based)", "arr_elem_len"),
+    "ARRAY_LENGTH": ("arr", "size", "arr_elem_len"),
+    "ARRAY_APPEND": ("arr", "array_append", "arr_construct_ops"),
+    "ARRAY_PREPEND": ("arr", "array_prepend", "arr_construct_ops"),
+    "ARRAY_CAT": ("arr", "concat", "arr_construct_ops"),
+    "ARRAY_FILL": ("arr", "array_repeat", "arr_construct_ops"),
+    "ARRAY_TO_STRING": ("arr", "array_join", "arr_construct_ops"),
+    "ANY": ("arr", "array_contains(transform(...))", "arr_any_all"),
+    "ALL": ("arr", "forall", "arr_any_all"),
+    # General
+    "MD5": ("gen", "md5", "str_trim_pad_concat"),
+    "INVERT": ("gen", "sort-order inversion -> .desc() (row-key byte concern)", "doc-only"),
+    "ENCODE": ("gen", "helper encode_base62 (Phoenix BASE62)", "tests/test_functions.py"),
+    "DECODE": ("gen", "unhex (HEX form)", "tests/test_functions.py"),
+    "COALESCE": ("gen", "coalesce", "filter_case_cast"),
+    "GET_BIT": ("gen", "helper get_bit", "bin_bytes_bits / tests"),
+    "GET_BYTE": ("gen", "helper get_byte", "bin_bytes_bits / tests"),
+    "OCTET_LENGTH": ("gen", "length(binary)", "bin_bytes_bits"),
+    "SET_BIT": ("gen", "helper set_bit", "tests/test_functions.py"),
+    "SET_BYTE": ("gen", "helper set_byte", "tests/test_functions.py"),
+}
+
+
+def coverage() -> dict[str, int]:
+    """Counts per lowering group — the §2.8 completeness summary."""
+    out: dict[str, int] = {}
+    for group, _, _ in FUNCTIONS.values():
+        out[group] = out.get(group, 0) + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Column helpers for the functions with no 1:1 Spark builtin.  All are pure
+# JVM expression compositions — whole-stage-codegen friendly, no Python UDFs.
+# ---------------------------------------------------------------------------
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def get_byte(bin_col, offset: int) -> Column:
+    """GET_BYTE(binary, offset) — 0-based byte value (GetByteFunction)."""
+    return F.conv(
+        F.substring(F.hex(_c(bin_col)), 2 * offset + 1, 2), 16, 10
+    ).cast("int")
+
+
+def get_bit(bin_col, offset: int) -> Column:
+    """GET_BIT(binary, offset) — 0-based bit across the byte array."""
+    byte = get_byte(bin_col, offset // 8)
+    return F.shiftright(byte, offset % 8).bitwiseAND(F.lit(1)).cast("int")
+
+
+def set_byte(bin_col, offset: int, value: int) -> Column:
+    """SET_BYTE(binary, offset, v) — splice one byte (SetByteFunction)."""
+    b = _c(bin_col)
+    return F.concat(
+        F.substring(b, 1, offset),
+        F.unhex(F.lpad(F.hex(F.lit(value)), 2, "0")),
+        F.substring(b, offset + 2, 2147483647),
+    )
+
+
+def set_bit(bin_col, offset: int, value: int) -> Column:
+    """SET_BIT(binary, offset, v) — rewrite one bit via its byte."""
+    byte = get_byte(bin_col, offset // 8)
+    mask = 1 << (offset % 8)
+    new_byte = (
+        byte.bitwiseOR(F.lit(mask))
+        if value
+        else byte.bitwiseAND(F.lit(~mask & 0xFF))
+    )
+    b = _c(bin_col)
+    return F.concat(
+        F.substring(b, 1, offset // 8),
+        F.unhex(F.lpad(F.hex(new_byte), 2, "0")),
+        F.substring(b, offset // 8 + 2, 2147483647),
+    )
+
+
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def encode_base62(num_col) -> Column:
+    """ENCODE(n, 'BASE62') (EncodeFunction): base-62 rendering of a
+    non-negative bigint — an 11-step aggregate fold (62^11 > 2^63), emitting
+    digits least-significant first into a prepend.  No loops, no UDF."""
+    n = _c(num_col).cast("long")
+    init = F.struct(n.alias("rem"), F.lit("").alias("s"))
+
+    def _merge(acc, i):
+        digit = F.substr(
+            F.lit(_B62), (F.pmod(acc["rem"], F.lit(62)) + 1).cast("int"), F.lit(1)
+        )
+        next_rem = ((acc["rem"] - F.pmod(acc["rem"], F.lit(62))) / 62).cast("long")
+        return F.when(
+            (acc["rem"] > 0) | (i == 0),
+            F.struct(next_rem.alias("rem"), F.concat(digit, acc["s"]).alias("s")),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(10)), init, _merge, lambda acc: acc["s"]
+    )
+
+
+def decode_hex(str_col) -> Column:
+    """DECODE(s, 'HEX') (DecodeFunction): hex string → bytes."""
+    return F.unhex(_c(str_col))
+
+
+def convert_tz(ts_col, from_tz: str, to_tz: str) -> Column:
+    """CONVERT_TZ(ts, from, to) (ConvertTimezoneFunction): reinterpret a
+    naive timestamp from one zone into another."""
+    return F.from_utc_timestamp(F.to_utc_timestamp(_c(ts_col), from_tz), to_tz)
+
+
+def timezone_offset(tz: str, ts_col) -> Column:
+    """TIMEZONE_OFFSET(tz, ts) (TimezoneOffsetFunction): offset of tz from
+    UTC at ts, in minutes (DST-aware)."""
+    ts = _c(ts_col)
+    return (
+        (F.unix_timestamp(F.from_utc_timestamp(ts, tz)) - F.unix_timestamp(ts)) / 60
+    ).cast("int")
+
+
+def dayofweek_iso(ts_col) -> Column:
+    """DAYOFWEEK (DayOfWeekFunction.java:66, Joda): ISO Monday=1..Sunday=7."""
+    return (F.weekday(_c(ts_col)) + 1).cast("int")

@@ -68,10 +68,24 @@ RENAME = {
     "CURRENT_TIME": "current_timestamp",
     "OCTET_LENGTH": "octet_length",
     "SUBBINARY": "substring",
+    "REGEXP_SPLIT": "split",
 }
 
 # Functions that need argument-shape rewrites (paren-matched below).
-_SHAPE_FNS = ("REGEXP_SUBSTR", "STRING_TO_ARRAY", "TO_NUMBER")
+_SHAPE_FNS = (
+    "REGEXP_SUBSTR",
+    "STRING_TO_ARRAY",
+    "TO_NUMBER",
+    "LOG",
+    "CONVERT_TZ",
+    "TIMEZONE_OFFSET",
+    "DAYOFWEEK",
+    "WEEK",
+    "ENCODE",
+    "DECODE",
+    "GET_BYTE",
+    "GET_BIT",
+)
 
 _WORD_RE = re.compile(
     r"\b(" + "|".join(list(RENAME) + list(_SHAPE_FNS)) + r")\s*\(",
@@ -150,6 +164,48 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             "TO_NUMBER(value, format) format patterns are not supported; "
             "cast explicitly instead"
         )
+    if up == "LOG":
+        # Phoenix LOG(x[, base]) defaults to base 10; Spark log(base, x)
+        if len(args) == 1:
+            return f"log10({args[0]})"
+        return f"log({args[1]}, {args[0]})"
+    if up == "CONVERT_TZ":
+        if len(args) != 3:
+            raise PhoenixTranslationError("CONVERT_TZ requires (ts, from, to)")
+        return f"from_utc_timestamp(to_utc_timestamp({args[0]}, {args[1]}), {args[2]})"
+    if up == "TIMEZONE_OFFSET":
+        if len(args) != 2:
+            raise PhoenixTranslationError("TIMEZONE_OFFSET requires (tz, ts)")
+        return (
+            f"cast((unix_timestamp(from_utc_timestamp({args[1]}, {args[0]}))"
+            f" - unix_timestamp({args[1]})) / 60 as int)"
+        )
+    if up == "DAYOFWEEK":
+        # ISO Monday=1 (DayOfWeekFunction.java:66 via Joda)
+        return f"cast(weekday({args[0]}) + 1 as int)"
+    if up == "WEEK":
+        return f"weekofyear({args[0]})"
+    if up in ("ENCODE", "DECODE"):
+        fmt = args[1].strip().strip("'").upper() if len(args) == 2 else None
+        if up == "DECODE" and fmt == "HEX":
+            return f"unhex({args[0]})"
+        if up == "DECODE" and fmt == "BASE64":
+            return f"unbase64({args[0]})"
+        if up == "ENCODE" and fmt == "BASE64":
+            return f"base64({args[0]})"
+        raise PhoenixTranslationError(
+            f"{up} format {fmt!r} unsupported in SQL; BASE62 is available via "
+            "phoenix_spark.functions.encode_base62"
+        )
+    if up in ("GET_BYTE", "GET_BIT"):
+        try:
+            off = int(args[1])
+        except (IndexError, ValueError):
+            raise PhoenixTranslationError(f"{up} requires a literal int offset")
+        if up == "GET_BYTE":
+            return f"cast(conv(substring(hex({args[0]}), {2 * off + 1}, 2), 16, 10) as int)"
+        byte = f"cast(conv(substring(hex({args[0]}), {2 * (off // 8) + 1}, 2), 16, 10) as int)"
+        return f"cast((shiftright({byte}, {off % 8}) & 1) as int)"
     return f"{RENAME[up]}({', '.join(args)})"
 
 
