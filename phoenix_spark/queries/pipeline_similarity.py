@@ -283,3 +283,41 @@ def _ivf_probe(spark, sf):
 
 
 REG.add("similarity_ivf_probe", _ivf_probe, None)
+
+# --- per-label centroids of the quantized embeddings -------------------------
+# The k-means/centroid-update kernel as a single groupBy: element-wise SUM of
+# int64 vectors per label.  Integer sums are exact (|q_i| ≤ 5.3e6, ≤ ~100
+# rows/label → < 2^53), so the oracle matches bit-for-bit; a real trainer
+# iterates this exact shape.
+def _centroids(spark, sf):
+    emb = _quantized(spark, sf)
+    summed = (
+        emb.select("label", F.posexplode("q").alias("dim0", "v"))
+        .groupBy("label", "dim0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return summed.select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("s").cast("long").alias("sum_q"),
+        (F.col("s") / F.col("n")).alias("centroid_q"),
+    )
+
+
+REG.add(
+    "similarity_centroids",
+    _centroids,
+    f"""
+    WITH qe AS (
+      SELECT label, {_DUCK_Q} AS q FROM embeddings
+    ),
+    ex AS (
+      SELECT label, u.dim, u.v FROM qe,
+        LATERAL (SELECT unnest(q) AS v, generate_subscripts(q, 1) AS dim) u
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(v) AS BIGINT) AS sum_q,
+           CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS centroid_q
+    FROM ex GROUP BY label, dim
+    """,
+)

@@ -183,6 +183,123 @@ REG.add(
     """,
 )
 
+# --- document chunking: overlapping token windows (the context-window prep
+# op for training pipelines) — chunk size 50 tokens, stride 40 ---------------
+_CHUNK, _STRIDE = 50, 40
+
+
+def _chunking(spark, sf):
+    toks = F.expr(_TOKENS)
+    n_chunks = F.ceil(
+        (F.greatest(F.size(toks) - F.lit(_CHUNK), F.lit(0)) / F.lit(_STRIDE)) + 1
+    ).cast("int")
+    return (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * _STRIDE + 1, _CHUNK)
+                    ),
+                )
+            ).alias("pos0", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("int").alias("chunk_id"),
+            F.length("chunk_text").cast("int").alias("chunk_chars"),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+    )
+
+
+REG.add(
+    "text_chunking",
+    _chunking,
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+             CAST(ceil(greatest(len(string_split_regex(trim(text), '\\s+'))
+                                - {_CHUNK}, 0) / {_STRIDE}.0 + 1) AS INT) AS nc
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i + 1 AS INT) AS chunk_id,
+           CAST(length(array_to_string(toks[i * {_STRIDE} + 1 :
+                                            i * {_STRIDE} + {_CHUNK}], ' '))
+                AS INT) AS chunk_chars,
+           md5(array_to_string(toks[i * {_STRIDE} + 1 :
+                                    i * {_STRIDE} + {_CHUNK}], ' ')) AS chunk_md5
+    FROM d, LATERAL (SELECT unnest(range(0, nc)) AS i)
+    """,
+)
+
+# --- vocabulary builder: corpus-wide token frequencies, top-k ----------------
+REG.add(
+    "text_vocab_topk",
+    lambda spark, sf: t(spark, sf, "documents")
+    .select(F.explode(F.expr(_TOKENS)).alias("token"))
+    .groupBy("token")
+    .agg(F.count(F.lit(1)).alias("tf"))
+    .orderBy(F.col("tf").desc(), F.col("token"))
+    .limit(30),
+    """
+    SELECT token, COUNT(*) AS tf
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY tf DESC, token LIMIT 30
+    """,
+)
+
+# --- TF-IDF: classic sparse text weighting, fully relational -----------------
+# tf = term count in doc; df = docs containing term; idf = ln(N/df).  All
+# counts are integers; the single ln() is computed from the same integers on
+# both engines (ln is the only float op — identical IEEE inputs, and the
+# values are far from representation boundaries after round(…, 9)).
+def _tfidf(spark, sf):
+    docs = t(spark, sf, "documents")
+    n_docs = docs.count()  # metadata-scale scalar (fixture: 500-5k docs)
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    tf = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(df_, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias(
+                "tfidf"
+            ),
+        )
+        .filter(F.col("doc_id") <= 10)
+    )
+
+
+REG.add(
+    "text_tfidf",
+    _tfidf,
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, token FROM terms) GROUP BY 1)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln((SELECT COUNT(*) FROM documents)
+                            / CAST(df.df AS DOUBLE)), 9) AS tfidf
+    FROM tf JOIN df USING (token)
+    WHERE tf.doc_id <= 10
+    """,
+)
+
 # --- BPE-ish regex token counting (words / numbers / other symbols) ----------
 REG.add(
     "text_tokenize_bpe",
