@@ -260,7 +260,8 @@ REG.add(
 # values are far from representation boundaries after round(…, 9)).
 def _tfidf(spark, sf):
     docs = t(spark, sf, "documents")
-    n_docs = docs.count()  # metadata-scale scalar (fixture: 500-5k docs)
+    # N as a lazy broadcast 1-row aggregate (no eager driver action)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
     )
@@ -268,12 +269,13 @@ def _tfidf(spark, sf):
     df_ = terms.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "token",
             "tf",
             "df",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias(
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9).alias(
                 "tfidf"
             ),
         )
