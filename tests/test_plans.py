@@ -171,3 +171,39 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     assert "PartitionFilters: [" in formatted
     pf = formatted.split("PartitionFilters", 1)[1].split("\n", 1)[0]
     assert "o_orderstatus" in pf  # predicate reached the partition level
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing = the co-located join strategy at 100 TB (the brief's
+    'repartition()/bucketing for co-located joins'): two tables bucketed on
+    the join key join without a single Exchange on either side."""
+    from phoenix_spark.catalog import read_table
+    from pyspark.sql import functions as F
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    li = read_table(spark, f"{SF_TEST_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, f"{SF_TEST_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        f"li_b_{tag}", mode="overwrite"
+    )
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        f"ord_b_{tag}", mode="overwrite"
+    )
+    joined = (
+        spark.table(f"li_b_{tag}")
+        .hint("merge")
+        .join(
+            spark.table(f"ord_b_{tag}"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket-aligned: zero shuffles
+    spark.sql(f"DROP TABLE li_b_{tag}")
+    spark.sql(f"DROP TABLE ord_b_{tag}")
