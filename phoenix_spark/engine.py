@@ -350,6 +350,16 @@ class Engine:
         self._register(table)
         return n
 
+    def bulk_load_json(self, table: str, json_path: str) -> int:
+        """JSON-lines bulk load (the reference bulkload module's JSON input
+        format, same mapreduce/ package)."""
+        mt = self.managed(table)
+        df = self.spark.read.schema(mt.schema).json(json_path)
+        n = df.count()
+        mt.upsert_df(df)
+        self._register(table)
+        return n
+
     def _exec_create_index(self, text: str) -> int:
         # Parse-only per SURVEY §4.1: Parquet + AQE replace index selection;
         # the DDL is accepted and recorded nowhere (QueryOptimizer analogue

@@ -320,3 +320,26 @@ def test_script_multi_statement(engine):
     )
     assert results[1] == 1
     assert [(r.k, r.v) for r in results[2].collect()] == [(1, "a;b")]
+
+
+def test_bulk_load_json(engine, tmp_path):
+    engine.sql(
+        "CREATE TABLE jl (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    assert engine.bulk_load_json("jl", str(p)) == 2
+    assert {(r.k, r.v) for r in engine.table("jl").collect()} == {(1, "a"), (2, "b")}
+
+
+def test_cdc_scopes_pre_post(engine):
+    engine.sql("CREATE TABLE sc2 (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO sc2 VALUES (1, 'a')")
+    engine.sql("UPSERT INTO sc2 VALUES (1, 'b')")
+    pre = engine.managed("sc2").changes(scope="PRE").orderBy("change_ts").collect()
+    post = engine.managed("sc2").changes(scope="POST").orderBy("change_ts").collect()
+    assert "post_image" not in pre[0].asDict() and "pre_image" not in post[0].asDict()
+    assert pre[1].pre_image.v == "a" and post[1].post_image.v == "b"
+    # incremental feed: only changes after ts 1
+    inc = engine.managed("sc2").changes(since=1).collect()
+    assert len(inc) == 1 and inc[0].change_ts == 2
