@@ -34,6 +34,7 @@ HEADLINE = [
     "filter_range_pred",
     "join_broadcast_inner",
     "join_sort_merge_full",
+    "join_asof",
     "sort_topk",
     "setop_union_all",
     "window_sessionize",
