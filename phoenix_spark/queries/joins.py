@@ -217,6 +217,119 @@ REG.add(
     """,
 )
 
+# --- TPC-H Q6 shape: forecasting revenue change (pure scan-filter-agg) ------
+REG.add(
+    "q6_forecast_revenue",
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    .agg(
+        F.sum(d12("l_extendedprice") * d12("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    ),
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+# --- TPC-H Q12 shape: orders priority by line date discipline (join + CASE
+# aggregation) ----------------------------------------------------------------
+REG.add(
+    "q12_shipmode_priority",
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    .join(t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+    .groupBy("l_returnflag")
+    .agg(
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("high_line_count"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("low_line_count"),
+    ),
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+    GROUP BY l_returnflag
+    """,
+)
+
+# --- TPC-H Q14 shape: promotion revenue share (join + conditional ratio) ----
+# The ratio of two exact decimal sums: numerator/denominator as one double
+# division — bit-identical on both engines.
+def _q14(spark, sf):
+    one = F.lit(1).cast("decimal(12,2)")
+    joined = (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t(spark, sf, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    disc = d12("l_extendedprice") * (one - d12("l_discount"))
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )).cast("double")
+            * 100.0
+            / F.sum(disc).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+REG.add(
+    "q14_promo_revenue",
+    _q14,
+    """
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                  AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+
 # --- TPC-H Q10 shape: returned-item revenue per customer (4-table join,
 # multi-key group-by, top-K) — the widest "client hash agg" shape ------------
 def _q10(spark, sf):
