@@ -343,3 +343,10 @@ def test_cdc_scopes_pre_post(engine):
     # incremental feed: only changes after ts 1
     inc = engine.managed("sc2").changes(since=1).collect()
     assert len(inc) == 1 and inc[0].change_ts == 2
+
+
+def test_upsert_quoted_string_literals(engine):
+    engine.sql("CREATE TABLE q (k BIGINT NOT NULL, v VARCHAR, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO q VALUES (1, 'O''Brien, MD'), (2, 'a;b,(c)')")
+    got = {r.k: r.v for r in engine.table("q").collect()}
+    assert got == {1: "O'Brien, MD", 2: "a;b,(c)"}
