@@ -204,6 +204,16 @@ def stateful_user_stats(events: DataFrame, timeout_minutes: int = 0) -> DataFram
     )
 
 
+def stream_dedup(
+    events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark horizon (dropDuplicatesWithinWatermark — state is bounded by
+    the horizon, so this runs indefinitely at ingest scale; the M8 dedup
+    family's streaming counterpart)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def compact_with_ttl(
     table: ManagedTable, ts_col: str, ttl_expr: str, now_expr: str
 ) -> None:

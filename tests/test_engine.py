@@ -350,3 +350,20 @@ def test_upsert_quoted_string_literals(engine):
     engine.sql("UPSERT INTO q VALUES (1, 'O''Brien, MD'), (2, 'a;b,(c)')")
     got = {r.k: r.v for r in engine.table("q").collect()}
     assert got == {1: "O'Brien, MD", 2: "a;b,(c)"}
+
+
+def test_error_paths(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no managed table"):
+        engine.managed("nope")
+    with _pt.raises(Exception):
+        engine.sql("UPSERT INTO missing_table VALUES (1)")
+    engine.sql("CREATE TABLE dup_t (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    with _pt.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE dup_t (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("CREATE TABLE IF NOT EXISTS dup_t (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    with _pt.raises(AssertionError, match="PRIMARY KEY"):
+        engine.sql("CREATE TABLE nopk (k BIGINT)")
+    with _pt.raises(ValueError, match="no sequence"):
+        engine.sql("DROP SEQUENCE ghost_seq")

@@ -224,3 +224,36 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import os
+    from phoenix_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 00:12:00"),  # duplicate key within horizon
+            (2, "2024-01-01 00:20:00"),
+        ],
+        "event_id long, ts_s string",
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(1).write.parquet(
+        os.path.join(src, "b=1")
+    )
+    q = (
+        stream_dedup(
+            spark.readStream.schema("event_id long, ts timestamp").parquet(src + "/b=*"),
+            keys=["event_id"],
+        )
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_sink").collect())
+    assert got == [1, 2]
