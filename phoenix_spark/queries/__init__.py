@@ -23,6 +23,7 @@ def build_registry() -> Registry:
     for name in (
         "joins",
         "joins_ext",
+        "tpch_ext",
         "sorts",
         "setops",
         "mutations_ddl",
