@@ -207,3 +207,62 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert "Exchange" not in plan  # bucket-aligned: zero shuffles
     spark.sql(f"DROP TABLE li_b_{tag}")
     spark.sql(f"DROP TABLE ord_b_{tag}")
+
+
+# --- TPC-H extension shapes (tpch_ext.py) ------------------------------------
+def test_q4_exists_is_semi_join(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_q8_broadcast_star_no_cartesian(spark):
+    for name in ("q7_nation_volume", "q8_market_share"):
+        plan = plan_of(spark, name)
+        # dimension sides (customer/supplier/nation/region) all broadcast;
+        # the only shuffle join is lineitem⋈orders on the fact keys
+        assert plan.count("BroadcastHashJoin") >= 4, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q2_correlated_min_is_single_window(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    # the correlated MIN subquery decorrelates to ONE window over the
+    # candidate set — no re-scan, no cartesian
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_with_residual(spark):
+    plan = plan_of(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # two partial/final agg pairs
+
+
+def test_q15_scalar_threshold_is_broadcast(spark):
+    # the MAX-revenue scalar is a 1-row broadcast nested-loop (cross) join —
+    # constant-size build side, NOT a cartesian over data
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_q18_topk_and_semi(spark):
+    plan = plan_of(spark, "q18_large_volume_customer")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+
+
+def test_q20_stacked_semi_joins(spark):
+    plan = plan_of(spark, "q20_part_promotion")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_no_rescan_joins(spark):
+    plan = plan_of(spark, "q21_suppliers_waiting")
+    # EXISTS/NOT EXISTS collapse into per-order aggregates: no cartesian,
+    # and the supplier/nation side broadcasts
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
