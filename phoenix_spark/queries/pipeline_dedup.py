@@ -1,6 +1,6 @@
 """Deduplication operators for LLM training-data pipelines (SURVEY.md §7 M8).
 
-Three tiers, all shuffle-bounded (never all-pairs):
+Four tiers, all shuffle-bounded (never all-pairs):
 
   * exact dedup — hash-groupBy on a normalized content fingerprint: one
     shuffle on the 128-bit hash, perfectly scalable.
@@ -8,6 +8,12 @@ Three tiers, all shuffle-bounded (never all-pairs):
     from an equi-join on a block key (md5 of the leading tokens), so the plan
     is a hash join, not a cartesian product; Jaccard is exact set arithmetic
     (array_intersect/array_union of distinct shingles).  Oracle-paired.
+  * SimHash — 64-bit sign-of-weighted-sums fingerprint over the distinct
+    token set; candidate pairs come from an equi-join on one of 4 x 16-bit
+    fingerprint chunks (pigeonhole: Hamming distance <= 3 over 4 chunks
+    forces at least one identical chunk), verified with the exact Hamming
+    distance.  The fingerprint derives every bit from md5 (identical hex in
+    Spark and DuckDB), so this tier is fully oracle-paired.
   * MinHash + banded LSH — the 100 TB path: K=32 signature minima, 8 bands x
     4 rows; candidate pairs come from an equi-join on (band, band_hash), i.e.
     only documents sharing a band bucket ever meet; candidates are verified
@@ -209,3 +215,146 @@ def _minhash_lsh(spark, sf):
 
 
 REG.add("dedup_minhash_lsh", _minhash_lsh, None)
+
+# --- SimHash near-dup (oracle-paired; banded Hamming buckets) -----------------
+# 64-bit SimHash: bit b of the fingerprint is the sign of
+# sum_tokens(bit_b(md5(token)) * 2 - 1).  Both engines read the SAME md5 hex,
+# so fingerprints agree exactly (verified bit-for-bit at sf0.001).  The
+# fingerprint is kept as 4 x 16-bit chunk columns instead of one int64 —
+# chunk 3 would otherwise occupy the sign bit, which DuckDB's checked `<<`
+# rejects — and the Hamming distance is the sum of per-chunk
+# bit_count(xor(...)).
+#
+# Scale shape: fingerprints are a pure map (F.aggregate over the token
+# array — NO explode/groupBy shuffle); the only shuffle is the candidate
+# equi-join on (chunk_index, chunk_value).  Hamming <= 3 over 4 chunks
+# guarantees a shared chunk (pigeonhole), so banding loses no pairs.  At
+# 100 TB, 16-bit buckets collide too often (N^2/2^16 random candidates) —
+# widen to 8 chunks of 16 bits over a 128-bit fingerprint, which keeps the
+# same pigeonhole bound for Hamming <= 7.
+_N_CHUNKS = 4
+_CHUNK_BITS = 16
+
+
+def _simhash_bits(tok: F.Column) -> F.Column:
+    """Array of 64 +/-1 contributions from md5(token), MSB first."""
+    h = F.md5(tok)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+
+    def bit(v, sh):
+        # (v >> sh) & 1 with a Column shift amount (F.shiftright needs a
+        # Python int): v < 2^32, so v / 2^sh is double-exact
+        return F.pmod(
+            F.floor(v / F.pow(F.lit(2.0), sh.cast("double"))).cast("bigint"),
+            F.lit(2),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(b < 32, bit(hi, F.lit(31) - b)).otherwise(
+            bit(lo, F.lit(63) - b)
+        )
+        * 2
+        - 1,
+    )
+
+
+def _simhash_fp(spark, sf) -> DataFrame:
+    """doc_id + 4 x 16-bit fingerprint chunks (c0..c3), shuffle-free."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, tok: F.zip_with(acc, _simhash_bits(tok), lambda x, y: x + y),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("bigint") for j in range(_CHUNK_BITS)])
+
+    def chunk(c):
+        sl = F.slice(F.col("sums"), _CHUNK_BITS * c + 1, _CHUNK_BITS)
+        return F.aggregate(
+            F.zip_with(
+                sl, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias(f"c{c}")
+
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", sums.alias("sums"))
+        .select("doc_id", *[chunk(c) for c in range(_N_CHUNKS)])
+    )
+
+
+def _simhash(spark, sf):
+    fp = _simhash_fp(spark, sf)
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("band"), F.col(f"c{c}").alias("val"))
+                    for c in range(_N_CHUNKS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), *[F.col(f"c{c}").alias(f"a{c}") for c in range(_N_CHUNKS)])
+    fb = fp.select(F.col("doc_id").alias("doc_b"), *[F.col(f"c{c}").alias(f"b{c}") for c in range(_N_CHUNKS)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(_N_CHUNKS)
+    ).cast("bigint")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+REG.add(
+    "dedup_simhash",
+    _simhash,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+      FROM documents
+    ), tb AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+             ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+      FROM toks
+    ), sums AS (
+      SELECT doc_id, b,
+             SUM(((CASE WHEN b < 32 THEN hi >> (31 - b)
+                        ELSE lo >> (63 - b) END) & 1) * 2 - 1) AS s
+      FROM tb, range(64) r(b) GROUP BY doc_id, b
+    ), fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN b < 16 AND s > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS c0,
+             SUM(CASE WHEN b BETWEEN 16 AND 31 AND s > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS c1,
+             SUM(CASE WHEN b BETWEEN 32 AND 47 AND s > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS c2,
+             SUM(CASE WHEN b >= 48 AND s > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS c3
+      FROM sums GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+            + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)))::BIGINT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+    """,
+)
