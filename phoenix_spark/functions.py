@@ -110,6 +110,30 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "OCTET_LENGTH": ("gen", "length(binary)", "bin_bytes_bits"),
     "SET_BIT": ("gen", "helper set_bit", "tests/test_functions.py"),
     "SET_BYTE": ("gen", "helper set_byte", "tests/test_functions.py"),
+    # ---- post-doc reference functions (implemented in the reference under
+    # phoenix-core-client/.../expression/function/ but not yet listed in
+    # docs/phoenix.csv; counted separately by coverage()) ----
+    "SIN": ("postdoc", "sin", "math_trig"),
+    "COS": ("postdoc", "cos", "math_trig"),
+    "TAN": ("postdoc", "tan", "math_trig"),
+    "PI": ("postdoc", "pi() literal (MathPIFunction)", "math_transcendental"),
+    "STRING_TO_ARRAY": (
+        "postdoc",
+        "split with regex-escaped literal delimiter (sqlfront rewrite)",
+        "mutations_ddl (n_type_words) / tests/test_sqlfront.py",
+    ),
+    "ARRAY_REMOVE": ("postdoc", "array_remove", "arr_construct_ops"),
+    "JSON_VALUE": ("postdoc", "get_json_object (scalar leaf)", "json_value"),
+    "JSON_QUERY": ("postdoc", "get_json_object (object/array leaf)", "json_value"),
+    "JSON_EXISTS": ("postdoc", "get_json_object IS NOT NULL", "json_exists_filter"),
+    "JSON_MODIFY": ("postdoc", "to_json(named_struct(...)) rebuild", "json_construct"),
+    "BSON_VALUE": ("postdoc", "typed JSON leaf extraction (BSON stored as JSON)", "bson_condition_filter"),
+    "BSON_CONDITION_EXPRESSION": ("postdoc", "phoenix_spark.bson condition grammar → Column", "bson_condition_filter"),
+    "ENCODE_BINARY": ("postdoc", "base64 / hex by format arg", "bin_encode_decode"),
+    "DECODE_BINARY": ("postdoc", "unbase64 / unhex by format arg", "bin_encode_decode"),
+    "SUB_BINARY": ("postdoc", "substring on binary", "bin_bytes_bits"),
+    "PHOENIX_ROW_TIMESTAMP": ("postdoc", "change-log commit timestamp column", "meta_row_timestamp"),
+    "PARTITION_ID": ("postdoc", "spark_partition_id (stable bucket id analog)", "meta_partition_id"),
 }
 
 

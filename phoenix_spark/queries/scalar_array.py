@@ -72,13 +72,24 @@ REG.add(
         F.array_join(
             F.array_prepend(F.array(F.col("n_nationkey")), F.lit(0)), ","
         ).alias("prepend_str"),
+        # ARRAY_REMOVE (post-doc reference function ArrayRemoveFunction.java;
+        # not in docs/phoenix.csv) → Spark array_remove
+        F.array_join(
+            F.array_remove(
+                F.array(F.col("n_nationkey"), F.col("n_regionkey"), F.lit(7)),
+                7,
+            ),
+            ",",
+        ).alias("remove_str"),
     ),
     """
     SELECT n_nationkey,
            array_to_string([n_nationkey, n_regionkey] || [7], ',')  AS cat_str,
            array_to_string(list_append([n_regionkey], 99), ',')     AS append_str,
            array_to_string([n_regionkey FOR i IN range(3)], ',')    AS fill_str,
-           array_to_string(list_prepend(0, [n_nationkey]), ',')     AS prepend_str
+           array_to_string(list_prepend(0, [n_nationkey]), ',')     AS prepend_str,
+           array_to_string(list_filter([n_nationkey, n_regionkey, 7],
+                                       x -> x != 7), ',')           AS remove_str
     FROM nation
     """,
 )

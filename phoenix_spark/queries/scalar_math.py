@@ -86,6 +86,37 @@ REG.add(
     """,
 )
 
+# --- trigonometry (post-doc reference functions SinFunction.java /
+# CosFunction.java / TanFunction.java over JavaMathOneArgumentFunction.java,
+# plus MathPIFunction.java; not yet in docs/phoenix.csv).  Doubles are pinned
+# at 6 decimals — the same libm-ulp discipline as math_transcendental. --------
+REG.add(
+    "math_trig",
+    lambda spark, sf: t(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.round(F.sin(F.col("s_suppkey") / F.lit(10.0)), 6).alias("k_sin"),
+        F.round(F.cos(F.col("s_suppkey") / F.lit(10.0)), 6).alias("k_cos"),
+        F.round(F.tan(F.col("s_nationkey") / F.lit(25.0)), 6).alias("nk_tan"),
+        F.round(F.atan(F.col("s_nationkey").cast("double")), 6).alias("nk_atan"),
+        F.round(
+            F.atan2(F.col("s_nationkey").cast("double"), F.lit(2.0)), 6
+        ).alias("nk_atan2"),
+        F.round(F.degrees(F.asin(F.lit(0.5))), 6).alias("asin_deg"),
+        F.round(F.acos(F.lit(-1.0)), 6).alias("acos_pi"),
+    ),
+    """
+    SELECT s_suppkey,
+           round(sin(s_suppkey / 10.0), 6)                      AS k_sin,
+           round(cos(s_suppkey / 10.0), 6)                      AS k_cos,
+           round(tan(s_nationkey / 25.0), 6)                    AS nk_tan,
+           round(atan(CAST(s_nationkey AS DOUBLE)), 6)          AS nk_atan,
+           round(atan2(CAST(s_nationkey AS DOUBLE), 2.0), 6)    AS nk_atan2,
+           round(degrees(asin(0.5)), 6)                         AS asin_deg,
+           round(acos(-1.0), 6)                                 AS acos_pi
+    FROM supplier
+    """,
+)
+
 # --- TO_NUMBER (ToNumberFunction.java: string → numeric) ---------------------
 REG.add(
     "math_to_number",

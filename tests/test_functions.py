@@ -1,7 +1,10 @@
 """Function-surface tests: the §2.8 helpers with no Spark builtin, plus the
 sqlfront shape rewrites, each checked against hand-computed (or DuckDB)
 expectations.  Registry completeness is asserted against docs/phoenix.csv's
-82 documented functions."""
+82 documented functions; the registry additionally carries the post-doc
+reference functions (group "postdoc": SIN/COS/TAN/PI, JSON_*, BSON_*,
+STRING_TO_ARRAY, ARRAY_REMOVE, ENCODE/DECODE_BINARY, SUB_BINARY,
+PHOENIX_ROW_TIMESTAMP, PARTITION_ID)."""
 
 from __future__ import annotations
 
