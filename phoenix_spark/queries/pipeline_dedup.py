@@ -76,8 +76,24 @@ REG.add(
 )
 
 
+def _docs_wide(spark, sf) -> DataFrame:
+    """documents, spread across all cores BEFORE the CPU-heavy per-doc maps.
+
+    The fixture is one small parquet file, so the scan is a single input
+    split — which would serialize shingling/fingerprinting (measured 38 s →
+    6 s at sf0.1 for dedup_simhash).  The round-robin repartition shuffles
+    only the raw text (cheap) and buys full-core parallelism for the
+    hash-heavy maps.  At 100 TB the scan has thousands of splits and this
+    exchange is AQE-coalesced noise by comparison; it also guards against
+    pathological single-large-file layouts there.
+    """
+    return t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _shingled(spark, sf) -> DataFrame:
-    return t(spark, sf, "documents").select(
+    return _docs_wide(spark, sf).select(
         "doc_id",
         _shingles_col().alias("sh"),
         # Block key: md5 of the first 6 tokens.  Near-dup docs share long
@@ -236,61 +252,61 @@ _N_CHUNKS = 4
 _CHUNK_BITS = 16
 
 
-def _simhash_bits(tok: F.Column) -> F.Column:
-    """Array of 64 +/-1 contributions from md5(token), MSB first."""
-    h = F.md5(tok)
-    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
-    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
-
-    def bit(v, sh):
-        # (v >> sh) & 1 with a Column shift amount (F.shiftright needs a
-        # Python int): v < 2^32, so v / 2^sh is double-exact
-        return F.pmod(
-            F.floor(v / F.pow(F.lit(2.0), sh.cast("double"))).cast("bigint"),
-            F.lit(2),
-        )
-
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(b < 32, bit(hi, F.lit(31) - b)).otherwise(
-            bit(lo, F.lit(63) - b)
-        )
-        * 2
-        - 1,
-    )
-
-
 def _simhash_fp(spark, sf) -> DataFrame:
-    """doc_id + 4 x 16-bit fingerprint chunks (c0..c3), shuffle-free."""
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    sums = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("bigint"), 64),
-        lambda acc, tok: F.zip_with(acc, _simhash_bits(tok), lambda x, y: x + y),
-    )
-    powers = F.array(*[F.lit(1 << j).cast("bigint") for j in range(_CHUNK_BITS)])
+    """doc_id + 4 x 16-bit fingerprint chunks (c0..c3).
 
-    def chunk(c):
-        sl = F.slice(F.col("sums"), _CHUNK_BITS * c + 1, _CHUNK_BITS)
-        return F.aggregate(
-            F.zip_with(
-                sl, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
-        ).alias(f"c{c}")
-
-    return (
-        t(spark, sf, "documents")
-        .select("doc_id", sums.alias("sums"))
-        .select("doc_id", *[chunk(c) for c in range(_N_CHUNKS)])
+    Formulated as explode(distinct tokens) -> 64 codegen'd SUM(shifted bit)
+    aggregates -> chunk packing, NOT as nested array lambdas over a
+    64-element accumulator: higher-order functions evaluate their lambda
+    interpreted per element (measured ~15 s/side at sf0.1 vs ~2 s for this
+    shape).  The groupBy shuffles only (doc_id, 64 partial longs) thanks to
+    map-side combine; the md5 is computed once per token occurrence.
+    """
+    toks = _docs_wide(spark, sf).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("tok"),
     )
+    h = F.md5(F.col("tok"))
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+
+    def contrib(b: int) -> F.Column:
+        # bit b of the 64-bit md5 prefix (MSB first), mapped to +/-1
+        src, sh = ("hi", 31 - b) if b < 32 else ("lo", 63 - b)
+        return F.sum(
+            F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+
+    sums = hashed.groupBy("doc_id").agg(*[contrib(b) for b in range(64)])
+
+    def chunk(c: int) -> F.Column:
+        out = F.lit(0).cast("bigint")
+        for j in range(_CHUNK_BITS):
+            b = _CHUNK_BITS * c + j
+            out = out + F.when(F.col(f"s{b}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        return out.alias(f"c{c}")
+
+    return sums.select("doc_id", *[chunk(c) for c in range(_N_CHUNKS)])
 
 
 def _simhash(spark, sf):
     fp = _simhash_fp(spark, sf)
+    # Carry the 4 chunk columns THROUGH the band explode: the candidate
+    # self-join then yields both sides' full fingerprints directly — no
+    # join-back to fp, which would re-run the expensive fingerprint map two
+    # more times (diamond DAG).  Both join inputs are byte-identical plans
+    # shuffled on the same keys, so Spark reuses one exchange
+    # (ReusedExchange) and the fingerprint map runs ONCE.
     bands = fp.select(
         "doc_id",
+        *[f"c{c}" for c in range(_N_CHUNKS)],
         F.explode(
             F.array(
                 *[
@@ -299,28 +315,26 @@ def _simhash(spark, sf):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.val")
+    ).select("doc_id", *[f"c{c}" for c in range(_N_CHUNKS)], "bb.band", "bb.val")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
+        for c in range(_N_CHUNKS)
+    ).cast("bigint")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), *[F.col(f"c{c}").alias(f"a{c}") for c in range(_N_CHUNKS)])
-    fb = fp.select(F.col("doc_id").alias("doc_b"), *[F.col(f"c{c}").alias(f"b{c}") for c in range(_N_CHUNKS)])
-    hamming = sum(
-        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(_N_CHUNKS)
-    ).cast("bigint")
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 

@@ -75,6 +75,15 @@ def test_minhash_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_no_cartesian_and_codegen(spark):
+    plan = plan_of(spark, "dedup_simhash")
+    # candidate pairs come from an equi-join on (band, chunk value)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # fingerprint is a codegen'd 64-sum aggregate, not interpreted lambdas
+    assert "HashAggregate" in plan and "BatchEvalPython" not in plan
+
+
 def test_similarity_lsh_no_cartesian(spark):
     plan = plan_of(spark, "similarity_lsh_pairs")
     assert "CartesianProduct" not in plan
