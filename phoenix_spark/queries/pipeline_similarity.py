@@ -14,9 +14,12 @@ Scale shapes:
   * brute-force top-k: broadcast the query vector, one pass over N rows, a
     TakeOrderedAndProject cut — the exact-baseline any ANN variant is
     measured against.  O(N·d) per query, embarrassingly parallel.
-  * LSH-bucketed near-dup pairs: 16-bit sign-projection (SimHash) bucket
-    key, candidate pairs from an equi-join on the bucket — never all-pairs;
-    candidates verified with exact cosine.
+  * LSH-bucketed near-dup pairs: banded sign-projection (8 bands x 8
+    deterministic hyperplanes), candidate pairs from an equi-join on
+    (band, 8-bit sign key) — never all-pairs; candidates verified with
+    exact cosine.  The hyperplanes are integer-parity mixes, so the DuckDB
+    oracle reproduces the exact band buckets and the hash compare pins
+    bucketing + banding + verification end to end.
 """
 
 from __future__ import annotations
@@ -156,59 +159,127 @@ REG.add(
     """,
 )
 
-# --- LSH-bucketed near-duplicate pairs (SimHash sign projection; the scale
-# path — rows-only check, exact-cosine verified) ------------------------------
-_NPLANES = 16
+# --- LSH-bucketed near-duplicate pairs (banded sign projection; the scale
+# path — fully oracle-paired: the hyperplanes are deterministic integer
+# mixes, so DuckDB computes the SAME band buckets and the hash compare pins
+# bucketing + banding + exact-cosine verify end to end) ------------------------
+_NPLANES = 64
+_SIM_BANDS = 8  # 8 bands x 8 planes: P(candidate) = 1-(1-p^8)^8, p = 1-θ/π.
+# Random (cosine≈0) pairs collide at ~3%; cosine≥0.4 pairs at ~20-40%.  The
+# banded recall curve sharpens with more planes per band — at 100 TB scale
+# R grows like log(N) to keep bucket sizes bounded.
+_SIM_ROWS = _NPLANES // _SIM_BANDS
+_SIM_THRESHOLD = 0.4  # the fixture's similarity range tops out at ~0.6
+
+# Hyperplane weights w[p][d] ∈ {+1,-1}: parity of a Knuth-style integer mix
+# of (plane, 1-based dim) — no RNG, identical in both engines.
+_PARITY = "pmod(d * 2654435761 + {p} * 40503, 65536) < 32768"
 
 
-def _sign_planes_expr() -> F.Column:
-    # Pseudo-random hyperplane weights w[p][d] ∈ {+1,-1} derived from a fixed
-    # integer mix (no RNG): parity of a Knuth-hash of (plane, dim).
-    bits = []
-    for p in range(_NPLANES):
-        proj = F.expr(
-            "aggregate(zip_with(q, sequence(1, size(q)), (x, d) ->"
-            f" CASE WHEN pmod((d * 2654435761 + {p} * 40503), 65536) < 32768"
-            " THEN x ELSE -x END), cast(0 as bigint), (acc, v) -> acc + v)"
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _sim_bands(spark, sf) -> DataFrame:
+    """(vec_id, band, bkey): 8-bit sign-pattern key per band, via 64
+    codegen'd SUM(CASE) projections (same shape as the text SimHash
+    fingerprint — no interpreted array lambdas in the hot path)."""
+    dims = _quantized(spark, sf).select(
+        "vec_id", F.posexplode("q").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("d"), "x")
+    projs = dims.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(_PARITY.format(p=p)), F.col("x")).otherwise(-F.col("x"))
+            ).alias(f"p{p}")
+            for p in range(_NPLANES)
+        ]
+    )
+
+    def bkey(b: int) -> F.Column:
+        out = F.lit(0)
+        for r in range(_SIM_ROWS):
+            p = b * _SIM_ROWS + r
+            out = out + F.when(F.col(f"p{p}") >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+        return out
+
+    return projs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
+                    for b in range(_SIM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bkey")
 
 
 def _lsh_pairs(spark, sf):
-    emb = _quantized(spark, sf).withColumn("bucket", _sign_planes_expr())
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("q").alias("q_a"),
-        F.col("qn").alias("qn_a"),
-        "bucket",
+    bands = _sim_bands(spark, sf)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )  # equi-join on the band bucket — never all-pairs
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("q").alias("q_b"),
-        F.col("qn").alias("qn_b"),
-        "bucket",
-    )
+    emb = _quantized(spark, sf)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("qn").alias("qn_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("qn").alias("qn_b"))
     dot = F.expr(
         "aggregate(zip_with(q_a, q_b, (x, y) -> x * y), cast(0 as bigint),"
         " (acc, v) -> acc + v)"
     )
     return (
-        a.join(b, ["bucket"])  # equi-join on the bucket — never all-pairs
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
             (dot / (F.sqrt(F.col("qn_a")) * F.sqrt(F.col("qn_b")))).alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.8)
+        .filter(F.col("cosine") >= _SIM_THRESHOLD)
     )
 
 
-REG.add("similarity_lsh_pairs", _lsh_pairs, None)
+REG.add(
+    "similarity_lsh_pairs",
+    _lsh_pairs,
+    f"""
+    WITH qe AS (
+      SELECT vec_id, {_DUCK_Q} AS q FROM embeddings
+    ),
+    projs AS (
+      SELECT vec_id, p,
+             CAST(list_sum([CASE WHEN (d * 2654435761 + p * 40503) % 65536 < 32768
+                                 THEN q[d] ELSE -q[d] END
+                            FOR d IN range(1, len(q) + 1)]) AS BIGINT) AS proj
+      FROM qe, range({_NPLANES}) r(p)
+    ),
+    bands AS (
+      SELECT vec_id, p // {_SIM_ROWS} AS band,
+             SUM(CASE WHEN proj >= 0 THEN (1 << (p % {_SIM_ROWS})) ELSE 0 END) AS bkey
+      FROM projs GROUP BY vec_id, p // {_SIM_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           {_DUCK_DOT.format(a='qa.q', b='qb.q')}
+             / (sqrt({_DUCK_DOT.format(a='qa.q', b='qa.q')})
+                * sqrt({_DUCK_DOT.format(a='qb.q', b='qb.q')})) AS cosine
+    FROM cand
+    JOIN qe qa ON qa.vec_id = cand.id_a
+    JOIN qe qb ON qb.vec_id = cand.id_b
+    WHERE {_DUCK_DOT.format(a='qa.q', b='qb.q')}
+             / (sqrt({_DUCK_DOT.format(a='qa.q', b='qa.q')})
+                * sqrt({_DUCK_DOT.format(a='qb.q', b='qb.q')})) >= {_SIM_THRESHOLD}
+    """,
+)
 
 # --- IVF-style probe: coarse cells + probe-P search (rows-only check) --------
 # The inverted-file ANN shape at 100 TB: vectors are assigned once to a

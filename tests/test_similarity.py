@@ -25,5 +25,6 @@ def test_lsh_pairs_are_symmetric_and_thresholded(spark):
     from phoenix_spark.queries import all_queries
 
     pairs = all_queries()["similarity_lsh_pairs"](spark, SF_TEST_DIR).collect()
+    assert pairs, "banded sign-LSH should surface pairs on the fixture"
     for r in pairs:
-        assert r.id_a < r.id_b and r.cosine >= 0.8
+        assert r.id_a < r.id_b and r.cosine >= 0.4
