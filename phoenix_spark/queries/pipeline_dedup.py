@@ -15,11 +15,11 @@ Four tiers, all shuffle-bounded (never all-pairs):
     distance.  The fingerprint derives every bit from md5 (identical hex in
     Spark and DuckDB), so this tier is fully oracle-paired.
   * MinHash + banded LSH — the 100 TB path: K=32 signature minima, 8 bands x
-    4 rows; candidate pairs come from an equi-join on (band, band_hash), i.e.
+    4 rows; candidate pairs come from an equi-join on (band, band_key), i.e.
     only documents sharing a band bucket ever meet; candidates are verified
-    with exact Jaccard.  Hash functions are xxhash64-seeded linear permutes
-    (engine-specific), so this entry is rows-only checked — its exact-verify
-    *output* contract is still deterministic.
+    with exact Jaccard.  The base hash is the top 60 bits of md5 and the
+    band key a Horner polynomial, both bit-reproducible in SQL — so this
+    entry is fully oracle-paired (signatures, banding, and verify).
 
 At scale the LSH join shuffles on band_hash — uniformly distributed by
 construction, so no skew; signatures are computed in one groupBy with 32
@@ -143,14 +143,17 @@ REG.add(
     """,
 )
 
-# --- MinHash + banded LSH (the at-scale near-dup path; rows-only check) ------
+# --- MinHash + banded LSH (the at-scale near-dup path; oracle-paired) --------
 _K = 32  # signature length
 _BANDS = 8  # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8 — steep around j≈0.6
 _ROWS = _K // _BANDS
 # Linear permutations h_i(x) = (a_i*x + b_i) mod P over the Mersenne prime
 # P = 2^31-1: the base hash is first reduced mod P so a_i*x stays < 2^62 —
 # no int64 overflow (ANSI mode would reject wrapping).  Constants are fixed,
-# so signatures are deterministic across runs and sessions.
+# so signatures are deterministic across runs and sessions.  The base hash
+# is the top 60 bits of md5 (identical hex in Spark and DuckDB), which makes
+# the WHOLE pipeline — signatures, band buckets, exact-Jaccard verify —
+# reproducible by the SQL oracle.
 _P = 2147483647
 _A = [(2654435761 * (2 * i + 1)) % _P or 1 for i in range(_K)]
 _B = [(0x9E3779B97F4A7C15 * (i + 1)) % _P for i in range(_K)]
@@ -162,10 +165,16 @@ def _minhash_lsh(spark, sf):
     # map (array_min ∘ transform), NO explode/groupBy shuffle.  At 100 TB the
     # only shuffle in this plan is the band-bucket join below.
     # Base-hash each shingle ONCE into an int array; the 32 permutations are
-    # then cheap affine maps over ints (32x fewer xxhash64 evaluations).
+    # then cheap affine maps over ints (32x fewer hash evaluations).
     hashed = docs.select(
         "doc_id",
-        F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias("hs"),
+        F.transform(
+            "sh",
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+                F.lit(_P),
+            ),
+        ).alias("hs"),
     )
 
     def _perm(i):
@@ -180,18 +189,21 @@ def _minhash_lsh(spark, sf):
             for i in range(_K)
         ],
     )
+    def _band_key(j):
+        # Horner polynomial over the band's 4 signature values: each s < P
+        # (2^31), so the combined value < P * 31^3 < 2^46 — no overflow, and
+        # trivially reproducible in SQL (unlike xxhash64).
+        out = F.lit(0).cast("bigint")
+        for r in range(_ROWS):
+            out = out * 31 + F.col(f"s{j * _ROWS + r}")
+        return out
+
     bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"s{j * _ROWS + r}") for r in range(_ROWS)],
-                            F.lit(j),
-                        ).alias("bkey"),
-                    )
+                    F.struct(F.lit(j).alias("band"), _band_key(j).alias("bkey"))
                     for j in range(_BANDS)
                 ]
             )
@@ -230,7 +242,58 @@ def _minhash_lsh(spark, sf):
     )
 
 
-REG.add("dedup_minhash_lsh", _minhash_lsh, None)
+# Oracle: the SAME 32 affine-permutation minima, 8 Horner band keys,
+# band-bucket candidate join, and exact hashed-shingle Jaccard — generated
+# programmatically so the constants can't drift from the Spark side.
+_MH_SIG_COLS = ",\n             ".join(
+    f"list_min([(h * {_A[i]} + {_B[i]}) % {_P} FOR h IN hs]) AS s{i}"
+    for i in range(_K)
+)
+_MH_BAND_ARMS = "\n      UNION ALL ".join(
+    "SELECT doc_id, {j} AS band, ((s{a}*31 + s{b})*31 + s{c})*31 + s{d} AS bkey"
+    " FROM sigs".format(j=j, a=4 * j, b=4 * j + 1, c=4 * j + 2, d=4 * j + 3)
+    for j in range(_BANDS)
+)
+_MH_JACCARD = (
+    "len(list_intersect(ha.hset, hb.hset))"
+    " / CAST(len(list_distinct(ha.hset || hb.hset)) AS DOUBLE)"
+)
+
+REG.add(
+    "dedup_minhash_lsh",
+    _minhash_lsh,
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) x
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(sh, s ->
+               ('0x' || substring(md5(s), 1, 15))::BIGINT % {_P}) AS hs
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             {_MH_SIG_COLS}
+      FROM hs
+    ), bands AS (
+      {_MH_BAND_ARMS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), hset AS (
+      SELECT doc_id, list_distinct(hs) AS hset FROM hs
+    )
+    SELECT doc_a, doc_b, {_MH_JACCARD} AS jaccard
+    FROM cand
+    JOIN hset ha ON ha.doc_id = cand.doc_a
+    JOIN hset hb ON hb.doc_id = cand.doc_b
+    WHERE {_MH_JACCARD} >= 0.5
+    """,
+)
 
 # --- SimHash near-dup (oracle-paired; banded Hamming buckets) -----------------
 # 64-bit SimHash: bit b of the fingerprint is the sign of
