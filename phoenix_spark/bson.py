@@ -217,3 +217,187 @@ def bson_condition(doc: Column | str, condition: str) -> Column:
     if isinstance(doc, str):
         doc = F.col(doc)
     return _Parser(doc, condition).parse()
+
+
+# ---------------------------------------------------------------------------
+# BSON_UPDATE_EXPRESSION (UpdateExpressionUtils.java:104-118;
+# BsonUpdateExpressionFunction.java): applies
+#   { "$SET": {f: v, ...}, "$UNSET": {f: null, ...},
+#     "$ADD": {f: n | [..], ...}, "$DELETE_FROM_SET": {f: [..], ...} }
+# to a document.  Documents are JSON strings here; the update is a static
+# literal (as in UPSERT ... ON DUPLICATE KEY), so the plan is built at
+# compile time and evaluated entirely JVM-side over map<string,variant> —
+# value types survive the round-trip (ints stay ints, bools stay bools).
+#
+# Scope: top-level fields (the fixture documents are flat); the reference's
+# "." / "[n]" deep paths raise BsonUpdateError rather than mis-applying.
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+
+class BsonUpdateError(ValueError):
+    """An update expression this engine refuses to silently mis-apply."""
+
+
+def _variant_lit(value) -> Column:
+    """A JSON literal as a variant Column (type-preserving)."""
+    return F.parse_json(F.lit(_json.dumps(value)))
+
+
+def _json_texts(variant_col: Column) -> Column:
+    """A variant array as an array of canonical JSON texts (set identity)."""
+    return F.transform(
+        F.try_variant_get(variant_col, "$", "array<variant>"),
+        lambda e: F.to_json(e),
+    )
+
+
+def _texts_to_variant(texts: Column) -> Column:
+    """Rebuild a variant array from JSON-text elements."""
+    return F.parse_json(
+        F.concat(F.lit("["), F.concat_ws(",", texts), F.lit("]"))
+    )
+
+
+def _st(state, kind: str) -> bool:
+    """True when a per-field fold state is the given tuple kind (a Column
+    state never equals a tuple; Column.__eq__ builds an expression)."""
+    return isinstance(state, tuple) and state[0] == kind
+
+
+def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
+    """Apply a Phoenix/DynamoDB-style update expression to a JSON document
+    column, returning the updated document as JSON text with sorted keys
+    (deterministic rendering; JSON object key order is not semantic).
+
+    $ADD on a number adds to the existing value (absent → the addend, as in
+    UpdateExpressionUtils.executeAddExpression); on an array it is set-union.
+    $DELETE_FROM_SET removes the listed values.  Sets use canonical-JSON
+    element identity.
+    """
+    if isinstance(doc, str):
+        doc = F.col(doc)
+    parsed = F.parse_json(doc)
+    spec = _json.loads(update_expr)
+    unknown = set(spec) - {"$SET", "$UNSET", "$ADD", "$DELETE_FROM_SET"}
+    if unknown:
+        raise BsonUpdateError(f"unsupported update operators: {sorted(unknown)}")
+    set_m = spec.get("$SET", {})
+    unset_m = spec.get("$UNSET", {})
+    add_m = spec.get("$ADD", {})
+    del_m = spec.get("$DELETE_FROM_SET", {})
+    fields = set(set_m) | set(unset_m) | set(add_m) | set(del_m)
+    for field in fields:
+        if "." in field or "[" in field:
+            raise BsonUpdateError(
+                f"deep path {field!r}: only top-level fields are supported"
+            )
+    # Ops chain per field in the reference's order SET → UNSET → ADD →
+    # DELETE_FROM_SET (UpdateExpressionUtils.updateExpression:104-118), each
+    # reading the previous op's result — folded here at plan time.  State per
+    # field: ('orig',) = untouched document value, ('static', v) = known
+    # literal, ('absent',) = removed, or a variant Column.
+    touched: dict[str, Column] = {}
+    removed: set[str] = set()
+    for field in fields:
+        state: tuple | Column = ("orig",)
+        if field in set_m:
+            state = ("static", set_m[field])
+        if field in unset_m:
+            state = ("absent",)
+        if field in add_m:
+            addend = add_m[field]
+            if isinstance(addend, bool) or not isinstance(
+                addend, (int, float, list)
+            ):
+                raise BsonUpdateError("$ADD takes a number or a set")
+            if isinstance(addend, list):
+                add_texts = [_json.dumps(v) for v in addend]
+                if _st(state, "orig"):
+                    texts = F.coalesce(
+                        _json_texts(
+                            F.try_variant_get(parsed, f"$.{field}", "variant")
+                        ),
+                        F.lit([]).cast("array<string>"),
+                    )
+                elif _st(state, "absent"):
+                    texts = F.lit([]).cast("array<string>")
+                elif _st(state, "static"):
+                    if not isinstance(state[1], list):
+                        raise BsonUpdateError("$ADD set over a non-set value")
+                    texts = F.lit([_json.dumps(v) for v in state[1]])
+                else:
+                    texts = _json_texts(state)
+                state = _texts_to_variant(
+                    F.array_sort(F.array_union(texts, F.lit(add_texts)))
+                )
+            else:
+                if _st(state, "orig"):
+                    cur = F.coalesce(
+                        F.try_variant_get(parsed, f"$.{field}", "double"),
+                        F.lit(0.0),
+                    )
+                elif _st(state, "absent"):
+                    cur = F.lit(0.0)
+                elif _st(state, "static"):
+                    if isinstance(state[1], bool) or not isinstance(
+                        state[1], (int, float)
+                    ):
+                        raise BsonUpdateError("$ADD number over a non-number")
+                    cur = F.lit(float(state[1]))
+                else:
+                    cur = F.try_variant_get(state, "$", "double")
+                total = cur + F.lit(float(addend))
+                # integral results render as ints (BsonInt32/64 math)
+                as_long = total.cast("long")
+                rendered = F.when(
+                    as_long.cast("double") == total, as_long.cast("string")
+                ).otherwise(total.cast("string"))
+                state = F.parse_json(rendered)
+        if field in del_m:
+            del_texts = [_json.dumps(v) for v in del_m[field]]
+            if _st(state, "orig"):
+                texts = _json_texts(
+                    F.try_variant_get(parsed, f"$.{field}", "variant")
+                )
+            elif _st(state, "absent"):
+                texts = F.lit([]).cast("array<string>")
+            elif _st(state, "static"):
+                if not isinstance(state[1], list):
+                    raise BsonUpdateError("$DELETE_FROM_SET over a non-set")
+                texts = F.lit([_json.dumps(v) for v in state[1]])
+            else:
+                texts = _json_texts(state)
+            state = _texts_to_variant(
+                F.array_sort(F.array_except(texts, F.lit(del_texts)))
+            )
+        if _st(state, "orig"):
+            continue
+        removed.add(field)
+        if _st(state, "absent"):
+            continue
+        touched[field] = (
+            _variant_lit(state[1]) if _st(state, "static") else state
+        )
+    base = F.map_filter(
+        F.from_json(doc, "map<string,variant>"),
+        lambda k, _v: ~k.isin(*removed) if removed else F.lit(True),
+    )
+    out = base
+    if touched:
+        out = F.map_concat(
+            base,
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in touched]),
+                F.array(*touched.values()),
+            ),
+        )
+    # sort by key only — a struct compare would try to order variant values
+    entries = F.array_sort(
+        F.map_entries(out),
+        lambda a, b: F.when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .otherwise(0),
+    )
+    return F.to_json(F.map_from_entries(entries))

@@ -134,6 +134,22 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "SUB_BINARY": ("postdoc", "substring on binary", "bin_bytes_bits"),
     "PHOENIX_ROW_TIMESTAMP": ("postdoc", "change-log commit timestamp column", "meta_row_timestamp"),
     "PARTITION_ID": ("postdoc", "spark_partition_id (stable bucket id analog)", "meta_partition_id"),
+    "DISTINCT_COUNT": ("postdoc", "count(DISTINCT x) (DistinctCountAggregateFunction)", "agg_count_distinct"),
+    "COLLECTDISTINCT": ("postdoc", "sort_array(collect_set(x)) (DistinctValueAggregateFunction)", "tests/test_functions.py"),
+    "SUBBINARY": ("postdoc", "substring on binary (NAME-constant spelling of SUB_BINARY; sqlfront RENAME)", "bin_bytes_bits"),
+    "BSON_VALUE_TYPE": ("postdoc", "helper bson_value_type — variant type probe → Phoenix SQL type name", "bson_value_type"),
+    "BSON_UPDATE_EXPRESSION": ("postdoc", "phoenix_spark.bson.bson_update_expression ($SET/$UNSET/$ADD/$DELETE_FROM_SET)", "tests/test_bson.py"),
+    "ROW_SIZE": ("postdoc", "helper row_size — serialized-row byte length", "tests/test_functions.py"),
+    "RAW_ROW_SIZE": ("postdoc", "helper row_size (HBase cell overhead has no parquet analog; same value)", "tests/test_functions.py"),
+    "ROWKEY_BYTES_STRING": ("postdoc", "helper rowkey_bytes_string — \\x00-joined PK rendering", "tests/test_functions.py"),
+    # HBase scan-internals diagnostics: deliberately doc-only.  Their subjects
+    # (region scan boundaries, salt segments, view-index id byte layout) do
+    # not exist in a Parquet+Catalyst engine; the nearest observable analogs
+    # are noted so a migrating user knows where to look instead.
+    "SCAN_START_KEY": ("postdoc", "doc-only: region scan boundary; Spark analog input_file_name()", "doc-only"),
+    "SCAN_END_KEY": ("postdoc", "doc-only: region scan boundary; Spark analog input_file_name()", "doc-only"),
+    "TOTAL_SEGMENTS": ("postdoc", "doc-only: salt-segment count; catalog salt metadata (scan_salted_roundtrip)", "doc-only"),
+    "DECODE_VIEW_INDEX_ID": ("postdoc", "doc-only: view-index id byte layout; index DDL is parse-only (SURVEY §4.1)", "doc-only"),
 }
 
 
@@ -243,3 +259,64 @@ def timezone_offset(tz: str, ts_col) -> Column:
 def dayofweek_iso(ts_col) -> Column:
     """DAYOFWEEK (DayOfWeekFunction.java:66, Joda): ISO Monday=1..Sunday=7."""
     return (F.weekday(_c(ts_col)) + 1).cast("int")
+
+
+def collect_distinct(col) -> Column:
+    """COLLECTDISTINCT (DistinctValueAggregateFunction.java:34): distinct
+    values of a group as an array.  The reference emits them in value-count
+    map order; sort_array pins a deterministic order instead."""
+    return F.sort_array(F.collect_set(_c(col)))
+
+
+def bson_value_type(doc_col, field: str) -> Column:
+    """BSON_VALUE_TYPE(doc, 'field') → Phoenix SQL type name of the field
+    (BsonValueTypeFunction.java:121-143: VARCHAR / INTEGER / BIGINT / DOUBLE
+    / BOOLEAN / BSON / 'NULL'; SQL NULL when the field is absent).
+
+    BSON documents are stored as JSON strings in this engine (PJson/PBson →
+    string column, see queries/scalar_json.py); the probe is Spark 4 variant
+    introspection — parse_json → try_variant_get → schema_of_variant — all
+    JVM-side.  JSON integers always parse as BIGINT-class variants, so the
+    INTEGER/BIGINT split is decided by magnitude, matching how a JSON parser
+    chooses BsonInt32 vs BsonInt64."""
+    parsed = F.parse_json(_c(doc_col))
+    v = F.try_variant_get(parsed, f"$.{field}", "variant")
+    t = F.schema_of_variant(v)
+    as_long = F.try_variant_get(parsed, f"$.{field}", "long")
+    return (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(t == "VOID", F.lit("NULL"))
+        .when(t == "STRING", F.lit("VARCHAR"))
+        .when(t == "BOOLEAN", F.lit("BOOLEAN"))
+        .when(
+            t.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
+            F.when(F.abs(as_long) <= 2147483647, F.lit("INTEGER")).otherwise(
+                F.lit("BIGINT")
+            ),
+        )
+        .when(
+            t.startswith("DECIMAL") | t.isin("DOUBLE", "FLOAT"), F.lit("DOUBLE")
+        )
+        .when(
+            t.startswith("OBJECT") | t.startswith("ARRAY") | t.startswith("MAP"),
+            F.lit("BSON"),
+        )
+        .otherwise(F.lit("VARCHAR"))
+    )
+
+
+def row_size(*cols) -> Column:
+    """ROW_SIZE / RAW_ROW_SIZE (RowSizeFunction.java, RawRowSizeFunction.java):
+    the reference sums HBase cell sizes for the row.  Cells don't exist in
+    columnar parquet, so the analog is the serialized-row byte length of the
+    projected columns (JSON rendering, octet-exact).  RAW_ROW_SIZE's extra
+    per-cell key overhead has no parquet equivalent; both names map here."""
+    return F.octet_length(F.to_json(F.struct(*[_c(c) for c in cols])))
+
+
+def rowkey_bytes_string(*pk_cols) -> Column:
+    """ROWKEY_BYTES_STRING (RowKeyBytesStringFunction.java): printable form
+    of the row key.  Phoenix rowkeys join variable-length PK parts with a
+    \\x00 separator; the analog renders the PK tuple the same way (each part
+    in its canonical string form)."""
+    return F.concat_ws("\x00", *[_c(c).cast("string") for c in pk_cols])

@@ -113,3 +113,72 @@ REG.add(
     FROM events
     """,
 )
+
+# --- BSON_VALUE_TYPE: per-field SQL type name probe --------------------------
+# (BsonValueTypeFunction.java:121-143).  A mixed-type document is constructed
+# from orders columns on BOTH engines (each with its own JSON builder — the
+# probe output is type names, so renderings never meet the hash).  The only
+# value-dependent branch, INTEGER vs BIGINT, compares exact integer
+# magnitudes (JSON ints parse as int64-class on both sides).
+_BVT_FIELDS = ("s", "i", "big", "d", "b", "arr", "obj", "z", "zz")
+
+
+def _bson_value_type(spark, sf):
+    from phoenix_spark import functions as PF
+
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderpriority").alias("s"),
+            F.col("o_orderkey").alias("i"),
+            (F.col("o_orderkey") * F.lit(2000000000)).alias("big"),
+            F.col("o_totalprice").alias("d"),
+            (F.col("o_orderkey") % 2 == 0).alias("b"),
+            F.array(F.col("o_orderkey")).alias("arr"),
+            F.struct(F.col("o_orderkey").alias("n")).alias("obj"),
+            F.lit(None).cast("int").alias("z"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", doc.alias("doc"))
+        .select(
+            "o_orderkey",
+            *[
+                PF.bson_value_type("doc", f).alias(f"t_{f}")
+                for f in _BVT_FIELDS
+            ],
+        )
+    )
+
+
+_BVT_CASE = """CASE json_type(doc, '$.{f}')
+      WHEN 'VARCHAR' THEN 'VARCHAR' WHEN 'BOOLEAN' THEN 'BOOLEAN'
+      WHEN 'DOUBLE' THEN 'DOUBLE'
+      WHEN 'UBIGINT' THEN CASE WHEN abs(json_extract(doc, '$.{f}')::BIGINT) <= 2147483647
+                               THEN 'INTEGER' ELSE 'BIGINT' END
+      WHEN 'BIGINT' THEN CASE WHEN abs(json_extract(doc, '$.{f}')::BIGINT) <= 2147483647
+                              THEN 'INTEGER' ELSE 'BIGINT' END
+      WHEN 'ARRAY' THEN 'BSON' WHEN 'OBJECT' THEN 'BSON'
+      WHEN 'NULL' THEN 'NULL' ELSE NULL END AS t_{f}"""
+
+REG.add(
+    "bson_value_type",
+    _bson_value_type,
+    """
+    WITH d AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(
+               s := o_orderpriority, i := o_orderkey,
+               big := o_orderkey * 2000000000, d := o_totalprice,
+               b := o_orderkey % 2 = 0, arr := [o_orderkey],
+               obj := struct_pack(n := o_orderkey), z := NULL::INTEGER
+             ))::JSON AS doc
+      FROM orders
+    )
+    SELECT o_orderkey, """
+    + ",\n           ".join(_BVT_CASE.format(f=f) for f in _BVT_FIELDS)
+    + """
+    FROM d
+    """,
+)

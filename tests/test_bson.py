@@ -59,3 +59,48 @@ def test_parse_errors():
         bson_condition("doc", "begins_with(")
     with pytest.raises(BsonConditionError):
         bson_condition("doc", "a ??? 5")
+
+
+def test_update_expression_chains(spark):
+    from phoenix_spark.bson import BsonUpdateError, bson_update_expression
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x", "tags": ["p", "q"], "n": 5}',)], ["doc"]
+    )
+
+    def run(expr):
+        return df.select(
+            bson_update_expression("doc", expr).alias("u")
+        ).collect()[0].u
+
+    # reference order SET -> UNSET -> ADD -> DELETE_FROM_SET, chained per
+    # field (UpdateExpressionUtils.updateExpression:104-118)
+    assert run(
+        '{"$SET": {"b": "y", "new": true}, "$UNSET": {"a": null},'
+        ' "$ADD": {"n": 3, "tags": ["r"]},'
+        ' "$DELETE_FROM_SET": {"tags": ["p"]}}'
+    ) == '{"b":"y","n":8,"new":true,"tags":["q","r"]}'
+    # $ADD on absent fields: number starts at 0, set starts empty
+    assert run('{"$ADD": {"m": 2.5, "ms": ["z"]}}') == (
+        '{"a":1,"b":"x","m":2.5,"ms":["z"],"n":5,"tags":["p","q"]}'
+    )
+    # static folds: SET then ADD then DELETE on one field
+    assert run(
+        '{"$SET": {"tags": ["a", "b"]}, "$ADD": {"tags": ["c"]},'
+        ' "$DELETE_FROM_SET": {"tags": ["a"]}}'
+    ) == '{"a":1,"b":"x","n":5,"tags":["b","c"]}'
+    assert run('{"$SET": {"n": 10}, "$ADD": {"n": 0.5}}') == (
+        '{"a":1,"b":"x","n":10.5,"tags":["p","q"]}'
+    )
+    assert run('{"$UNSET": {"n": null}, "$ADD": {"n": 7}}') == (
+        '{"a":1,"b":"x","n":7,"tags":["p","q"]}'
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(BsonUpdateError):
+        bson_update_expression("doc", '{"$RENAME": {"a": "b"}}')
+    with _pytest.raises(BsonUpdateError):
+        bson_update_expression("doc", '{"$SET": {"a.b": 1}}')
+    with _pytest.raises(BsonUpdateError):
+        bson_update_expression("doc", '{"$ADD": {"a": "not-a-number"}}')

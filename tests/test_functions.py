@@ -99,3 +99,48 @@ def test_sqlfront_shape_rewrites(spark):
     # evaluate one end-to-end through Spark
     row = spark.sql(translate_phoenix_sql("SELECT LOG(8, 2) AS lg")).collect()[0]
     assert row.lg == 3.0
+
+
+def test_collect_distinct_row_size_rowkey(spark):
+    from phoenix_spark.functions import (
+        bson_value_type,
+        collect_distinct,
+        row_size,
+        rowkey_bytes_string,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "a"), (2, "c")], ["k", "v"]
+    )
+    rows = (
+        df.groupBy("k")
+        .agg(collect_distinct("v").alias("vs"))
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.vs for r in rows] == [["a", "b"], ["c"]]
+
+    r = df.select(
+        row_size("k", "v").alias("sz"),
+        rowkey_bytes_string("k", "v").alias("rk"),
+    ).collect()[0]
+    assert r.sz == len('{"k":1,"v":"a"}')
+    assert r.rk == "1\x00a"
+
+    # type probe over a literal document (full branch coverage incl. the
+    # INTEGER/BIGINT magnitude split, json-null, and absent field)
+    doc = (
+        '{"s":"x","i":7,"big":4000000000,"d":1.5,"b":true,'
+        '"arr":[1],"obj":{"n":1},"z":null}'
+    )
+    t = spark.createDataFrame([(doc,)], ["doc"]).select(
+        *[
+            bson_value_type("doc", f).alias(f)
+            for f in ("s", "i", "big", "d", "b", "arr", "obj", "z", "zz")
+        ]
+    ).collect()[0]
+    assert t.asDict() == {
+        "s": "VARCHAR", "i": "INTEGER", "big": "BIGINT", "d": "DOUBLE",
+        "b": "BOOLEAN", "arr": "BSON", "obj": "BSON", "z": "NULL",
+        "zz": None,
+    }
