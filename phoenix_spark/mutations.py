@@ -159,7 +159,11 @@ class ManagedTable:
                         are appended (left-anti join against the current state)
           * {col: expr} — ON DUPLICATE KEY UPDATE: expressions evaluated over
                         the EXISTING row's columns for matched PKs; unmatched
-                        rows insert as given
+                        rows insert as given.  Values are SQL strings or
+                        Columns — e.g. bson.bson_update_expression for the
+                        reference's atomic BSON document updates
+                        (UpsertCompiler + PhoenixIndexBuilder ON DUPLICATE
+                        KEY UPDATE b = BSON_UPDATE_EXPRESSION(b, '...'))
         """
         ts = self._next_ts()
         if on_duplicate is None:
@@ -171,7 +175,10 @@ class ManagedTable:
         assert isinstance(on_duplicate, dict)
         matched = current.join(df.select(self.pk), on=self.pk, how="left_semi")
         updated = matched.withColumns(
-            {col: F.expr(expr) for col, expr in on_duplicate.items()}
+            {
+                col: expr if isinstance(expr, F.Column) else F.expr(expr)
+                for col, expr in on_duplicate.items()
+            }
         )
         fresh = df.join(current.select(self.pk), on=self.pk, how="left_anti")
         return self._append_segment(updated.unionByName(fresh), ts)

@@ -281,7 +281,7 @@ REG.add(
     """,
 )
 
-# --- IVF-style probe: coarse cells + probe-P search (rows-only check) --------
+# --- IVF-style probe: coarse cells + probe-P search (oracle-paired) ----------
 # The inverted-file ANN shape at 100 TB: vectors are assigned once to a
 # coarse cell (one narrow shuffle, result would be written bucketed-by-cell),
 # and a query probes only the P nearest cells — candidate set ~P/C of the
@@ -353,7 +353,50 @@ def _ivf_probe(spark, sf):
     )
 
 
-REG.add("similarity_ivf_probe", _ivf_probe, None)
+# Oracle: the SAME deterministic IVF — centroids are the first _N_CELLS
+# vectors, assignment minimizes exact integer squared-L2 with (dist, cell)
+# tie-break (row_number mirrors Spark's min(struct(d, cell))), probe = the
+# _N_PROBE nearest cells to the query, verify = exact integer cosine.
+REG.add(
+    "similarity_ivf_probe",
+    _ivf_probe,
+    f"""
+    WITH qe AS (
+      SELECT vec_id, {_DUCK_Q} AS q FROM embeddings
+    ), qn AS (
+      SELECT vec_id, q, {_DUCK_DOT.format(a='q', b='q')} AS qn FROM qe
+    ), cents AS (
+      SELECT vec_id AS cell, q AS cq, qn AS cqn FROM qn
+      WHERE vec_id < {_N_CELLS}
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 v.qn + c.cqn - 2 * {_DUCK_DOT.format(a='v.q', b='c.cq')},
+                 c.cell) AS rn
+        FROM qn v, cents c
+      ) WHERE rn = 1
+    ), q1 AS (
+      SELECT q AS qq, qn AS qqn FROM qn WHERE vec_id = 1
+    ), probe AS (
+      SELECT cell FROM cents, q1
+      ORDER BY q1.qqn + cents.cqn
+                 - 2 * {_DUCK_DOT.format(a='cents.cq', b='q1.qq')},
+               cell
+      LIMIT {_N_PROBE}
+    )
+    SELECT v.vec_id, a.cell,
+           {_DUCK_DOT.format(a='v.q', b='q1.qq')}
+             / (sqrt(v.qn) * sqrt(q1.qqn)) AS cosine
+    FROM qn v
+    JOIN assign a ON a.vec_id = v.vec_id
+    JOIN probe p ON p.cell = a.cell
+    CROSS JOIN q1
+    WHERE v.vec_id != 1
+    ORDER BY cosine DESC, v.vec_id
+    LIMIT 10
+    """,
+)
 
 # --- per-label centroids of the quantized embeddings -------------------------
 # The k-means/centroid-update kernel as a single groupBy: element-wise SUM of

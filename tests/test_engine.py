@@ -367,3 +367,31 @@ def test_error_paths(engine):
         engine.sql("CREATE TABLE nopk (k BIGINT)")
     with _pt.raises(ValueError, match="no sequence"):
         engine.sql("DROP SEQUENCE ghost_seq")
+
+
+def test_on_duplicate_key_bson_update(engine):
+    """ON DUPLICATE KEY UPDATE with a BSON update expression Column —
+    the reference's atomic document update path (UpsertCompiler +
+    BsonUpdateExpressionFunction)."""
+    from phoenix_spark.bson import bson_update_expression
+
+    engine.sql(
+        "CREATE TABLE bdoc (k BIGINT NOT NULL, props VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql('UPSERT INTO bdoc VALUES (1, \'{"hits": 1, "tags": ["a"]}\')')
+    tbl = engine.managed("bdoc")
+    df = engine.spark.createDataFrame(
+        [(1, None), (2, '{"hits": 5}')], schema=tbl.schema
+    )
+    tbl.upsert_df(
+        df,
+        on_duplicate={
+            "props": bson_update_expression(
+                "props", '{"$ADD": {"hits": 1, "tags": ["b"]}}'
+            )
+        },
+    )
+    got = {r.k: r.props for r in engine.table("bdoc").collect()}
+    assert got[1] == '{"hits":2,"tags":["a","b"]}'
+    assert got[2] == '{"hits": 5}'
