@@ -18,6 +18,11 @@ the payload:
     The real decoder hook (`decode_media`) raises NotImplementedError: the
     image/audio libs aren't in this container — the Spark-side contract
     (schema, batch iteration, partitioning) is what's real and tested.
+  * mm_frame_sample — 1→N frame sampling through mapInPandas, value-hash
+    oracle-paired (frames are code-point slices fingerprinted with md5,
+    both reproducible in SQL).
+  * mm_resize_thumbnail — fixed-dimension mean-pool downsample emitting a
+    typed array<double>, the post-decode step of an image resize.
 """
 
 from __future__ import annotations
@@ -28,8 +33,10 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -120,5 +127,120 @@ REG.add(
     lambda spark, sf: t(spark, sf, "documents")
     .select("doc_id", F.col("text").cast("binary").alias("payload"))
     .mapInPandas(_fake_features, schema=_FEAT_SCHEMA),
+    None,
+)
+
+
+# --- frame sampling: 1 item → N sampled frames (oracle-paired) ---------------
+# Video frame-sampling plumbing: each payload is treated as a sequence of
+# fixed-size frames (a real decoder would read codec frame boundaries —
+# decode_media above is the gated hook); every STRIDE-th frame is emitted as
+# its own row.  The mapInPandas iterator yields MORE rows than it receives —
+# the 1→N explode shape a frame sampler needs — while frames are sliced and
+# fingerprinted per Arrow batch.  Slicing is by code point and the
+# fingerprint is md5 of the slice's UTF-8 bytes, both of which DuckDB's
+# substr/md5 reproduce exactly — so this mapInPandas operator is value-hash
+# oracle-paired, not just rows-checked.
+_FRAME_CHARS = 64
+_FRAME_STRIDE = 4
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out: list[tuple] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n_frames = -(-len(text) // _FRAME_CHARS)  # ceil
+            for fi in range(0, n_frames, _FRAME_STRIDE):
+                frame = text[fi * _FRAME_CHARS : (fi + 1) * _FRAME_CHARS]
+                out.append(
+                    (
+                        int(doc_id),
+                        fi,
+                        hashlib.md5(frame.encode("utf-8")).hexdigest(),
+                        len(frame),
+                    )
+                )
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _FRAME_SCHEMA.fields]
+        )
+
+
+REG.add(
+    "mm_frame_sample",
+    lambda spark, sf: t(spark, sf, "documents")
+    .select("doc_id", "text")
+    .mapInPandas(_sample_frames, schema=_FRAME_SCHEMA),
+    f"""
+    SELECT doc_id,
+           fi                                                   AS frame_no,
+           md5(substr(text, fi * {_FRAME_CHARS} + 1, {_FRAME_CHARS}))
+                                                                AS frame_md5,
+           length(substr(text, fi * {_FRAME_CHARS} + 1, {_FRAME_CHARS}))
+                                                                AS frame_len
+    FROM documents,
+         LATERAL (
+           SELECT unnest(range(0,
+                    CAST(ceil(length(text) / {_FRAME_CHARS}.0) AS BIGINT),
+                    {_FRAME_STRIDE})) AS fi
+         )
+    """,
+)
+
+
+# --- resize: fixed-dimension thumbnail per item (deterministic fake) ---------
+# Image-resize plumbing: the payload's bytes are pooled into a fixed
+# _THUMB_DIM-cell thumbnail (mean byte value per equal-width cell — the
+# downsample a real resize kernel performs after decode).  Cell sums are
+# integer (< 2^53), so the emitted doubles are run-to-run deterministic;
+# the decode itself stays behind decode_media.  Output is a typed
+# array<double> column — the shape an embedding/vision model consumes.
+_THUMB_DIM = 16
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("thumb", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            if b.size == 0:
+                rows.append((int(doc_id), 0, [0.0] * _THUMB_DIM))
+                continue
+            edges = np.linspace(0, b.size, _THUMB_DIM + 1, dtype=np.int64)
+            sums = np.add.reduceat(b.astype(np.int64), edges[:-1])
+            widths = np.maximum(np.diff(edges), 1)
+            rows.append(
+                (int(doc_id), int(b.size), (sums / widths).tolist())
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in _RESIZE_SCHEMA.fields]
+        )
+
+
+REG.add(
+    "mm_resize_thumbnail",
+    lambda spark, sf: t(spark, sf, "documents")
+    .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    .mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA),
     None,
 )
