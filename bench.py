@@ -39,8 +39,12 @@ HEADLINE = [
     "setop_union_all",
     "window_sessionize",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_lsh_pairs",
     "text_stats",
+    "text_tfidf",
+    "q9_product_profit",
 ]
 
 

@@ -338,25 +338,28 @@ def _simhash_fp(spark, sf) -> DataFrame:
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
     )
 
-    def contrib(b: int) -> F.Column:
+    # Single-F.expr strings per aggregate/chunk: nested Column-object
+    # construction for 64 aggregates costs hundreds of py4j round-trips of
+    # driver time per run (same finding as pipeline_similarity._sim_bands).
+    def contrib(b: int) -> str:
         # bit b of the 64-bit md5 prefix (MSB first), mapped to +/-1
         src, sh = ("hi", 31 - b) if b < 32 else ("lo", 63 - b)
-        return F.sum(
-            F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"s{b}")
+        return f"sum((shiftright({src}, {sh}) & 1) * 2 - 1) AS s{b}"
 
-    sums = hashed.groupBy("doc_id").agg(*[contrib(b) for b in range(64)])
+    sums = hashed.groupBy("doc_id").agg(
+        *[F.expr(contrib(b)) for b in range(64)]
+    )
 
-    def chunk(c: int) -> F.Column:
-        out = F.lit(0).cast("bigint")
-        for j in range(_CHUNK_BITS):
-            b = _CHUNK_BITS * c + j
-            out = out + F.when(F.col(f"s{b}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        return out.alias(f"c{c}")
+    def chunk(c: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN s{_CHUNK_BITS * c + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_CHUNK_BITS)
+        )
+        return f"CAST({terms} AS BIGINT) AS c{c}"
 
-    return sums.select("doc_id", *[chunk(c) for c in range(_N_CHUNKS)])
+    return sums.select(
+        "doc_id", *[F.expr(chunk(c)) for c in range(_N_CHUNKS)]
+    )
 
 
 def _simhash(spark, sf):

@@ -39,11 +39,20 @@ _QNORM = f"aggregate({_QEMB}, cast(0 as bigint), (acc, v) -> acc + v * v)"
 
 
 def _quantized(spark, sf) -> DataFrame:
-    return t(spark, sf, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr(_QEMB).alias("q"),
-        F.expr(_QNORM).alias("qn"),
+    # The fixture is one parquet file = one input split, which would
+    # serialize every 64-dim quantize/projection map onto a single core
+    # (measured: _sim_bands 1.6 s → 0.4 s at sf0.1 with the spread).  The
+    # round-robin exchange ships only the raw rows once; at 100 TB the scan
+    # has thousands of splits and AQE coalesces this to a no-op.
+    return (
+        t(spark, sf, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_QEMB).alias("q"),
+            F.expr(_QNORM).alias("qn"),
+        )
     )
 
 
@@ -180,35 +189,32 @@ def _sim_bands(spark, sf) -> DataFrame:
     """(vec_id, band, bkey): 8-bit sign-pattern key per band, via 64
     codegen'd SUM(CASE) projections (same shape as the text SimHash
     fingerprint — no interpreted array lambdas in the hot path)."""
+    # Single-F.expr strings per column: building these as nested F.when
+    # Column objects costs hundreds of py4j round-trips (~1 s of driver time
+    # per run at 64 planes — measured half this query's wall time).
     dims = _quantized(spark, sf).select(
         "vec_id", F.posexplode("q").alias("pos", "x")
     ).select("vec_id", (F.col("pos") + 1).alias("d"), "x")
     projs = dims.groupBy("vec_id").agg(
         *[
-            F.sum(
-                F.when(F.expr(_PARITY.format(p=p)), F.col("x")).otherwise(-F.col("x"))
+            F.expr(
+                f"sum(CASE WHEN {_PARITY.format(p=p)} THEN x ELSE -x END)"
             ).alias(f"p{p}")
             for p in range(_NPLANES)
         ]
     )
 
-    def bkey(b: int) -> F.Column:
-        out = F.lit(0)
-        for r in range(_SIM_ROWS):
-            p = b * _SIM_ROWS + r
-            out = out + F.when(F.col(f"p{p}") >= 0, F.lit(1 << r)).otherwise(F.lit(0))
-        return out
+    def bkey(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN p{b * _SIM_ROWS + r} >= 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(_SIM_ROWS)
+        )
 
+    structs = ", ".join(
+        f"struct({b} AS band, {bkey(b)} AS bkey)" for b in range(_SIM_BANDS)
+    )
     return projs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
-                    for b in range(_SIM_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        "vec_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("vec_id", "bb.band", "bb.bkey")
 
 
