@@ -300,8 +300,14 @@ def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
     # literal, ('absent',) = removed, or a variant Column.
     touched: dict[str, Column] = {}
     removed: set[str] = set()
+    _NUM_TYPES = ("TINYINT", "SMALLINT", "INT", "BIGINT", "DOUBLE", "FLOAT")
     for field in fields:
+        # state becomes a Column only via $ADD (each op runs at most once per
+        # field, in SET → UNSET → ADD → DELETE order), so ADD's input is
+        # always orig/static/absent and DELETE's Column input is ADD's
+        # output — col_kind records whether that output was a number or set.
         state: tuple | Column = ("orig",)
+        col_kind: str | None = None
         if field in set_m:
             state = ("static", set_m[field])
         if field in unset_m:
@@ -312,42 +318,62 @@ def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
                 addend, (int, float, list)
             ):
                 raise BsonUpdateError("$ADD takes a number or a set")
+            ex = F.try_variant_get(parsed, f"$.{field}", "variant")
             if isinstance(addend, list):
                 add_texts = [_json.dumps(v) for v in addend]
                 if _st(state, "orig"):
-                    texts = F.coalesce(
-                        _json_texts(
-                            F.try_variant_get(parsed, f"$.{field}", "variant")
-                        ),
-                        F.lit([]).cast("array<string>"),
+                    # absent → start empty; present non-array → runtime
+                    # error, matching executeAddExpression's rejection
+                    arr = F.try_variant_get(ex, "$", "array<variant>")
+                    texts = (
+                        F.when(ex.isNull(), F.lit([]).cast("array<string>"))
+                        .when(
+                            arr.isNotNull(),
+                            F.transform(arr, lambda e: F.to_json(e)),
+                        )
+                        .otherwise(
+                            F.raise_error(
+                                F.lit(f"$ADD: field {field!r} is not a set")
+                            )
+                        )
                     )
                 elif _st(state, "absent"):
                     texts = F.lit([]).cast("array<string>")
-                elif _st(state, "static"):
+                else:  # static
                     if not isinstance(state[1], list):
                         raise BsonUpdateError("$ADD set over a non-set value")
                     texts = F.lit([_json.dumps(v) for v in state[1]])
-                else:
-                    texts = _json_texts(state)
                 state = _texts_to_variant(
                     F.array_sort(F.array_union(texts, F.lit(add_texts)))
                 )
+                col_kind = "set"
             else:
                 if _st(state, "orig"):
-                    cur = F.coalesce(
-                        F.try_variant_get(parsed, f"$.{field}", "double"),
-                        F.lit(0.0),
+                    # absent → 0; present non-number (string/bool/array/
+                    # null) → runtime error, not a silent 0
+                    tname = F.schema_of_variant(ex)
+                    is_num = tname.isin(*_NUM_TYPES) | tname.startswith(
+                        "DECIMAL"
+                    )
+                    cur = (
+                        F.when(ex.isNull(), F.lit(0.0))
+                        .when(is_num, F.try_variant_get(ex, "$", "double"))
+                        .otherwise(
+                            F.raise_error(
+                                F.lit(
+                                    f"$ADD: field {field!r} is not a number"
+                                )
+                            )
+                        )
                     )
                 elif _st(state, "absent"):
                     cur = F.lit(0.0)
-                elif _st(state, "static"):
+                else:  # static
                     if isinstance(state[1], bool) or not isinstance(
                         state[1], (int, float)
                     ):
                         raise BsonUpdateError("$ADD number over a non-number")
                     cur = F.lit(float(state[1]))
-                else:
-                    cur = F.try_variant_get(state, "$", "double")
                 total = cur + F.lit(float(addend))
                 # integral results render as ints (BsonInt32/64 math)
                 as_long = total.cast("long")
@@ -355,23 +381,55 @@ def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
                     as_long.cast("double") == total, as_long.cast("string")
                 ).otherwise(total.cast("string"))
                 state = F.parse_json(rendered)
+                col_kind = "num"
         if field in del_m:
-            del_texts = [_json.dumps(v) for v in del_m[field]]
+            values = del_m[field]
+            if not isinstance(values, list):
+                raise BsonUpdateError("$DELETE_FROM_SET takes a set of values")
+            del_texts = [_json.dumps(v) for v in values]
+            if isinstance(state, Column) and col_kind == "num":
+                raise BsonUpdateError("$DELETE_FROM_SET over a non-set")
             if _st(state, "orig"):
-                texts = _json_texts(
-                    F.try_variant_get(parsed, f"$.{field}", "variant")
+                # absent → keep absent (SQL-NULL sentinel, filtered from the
+                # final entries); present non-array → runtime error
+                ex = F.try_variant_get(parsed, f"$.{field}", "variant")
+                arr = F.try_variant_get(ex, "$", "array<variant>")
+                kept = _texts_to_variant(
+                    F.array_sort(
+                        F.array_except(
+                            F.transform(arr, lambda e: F.to_json(e)),
+                            F.lit(del_texts),
+                        )
+                    )
+                )
+                state = (
+                    F.when(ex.isNull(), F.lit(None).cast("variant"))
+                    .when(arr.isNotNull(), kept)
+                    .otherwise(
+                        F.raise_error(
+                            F.lit(f"$DELETE_FROM_SET: {field!r} is not a set")
+                        )
+                    )
                 )
             elif _st(state, "absent"):
-                texts = F.lit([]).cast("array<string>")
+                state = ("absent",)
             elif _st(state, "static"):
                 if not isinstance(state[1], list):
                     raise BsonUpdateError("$DELETE_FROM_SET over a non-set")
-                texts = F.lit([_json.dumps(v) for v in state[1]])
-            else:
-                texts = _json_texts(state)
-            state = _texts_to_variant(
-                F.array_sort(F.array_except(texts, F.lit(del_texts)))
-            )
+                state = _texts_to_variant(
+                    F.array_sort(
+                        F.array_except(
+                            F.lit([_json.dumps(v) for v in state[1]]),
+                            F.lit(del_texts),
+                        )
+                    )
+                )
+            else:  # Column from $ADD set
+                state = _texts_to_variant(
+                    F.array_sort(
+                        F.array_except(_json_texts(state), F.lit(del_texts))
+                    )
+                )
         if _st(state, "orig"):
             continue
         removed.add(field)
@@ -393,9 +451,12 @@ def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
                 F.array(*touched.values()),
             ),
         )
-    # sort by key only — a struct compare would try to order variant values
+    # Drop SQL-NULL values: the keep-absent sentinel from $DELETE_FROM_SET
+    # on a missing field.  (A document's own JSON nulls are variant VOID
+    # values, never SQL NULL, so they survive.)  Then sort by key only — a
+    # struct compare would try to order variant values.
     entries = F.array_sort(
-        F.map_entries(out),
+        F.filter(F.map_entries(out), lambda e: e["value"].isNotNull()),
         lambda a, b: F.when(a["key"] < b["key"], -1)
         .when(a["key"] > b["key"], 1)
         .otherwise(0),

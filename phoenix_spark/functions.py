@@ -290,9 +290,10 @@ def bson_value_type(doc_col, field: str) -> Column:
         .when(t == "BOOLEAN", F.lit("BOOLEAN"))
         .when(
             t.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
-            F.when(F.abs(as_long) <= 2147483647, F.lit("INTEGER")).otherwise(
-                F.lit("BIGINT")
-            ),
+            # asymmetric int32 range: abs() would misclassify INT32_MIN
+            F.when(
+                as_long.between(-2147483648, 2147483647), F.lit("INTEGER")
+            ).otherwise(F.lit("BIGINT")),
         )
         .when(
             t.startswith("DECIMAL") | t.isin("DOUBLE", "FLOAT"), F.lit("DOUBLE")

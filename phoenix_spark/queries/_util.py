@@ -94,3 +94,16 @@ class Registry:
     def merge(self, other: "Registry") -> None:
         for name, fn in other.queries.items():
             self.add(name, fn, other.oracles.get(name))
+
+
+def spread(spark, df):
+    """Round-robin a DataFrame across all cores before CPU-heavy per-row maps.
+
+    The fixture tables are single parquet files = one input split, which
+    would serialize hash/shingle/projection-heavy maps onto one core
+    (measured 38 s → 6 s for dedup_simhash at sf0.1).  The exchange ships
+    only the raw rows once; at 100 TB the scan has thousands of splits and
+    AQE coalesces this to noise — it also guards against pathological
+    single-large-file layouts there.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)

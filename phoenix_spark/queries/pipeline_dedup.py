@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from phoenix_spark.queries._util import Registry, t
+from phoenix_spark.queries._util import Registry, spread, t
 
 REG = Registry()
 
@@ -77,19 +77,9 @@ REG.add(
 
 
 def _docs_wide(spark, sf) -> DataFrame:
-    """documents, spread across all cores BEFORE the CPU-heavy per-doc maps.
-
-    The fixture is one small parquet file, so the scan is a single input
-    split — which would serialize shingling/fingerprinting (measured 38 s →
-    6 s at sf0.1 for dedup_simhash).  The round-robin repartition shuffles
-    only the raw text (cheap) and buys full-core parallelism for the
-    hash-heavy maps.  At 100 TB the scan has thousands of splits and this
-    exchange is AQE-coalesced noise by comparison; it also guards against
-    pathological single-large-file layouts there.
-    """
-    return t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """documents, spread across all cores BEFORE the CPU-heavy per-doc maps
+    (see _util.spread for the single-split rationale)."""
+    return spread(spark, t(spark, sf, "documents"))
 
 
 def _shingled(spark, sf) -> DataFrame:
@@ -249,10 +239,16 @@ _MH_SIG_COLS = ",\n             ".join(
     f"list_min([(h * {_A[i]} + {_B[i]}) % {_P} FOR h IN hs]) AS s{i}"
     for i in range(_K)
 )
+def _mh_band_arm(j: int) -> str:
+    # same Horner fold as the Spark-side _band_key, derived from _ROWS
+    expr = f"s{j * _ROWS}"
+    for r in range(1, _ROWS):
+        expr = f"({expr})*31 + s{j * _ROWS + r}"
+    return f"SELECT doc_id, {j} AS band, {expr} AS bkey FROM sigs"
+
+
 _MH_BAND_ARMS = "\n      UNION ALL ".join(
-    "SELECT doc_id, {j} AS band, ((s{a}*31 + s{b})*31 + s{c})*31 + s{d} AS bkey"
-    " FROM sigs".format(j=j, a=4 * j, b=4 * j + 1, c=4 * j + 2, d=4 * j + 3)
-    for j in range(_BANDS)
+    _mh_band_arm(j) for j in range(_BANDS)
 )
 _MH_JACCARD = (
     "len(list_intersect(ha.hset, hb.hset))"

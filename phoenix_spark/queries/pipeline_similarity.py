@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from phoenix_spark.queries._util import Registry, t
+from phoenix_spark.queries._util import Registry, spread, t
 
 REG = Registry()
 
@@ -39,20 +39,12 @@ _QNORM = f"aggregate({_QEMB}, cast(0 as bigint), (acc, v) -> acc + v * v)"
 
 
 def _quantized(spark, sf) -> DataFrame:
-    # The fixture is one parquet file = one input split, which would
-    # serialize every 64-dim quantize/projection map onto a single core
-    # (measured: _sim_bands 1.6 s → 0.4 s at sf0.1 with the spread).  The
-    # round-robin exchange ships only the raw rows once; at 100 TB the scan
-    # has thousands of splits and AQE coalesces this to a no-op.
-    return (
-        t(spark, sf, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "vec_id",
-            "label",
-            F.expr(_QEMB).alias("q"),
-            F.expr(_QNORM).alias("qn"),
-        )
+    # spread BEFORE the 64-dim quantize/projection maps (see _util.spread)
+    return spread(spark, t(spark, sf, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr(_QEMB).alias("q"),
+        F.expr(_QNORM).alias("qn"),
     )
 
 

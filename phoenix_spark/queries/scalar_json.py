@@ -155,9 +155,11 @@ def _bson_value_type(spark, sf):
 _BVT_CASE = """CASE json_type(doc, '$.{f}')
       WHEN 'VARCHAR' THEN 'VARCHAR' WHEN 'BOOLEAN' THEN 'BOOLEAN'
       WHEN 'DOUBLE' THEN 'DOUBLE'
-      WHEN 'UBIGINT' THEN CASE WHEN abs(json_extract(doc, '$.{f}')::BIGINT) <= 2147483647
+      WHEN 'UBIGINT' THEN CASE WHEN json_extract(doc, '$.{f}')::BIGINT
+                                 BETWEEN -2147483648 AND 2147483647
                                THEN 'INTEGER' ELSE 'BIGINT' END
-      WHEN 'BIGINT' THEN CASE WHEN abs(json_extract(doc, '$.{f}')::BIGINT) <= 2147483647
+      WHEN 'BIGINT' THEN CASE WHEN json_extract(doc, '$.{f}')::BIGINT
+                                BETWEEN -2147483648 AND 2147483647
                               THEN 'INTEGER' ELSE 'BIGINT' END
       WHEN 'ARRAY' THEN 'BSON' WHEN 'OBJECT' THEN 'BSON'
       WHEN 'NULL' THEN 'NULL' ELSE NULL END AS t_{f}"""

@@ -104,3 +104,40 @@ def test_update_expression_chains(spark):
         bson_update_expression("doc", '{"$SET": {"a.b": 1}}')
     with _pytest.raises(BsonUpdateError):
         bson_update_expression("doc", '{"$ADD": {"a": "not-a-number"}}')
+
+
+def test_update_expression_type_safety(spark):
+    """The refuse-to-mis-apply contract: $ADD/$DELETE_FROM_SET over wrong
+    runtime types raise instead of silently coercing; DELETE on an absent
+    field is a no-op (matches UpdateExpressionUtils' rejections)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from phoenix_spark.bson import BsonUpdateError, bson_update_expression
+
+    df = spark.createDataFrame([('{"a": 1, "s": "str", "tags": ["p"]}',)], ["doc"])
+
+    def run(expr):
+        return df.select(
+            bson_update_expression("doc", expr).alias("u")
+        ).collect()[0].u
+
+    # DELETE on absent field: no-op, NOT an empty set
+    assert run('{"$DELETE_FROM_SET": {"ghost": ["x"]}}') == (
+        '{"a":1,"s":"str","tags":["p"]}'
+    )
+    # runtime type mismatches raise (plan-level raise_error)
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        run('{"$DELETE_FROM_SET": {"a": ["x"]}}')  # number is not a set
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        run('{"$ADD": {"s": 1}}')  # string is not a number
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        run('{"$ADD": {"s": ["x"]}}')  # string is not a set
+    # plan-time operand validation
+    with _pytest.raises(BsonUpdateError):
+        bson_update_expression("doc", '{"$DELETE_FROM_SET": {"tags": "ab"}}')
+    with _pytest.raises(BsonUpdateError):
+        bson_update_expression(
+            "doc", '{"$ADD": {"x": 1}, "$DELETE_FROM_SET": {"x": ["y"]}}'
+        )
