@@ -209,6 +209,30 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     return f"{RENAME[up]}({', '.join(args)})"
 
 
+# Phoenix query hints (HintNode.java:50-128) → Spark hints.  Most of the
+# surface targets HBase scan/index/cache mechanics that Catalyst owns
+# outright (RANGE_SCAN, SKIP_SCAN, INDEX/NO_INDEX, NO_CACHE, SEEK_TO_COLUMN,
+# HASH_AGGREGATE, ...) — those are dropped, matching SURVEY §4.1's
+# index-selection decision.  The two with real Spark analogs translate:
+#   SERIAL              → COALESCE(1)      (single-partition result)
+#   USE_SORT_MERGE_JOIN → MERGE(<first FROM table>)  (Spark join-strategy
+#     hints bind to a relation; Phoenix's is query-global, so it is pinned
+#     to the first FROM table — forcing SMJ for every join touching it)
+
+
+def _translate_hint_body(body: str, first_table: str | None) -> str:
+    out = []
+    for name, _args in re.findall(
+        r"([A-Za-z_][A-Za-z_0-9]*)\s*(\([^)]*\))?", body
+    ):
+        up = name.upper()
+        if up == "SERIAL":
+            out.append("COALESCE(1)")
+        elif up == "USE_SORT_MERGE_JOIN" and first_table:
+            out.append(f"MERGE({first_table})")
+    return f"/*+ {', '.join(out)} */ " if out else " "
+
+
 def translate_phoenix_sql(sql: str) -> str:
     """Rewrite Phoenix-dialect SQL into Spark SQL (literal-safe)."""
     # Reassemble with rewrites applied to code segments only.  Function calls
@@ -217,15 +241,47 @@ def translate_phoenix_sql(sql: str) -> str:
     segs = segments(sql)
     masked_parts: list[str] = []
     stash: list[str] = []
+    hint_stash: list[str] = []
     for kind, text in segs:
         if kind in ("string", "ident"):
             masked_parts.append(f"\x00{len(stash)}\x00")
             stash.append(text)
         elif kind == "comment":
-            masked_parts.append(" ")
+            if text.startswith("/*+"):
+                masked_parts.append(f"\x01{len(hint_stash)}\x01")
+                hint_stash.append(text[3:-2])
+            else:
+                masked_parts.append(" ")
         else:
             masked_parts.append(text)
     masked = "".join(masked_parts)
+    if hint_stash:
+        # Spark join hints bind to the relation ALIAS when one exists
+        mfrom = re.search(
+            r"\bFROM\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+            r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+            masked,
+            re.I,
+        )
+        _KEYWORDS = {
+            "WHERE", "JOIN", "ON", "GROUP", "ORDER", "LEFT", "RIGHT",
+            "INNER", "CROSS", "FULL", "UNION", "LIMIT", "HAVING", "AS",
+        }
+        first_table = None
+        if mfrom:
+            alias = mfrom.group(2)
+            first_table = (
+                alias
+                if alias and alias.upper() not in _KEYWORDS
+                else mfrom.group(1)
+            )
+        masked = re.sub(
+            r"\x01(\d+)\x01",
+            lambda m: _translate_hint_body(
+                hint_stash[int(m.group(1))], first_table
+            ),
+            masked,
+        )
 
     def _unmask(s: str) -> str:
         return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], s)

@@ -395,3 +395,20 @@ def test_on_duplicate_key_bson_update(engine):
     got = {r.k: r.props for r in engine.table("bdoc").collect()}
     assert got[1] == '{"hits":2,"tags":["a","b"]}'
     assert got[2] == '{"hits": 5}'
+
+
+def test_hint_use_sort_merge_join_forces_smj(engine):
+    """/*+ USE_SORT_MERGE_JOIN */ through Engine.sql lands as a Spark
+    MERGE(relation) hint and flips the physical join strategy."""
+    df = engine.sql(
+        "SELECT /*+ USE_SORT_MERGE_JOIN */ o.o_orderkey, c.c_name "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    # default (no hint): the dimension side broadcasts
+    df2 = engine.sql(
+        "SELECT o.o_orderkey, c.c_name "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    assert "BroadcastHashJoin" in df2._jdf.queryExecution().executedPlan().toString()

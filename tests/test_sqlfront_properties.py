@@ -48,3 +48,31 @@ def test_segments_partition_is_lossless(parts):
     sql = "".join(parts)
     segs = segments(sql)
     assert "".join(text for _, text in segs) == sql
+
+
+def test_hint_translation():
+    from phoenix_spark.sqlfront import translate_phoenix_sql
+
+    # SERIAL and USE_SORT_MERGE_JOIN get Spark analogs; HBase-mechanics
+    # hints (scan/index/cache) are dropped per SURVEY §4.1
+    out = translate_phoenix_sql(
+        "SELECT /*+ SERIAL */ r_name FROM region ORDER BY r_name"
+    )
+    assert "/*+ COALESCE(1) */" in out
+    out = translate_phoenix_sql(
+        "SELECT /*+ USE_SORT_MERGE_JOIN */ o.o_orderkey "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    assert "/*+ MERGE(o) */" in out  # binds to the alias, as Spark requires
+    out = translate_phoenix_sql(
+        "SELECT /*+ USE_SORT_MERGE_JOIN */ o_orderkey "
+        "FROM orders JOIN customer ON o_custkey = c_custkey"
+    )
+    assert "/*+ MERGE(orders) */" in out  # no alias → table name
+    out = translate_phoenix_sql(
+        "SELECT /*+ NO_INDEX, SKIP_SCAN, INDEX(t idx) */ 1 FROM orders"
+    )
+    assert "/*+" not in out  # all dropped, Spark parses clean
+    # hint-shaped text inside a string literal is untouched
+    out = translate_phoenix_sql("SELECT '/*+ SERIAL */' AS s FROM region")
+    assert "'/*+ SERIAL */'" in out
