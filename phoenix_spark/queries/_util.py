@@ -97,13 +97,18 @@ class Registry:
 
 
 def spread(spark, df):
-    """Round-robin a DataFrame across all cores before CPU-heavy per-row maps.
+    """Round-robin a DataFrame across all cores before CPU-heavy per-row
+    maps — but ONLY when the scan is under-split.
 
     The fixture tables are single parquet files = one input split, which
     would serialize hash/shingle/projection-heavy maps onto one core
-    (measured 38 s → 6 s for dedup_simhash at sf0.1).  The exchange ships
-    only the raw rows once; at 100 TB the scan has thousands of splits and
-    AQE coalesces this to noise — it also guards against pathological
-    single-large-file layouts there.
+    (measured 38 s → 6 s for dedup_simhash at sf0.1).  The guard matters at
+    scale: an unconditional repartition() would round-robin-shuffle the
+    ENTIRE input (100 TB of raw rows), so when the scan already carries at
+    least one split per core — the normal 100 TB layout — this is a no-op
+    and the maps run directly on the scan tasks.
     """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
