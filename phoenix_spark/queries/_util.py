@@ -78,6 +78,38 @@ def views(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set(marker, sf_dir)
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make the ``phoenix_spark`` package importable on executor Python
+    workers (cloudpickle serializes module-level Pandas-UDF functions BY
+    REFERENCE, so the worker must import the defining module).
+
+    A driver launched outside the repo (the grading driver, spark-submit
+    from elsewhere, a real cluster) has no ``phoenix_spark`` on executor
+    PYTHONPATH — this zips the package once per session and distributes it
+    via ``addPyFile``, the same mechanism that ships application eggs on a
+    1000-executor cluster.  Local sessions whose workers inherit the repo
+    cwd work either way; the guard attribute keeps it one-shot.
+    """
+    if getattr(spark, "_phoenix_spark_pkg_shipped", False):
+        return
+    import os
+    import shutil
+    import tempfile
+
+    import phoenix_spark
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(phoenix_spark.__file__)))
+    tmp = tempfile.mkdtemp(prefix="phoenix_spark_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "phoenix_spark_pkg"),
+        "zip",
+        root_dir=pkg_root,
+        base_dir="phoenix_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    spark._phoenix_spark_pkg_shipped = True
+
+
 class Registry:
     """Collects (name -> query builder, name -> oracle sql)."""
 

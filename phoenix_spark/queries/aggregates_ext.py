@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from phoenix_spark.queries._util import Registry, dec, t, views
+from phoenix_spark.queries._util import Registry, dec, dsum, t, views
 
 REG = Registry()
 
@@ -211,4 +211,38 @@ REG.add(
     ),
     None,  # sketch internals are engine-specific; exact path pinned by
     # agg_percentile in aggregates.py
+)
+
+
+# --- FILTER (WHERE ...) aggregate clause (beyond-reference; SURVEY §2.4
+# notes Phoenix lacks it — ANSI FILTER is native in both Spark and DuckDB).
+# Exact-decimal sums keep the doubles bit-identical across engines.
+def _filter_clause(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        dsum("l_extendedprice").alias("sum_all"),
+        F.sum(F.when(F.col("l_returnflag") == "R", dec("l_extendedprice")))
+        .cast("double")
+        .alias("sum_returned"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias(
+            "n_discounted"
+        ),
+        F.max(F.when(F.col("l_tax") < 0.02, F.col("l_quantity"))).alias(
+            "max_lowtax_qty"
+        ),
+    )
+
+
+REG.add(
+    "agg_filter_clause",
+    _filter_clause,
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_all,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS sum_returned,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           MAX(l_quantity) FILTER (WHERE l_tax < 0.02) AS max_lowtax_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
 )

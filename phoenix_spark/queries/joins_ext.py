@@ -44,14 +44,14 @@ def _asof(spark, sf):
         "event_id",
         "ts",
         "event_type",
-        F.lit(None).cast("timestamp").alias("signup_ts"),
+        F.lit(None).cast("timestamp_ntz").alias("signup_ts"),
     ).unionByName(
         right.select(
             "user_id",
             F.col("signup_ts").alias("ord_ts"),
             F.lit(0).alias("tag"),
             F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
             F.lit(None).cast("string").alias("event_type"),
             "signup_ts",
         )

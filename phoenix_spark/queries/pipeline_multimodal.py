@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from phoenix_spark.queries._util import Registry, t
+from phoenix_spark.queries._util import Registry, ship_package, t
 
 REG = Registry()
 
@@ -122,13 +122,16 @@ def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 # --- mapInPandas decode/featurize plumbing (rows-only check) -----------------
 # mean_byte = sum/size: integer sum (< 2^53) divided once — deterministic.
-REG.add(
-    "mm_decode_features",
-    lambda spark, sf: t(spark, sf, "documents")
-    .select("doc_id", F.col("text").cast("binary").alias("payload"))
-    .mapInPandas(_fake_features, schema=_FEAT_SCHEMA),
-    None,
-)
+def _decode_features(spark, sf):
+    ship_package(spark)  # executors must import this module for the UDF
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .mapInPandas(_fake_features, schema=_FEAT_SCHEMA)
+    )
+
+
+REG.add("mm_decode_features", _decode_features, None)
 
 
 # --- frame sampling: 1 item → N sampled frames (oracle-paired) ---------------
@@ -176,11 +179,18 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _frame_sample(spark, sf):
+    ship_package(spark)
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+    )
+
+
 REG.add(
     "mm_frame_sample",
-    lambda spark, sf: t(spark, sf, "documents")
-    .select("doc_id", "text")
-    .mapInPandas(_sample_frames, schema=_FRAME_SCHEMA),
+    _frame_sample,
     f"""
     SELECT doc_id,
            fi                                                   AS frame_no,
@@ -237,10 +247,13 @@ def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-REG.add(
-    "mm_resize_thumbnail",
-    lambda spark, sf: t(spark, sf, "documents")
-    .select("doc_id", F.col("text").cast("binary").alias("payload"))
-    .mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA),
-    None,
-)
+def _resize_thumbnail(spark, sf):
+    ship_package(spark)
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA)
+    )
+
+
+REG.add("mm_resize_thumbnail", _resize_thumbnail, None)

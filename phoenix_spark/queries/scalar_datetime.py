@@ -63,11 +63,16 @@ REG.add(
     "dt_trunc_round",
     lambda spark, sf: t(spark, sf, "events").select(
         "event_id",
-        F.date_trunc("hour", F.col("ts")).alias("ts_trunc_h"),
-        F.date_trunc("day", F.col("ts")).alias("ts_trunc_d"),
-        F.date_trunc("month", F.col("ts")).alias("ts_trunc_mo"),
+        # date_trunc promotes NTZ→LTZ in Spark 4; cast back so returned
+        # timestamps stay naive like the DuckDB oracle's
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("ts_trunc_h"),
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("ts_trunc_d"),
+        F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("ts_trunc_mo"),
+        # inner cast: ts is TIMESTAMP_NTZ and unix_micros needs LTZ; outer
+        # cast back to NTZ so the returned column matches DuckDB's naive type
         F.expr(
-            "timestamp_seconds(((unix_micros(ts) div 1000000 + 1800) div 3600) * 3600)"
+            "cast(timestamp_seconds(((unix_micros(cast(ts as timestamp))"
+            " div 1000000 + 1800) div 3600) * 3600) as timestamp_ntz)"
         ).alias("ts_round_h"),
     ),
     """
@@ -90,7 +95,9 @@ REG.add(
         F.date_format("o_orderdate", "yyyy/MM").alias("ch_ym"),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("plus3d"),
         (F.col("o_orderdate") - F.expr("INTERVAL 90 MINUTES")).alias("minus90m"),
-        F.from_utc_timestamp("o_orderdate", "America/New_York").alias("ny_time"),
+        F.from_utc_timestamp("o_orderdate", "America/New_York")
+        .cast("timestamp_ntz")
+        .alias("ny_time"),
     ),
     """
     SELECT o_orderkey,
@@ -113,8 +120,12 @@ REG.add(
         "o_orderkey",
         F.to_timestamp(
             F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss"), "MM/dd/yyyy HH:mm:ss"
-        ).alias("roundtrip"),
-        F.to_timestamp(F.lit("07/04/1996"), "MM/dd/yyyy").alias("fixed"),
+        )
+        .cast("timestamp_ntz")
+        .alias("roundtrip"),
+        F.to_timestamp(F.lit("07/04/1996"), "MM/dd/yyyy")
+        .cast("timestamp_ntz")
+        .alias("fixed"),
     ),
     """
     SELECT o_orderkey,

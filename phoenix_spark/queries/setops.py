@@ -236,3 +236,35 @@ REG.add(
     WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier)
     """,
 )
+
+# --- INTERSECT ALL / EXCEPT ALL (bag semantics; beyond-reference) -------------
+# Phoenix has no set ops beyond UNION ALL; Spark's intersectAll/exceptAll are
+# the bag-semantics variants (multiplicity = min / difference of counts).
+REG.add(
+    "setop_intersect_all",
+    lambda spark, sf: t(spark, sf, "orders")
+    .select(F.col("o_custkey").alias("k"))
+    .intersectAll(
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_suppkey").alias("k"))
+    ),
+    """
+    SELECT o_custkey AS k FROM orders
+    INTERSECT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+
+REG.add(
+    "setop_except_all",
+    lambda spark, sf: t(spark, sf, "lineitem")
+    .filter(F.col("l_linenumber") <= 2)
+    .select(F.col("l_suppkey").alias("k"))
+    .exceptAll(t(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))),
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber <= 2
+    EXCEPT ALL
+    SELECT s_suppkey AS k FROM supplier
+    """,
+)

@@ -91,7 +91,10 @@ REG.add(
 def _sessionize(spark, sf):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = t(spark, sf, "events").select(
-        "user_id", "event_id", "ts", F.expr("unix_micros(ts)").alias("us")
+        # cast: ts reads as TIMESTAMP_NTZ (naive parquet micros) and
+        # unix_micros requires LTZ; the UTC session makes the cast exact
+        "user_id", "event_id", "ts",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
     )
     gap = F.col("us") - F.lag("us", 1).over(w)
     sess = ev.withColumn(

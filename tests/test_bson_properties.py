@@ -46,11 +46,13 @@ def _model(doc: dict, spec: dict):
         out[f] = v
     for f in spec.get("$UNSET", {}):
         out.pop(f, None)
+    # NB: an explicit JSON null is PRESENT-with-wrong-type, not absent —
+    # UpdateExpressionUtils' bsonDocument.get() returns BsonNull (a non-null
+    # reference), so ADD/DELETE on it throw (reference: UpdateExpressionUtils
+    # .java modifyFieldValueByDeleteFromSet / executeAddExpression).
     for f, addend in spec.get("$ADD", {}).items():
-        cur = out.get(f)
         if isinstance(addend, list):
-            if cur is None:
-                cur = []
+            cur = [] if f not in out else out[f]
             if not isinstance(cur, list):
                 return "ERROR"
             merged = list(cur)
@@ -59,18 +61,17 @@ def _model(doc: dict, spec: dict):
                     merged.append(x)
             out[f] = sorted(merged, key=lambda x: json.dumps(x))
         else:
-            if cur is None:
-                cur = 0
+            cur = 0 if f not in out else out[f]
             if isinstance(cur, bool) or not isinstance(cur, (int, float)):
                 return "ERROR"
             total = float(cur) + float(addend)
             out[f] = int(total) if total == int(total) else total
     for f, dels in spec.get("$DELETE_FROM_SET", {}).items():
-        cur = out.get(f)
-        if cur is None:
+        if f not in out:
             continue  # absent -> no-op
+        cur = out[f]
         if not isinstance(cur, list):
-            return "ERROR"
+            return "ERROR"  # includes explicit null (BsonNull is not a set)
         kept = sorted(
             {json.dumps(x) for x in cur} - {json.dumps(x) for x in dels}
         )

@@ -275,3 +275,23 @@ def test_q21_decorrelated_no_rescan_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" in plan
+
+
+def test_no_ltz_timestamp_outputs(spark):
+    """Every returned timestamp column is TIMESTAMP_NTZ (naive), matching the
+    DuckDB oracle's naive-UTC parquet read bit-for-bit at collect time.  The
+    fixture parquet stores naive timestamp[us]; LTZ-only functions
+    (unix_micros, from_utc_timestamp, ...) must cast at the use site and cast
+    back on output."""
+    import pyspark.sql.types as T
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        ltz = [
+            f.name
+            for f in fn(spark, SF_TEST_DIR).schema.fields
+            if isinstance(f.dataType, T.TimestampType)
+        ]
+        if ltz:
+            offenders[name] = ltz
+    assert not offenders, offenders
