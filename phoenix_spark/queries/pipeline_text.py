@@ -325,3 +325,43 @@ REG.add(
     FROM documents
     """,
 )
+
+
+# --- PII-style redaction (training-data cleanup) ------------------------------
+# The pre-training scrub pass: pattern-classes are replaced with stable
+# placeholder tokens so downstream dedup/fingerprints stay deterministic.
+# The fixture text is synthetic lowercase prose, so the patterns double as a
+# regexp_replace-chain pin: digit runs (phone/ID analogue), x@y word pairs
+# (email analogue), and long alnum runs (key/token analogue).  Pure JVM
+# regexp_replace chain — one map over the scan, no shuffle, trivially
+# scale-safe.
+REG.add(
+    "text_redact",
+    lambda spark, sf: t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+                r"\d{4,}",
+                "<NUM>",
+            ),
+            r"[a-z0-9]{18,}",
+            "<TOKEN>",
+        ).alias("clean_text"),
+        (
+            F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)"))
+            + F.size(F.expr(r"regexp_extract_all(text, '\\d{4,}', 0)"))
+        ).cast("int").alias("n_redactions"),
+    ),
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\d{4,}', '<NUM>', 'g'),
+             '[a-z0-9]{18,}', '<TOKEN>', 'g')                    AS clean_text,
+           CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+                + len(regexp_extract_all(text, '\d{4,}')) AS INT) AS n_redactions
+    FROM documents
+    """,
+)

@@ -184,3 +184,39 @@ REG.add(
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
+
+
+# --- distribution windows: ntile / cume_dist / percent_rank ------------------
+# The remaining ANSI ranking family (beyond-reference, like all of §2.5).
+# Ties: the ORDER BY includes the unique o_orderkey suffix ONLY for ntile
+# (bucket assignment needs a total order to be deterministic); cume_dist and
+# percent_rank deliberately run on the non-unique price alone so their
+# tie-group semantics (counts of peers) are what's pinned.
+def _dist_windows(spark, sf):
+    wt = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wp = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(wt).alias("quartile"),
+        F.cume_dist().over(wp).alias("cd"),
+        F.percent_rank().over(wp).alias("pr"),
+    )
+
+
+REG.add(
+    "window_dist_ntile",
+    _dist_windows,
+    """
+    SELECT o_custkey, o_orderkey,
+           ntile(4)       OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+           cume_dist()    OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC)             AS cd,
+           percent_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC)             AS pr
+    FROM orders
+    """,
+)
