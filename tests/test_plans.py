@@ -277,21 +277,36 @@ def test_q21_decorrelated_no_rescan_joins(spark):
     assert "HashAggregate" in plan
 
 
-def test_no_ltz_timestamp_outputs(spark):
-    """Every returned timestamp column is TIMESTAMP_NTZ (naive), matching the
-    DuckDB oracle's naive-UTC parquet read bit-for-bit at collect time.  The
-    fixture parquet stores naive timestamp[us]; LTZ-only functions
-    (unix_micros, from_utc_timestamp, ...) must cast at the use site and cast
-    back on output."""
+def test_output_dtype_discipline(spark):
+    """Returned columns use only hash-stable types vs the DuckDB oracle:
+
+    - no TIMESTAMP (LTZ): the fixture parquet is naive timestamp[us], so
+      LTZ-only functions (unix_micros, from_utc_timestamp, ...) must cast at
+      the use site and emit TIMESTAMP_NTZ — collect-time values then match
+      DuckDB's naive read bit-for-bit;
+    - no DECIMAL or FLOAT outputs (incl. nested in arrays/structs): pandas
+      renders Spark Decimal objects / float32 differently from DuckDB's —
+      final columns are cast to double/bigint/string instead."""
     import pyspark.sql.types as T
+
+    def risky(dt, path):
+        if isinstance(dt, (T.TimestampType, T.DecimalType, T.FloatType)):
+            return [path]
+        if isinstance(dt, T.ArrayType):
+            return risky(dt.elementType, path + "[]")
+        if isinstance(dt, T.StructType):
+            return [
+                p for f in dt.fields for p in risky(f.dataType, f"{path}.{f.name}")
+            ]
+        return []
 
     offenders = {}
     for name, fn in QUERIES.items():
-        ltz = [
-            f.name
+        hits = [
+            p
             for f in fn(spark, SF_TEST_DIR).schema.fields
-            if isinstance(f.dataType, T.TimestampType)
+            for p in risky(f.dataType, f.name)
         ]
-        if ltz:
-            offenders[name] = ltz
+        if hits:
+            offenders[name] = hits
     assert not offenders, offenders
