@@ -152,3 +152,43 @@ REG.add(
     FROM orders
     """,
 )
+
+
+# --- LIKE with ESCAPE (SURVEY §7 hard-part 8) ---------------------------------
+# Phoenix LikeExpression treats \ as the escape for literal %/_; Spark and
+# DuckDB both take an explicit ESCAPE clause, which sidesteps the engines'
+# different string-literal backslash parsing.  Even-keyed rows get their
+# underscore replaced with 'X' so the two predicates genuinely diverge:
+# `wild` ('_' = any char) stays true for every row, `esc` (escaped literal
+# underscore) is true only where the '_' survived.
+def _like_escape(spark, sf):
+    n = t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.expr(
+            "CASE WHEN n_nationkey % 2 = 0 THEN replace(n_name, '_', 'X')"
+            " ELSE n_name END"
+        ).alias("u"),
+    )
+    return n.select(
+        "n_nationkey",
+        "u",
+        F.expr("u LIKE '%!_%' ESCAPE '!'").alias("esc"),
+        F.expr("u LIKE 'NATION_%'").alias("wild"),
+    )
+
+
+REG.add(
+    "filter_like_escape",
+    _like_escape,
+    """
+    SELECT n_nationkey, u,
+           u LIKE '%!_%' ESCAPE '!'  AS esc,
+           u LIKE 'NATION_%'         AS wild
+    FROM (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 2 = 0 THEN replace(n_name, '_', 'X')
+                  ELSE n_name END AS u
+      FROM nation
+    ) s
+    """,
+)

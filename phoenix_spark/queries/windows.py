@@ -88,9 +88,13 @@ REG.add(
 
 # --- sessionization: 30-minute inactivity gap (the Structured-Streaming
 # session_window analogue, computed batch-side with lag + running sum) --------
-def _sessionize(spark, sf):
+def sessionize(ev, gap_minutes: int = 30):
+    """Session assignment over any (user_id, event_id, ts) DataFrame: a new
+    session starts after ``gap_minutes`` of inactivity.  Exposed for reuse
+    (and the property-based model check in tests/test_window_properties.py).
+    """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = t(spark, sf, "events").select(
+    ev = ev.select(
         # cast: ts reads as TIMESTAMP_NTZ (naive parquet micros) and
         # unix_micros requires LTZ; the UTC session makes the cast exact
         "user_id", "event_id", "ts",
@@ -99,7 +103,7 @@ def _sessionize(spark, sf):
     gap = F.col("us") - F.lag("us", 1).over(w)
     sess = ev.withColumn(
         "new_sess",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
     ).withColumn(
         "session_id",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -112,6 +116,10 @@ def _sessionize(spark, sf):
             F.max("ts").alias("session_end"),
         )
     )
+
+
+def _sessionize(spark, sf):
+    return sessionize(t(spark, sf, "events"))
 
 
 REG.add(
