@@ -131,7 +131,30 @@ def _decode_features(spark, sf):
     )
 
 
-REG.add("mm_decode_features", _decode_features, None)
+# Oracle-paired: fixture text is pure ASCII (verified: max codepoint 121),
+# so unicode(char) == byte value and DuckDB can recompute the histogram +
+# integer-sum mean exactly — the Pandas-UDF batch plumbing gets a value-hash
+# check, not just a row count.  (The Python path stays general for non-ASCII
+# payloads; only the oracle relies on the fixture's ASCII-ness.)
+REG.add(
+    "mm_decode_features",
+    _decode_features,
+    """
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             [unicode(text[p]) FOR p IN range(1, length(text) + 1)] AS bs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(list_sum(bs) AS DOUBLE) / n AS mean_byte,
+           CAST(len(list_filter(bs, x -> x // 64 = 0)) AS BIGINT) AS h0,
+           CAST(len(list_filter(bs, x -> x // 64 = 1)) AS BIGINT) AS h1,
+           CAST(len(list_filter(bs, x -> x // 64 = 2)) AS BIGINT) AS h2,
+           CAST(len(list_filter(bs, x -> x // 64 = 3)) AS BIGINT) AS h3
+    FROM b
+    """,
+)
 
 
 # --- frame sampling: 1 item → N sampled frames (oracle-paired) ---------------
@@ -249,11 +272,45 @@ def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _resize_thumbnail(spark, sf):
     ship_package(spark)
-    return (
+    pooled = (
         t(spark, sf, "documents")
         .select("doc_id", F.col("text").cast("binary").alias("payload"))
         .mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA)
     )
+    # Registry contract flattens the typed array<double> to one row per
+    # pooling cell: every registered output column stays a plain scalar
+    # (the hash-compare format proven against the driver; pinned by
+    # tests/test_plans.py::test_output_dtype_discipline).
+    return pooled.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("thumb").alias("cell", "cell_mean"),
+    ).select("doc_id", "n_bytes", F.col("cell").cast("bigint"), "cell_mean")
 
 
-REG.add("mm_resize_thumbnail", _resize_thumbnail, None)
+# Oracle-paired under two fixture facts (both verified at every SF): text is
+# pure ASCII (unicode(char) == byte value) and length >= 16 (every pooling
+# cell is non-empty, so numpy reduceat == plain slice sum).  np.linspace
+# edges equal (c*n)//16 exactly: n/16 is an exponent shift (exact double),
+# and c*(n/16) stays < 2^53, so int64 truncation == floor division — both
+# engines compute identical cell boundaries, integer sums, and one IEEE
+# division per cell.
+REG.add(
+    "mm_resize_thumbnail",
+    _resize_thumbnail,
+    f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             [unicode(text[p]) FOR p IN range(1, length(text) + 1)] AS bs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           c AS cell,
+           CAST(list_sum(bs[((c * n) // {_THUMB_DIM} + 1)
+                            :(((c + 1) * n) // {_THUMB_DIM})]) AS DOUBLE)
+             / (((c + 1) * n) // {_THUMB_DIM} - (c * n) // {_THUMB_DIM})
+             AS cell_mean
+    FROM b, range({_THUMB_DIM}) r(c)
+    """,
+)

@@ -15,6 +15,10 @@ import pandas as pd
 
 
 def _norm_cell(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):  # DuckDB returns LIST columns as ndarray
+        v = v.tolist()
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<NULL>"
     if pd.isna(v) if not isinstance(v, (list, tuple, dict, set)) else False:
