@@ -62,6 +62,8 @@ class Engine:
         # tenant connection sees an implicit WHERE tenant = ? and never the
         # tenant column itself.
         self.tenant_id = tenant_id
+        self._registered: set[str] = set()
+        self._ts_cols: set[str] | None = None
         if sf_dir is not None:
             self.attach(sf_dir)
 
@@ -84,6 +86,7 @@ class Engine:
         """Point the engine at a data directory and register its tables."""
         self.catalog = Catalog(self.spark, sf_dir)
         self.catalog.register_all()
+        self._ts_cols = None
         return self
 
     def table(
@@ -135,6 +138,30 @@ class Engine:
     def _register(self, name: str) -> None:
         # temp view names cannot be dotted; register the bare table name
         self.table(name).createOrReplaceTempView(name.split(".")[-1])
+        self._registered.add(name.split(".")[-1])
+        self._ts_cols = None  # new schema may add date/timestamp columns
+
+    def _ts_columns(self) -> set[str]:
+        """Names of date/timestamp-typed columns across attached + managed
+        tables — catalog knowledge the sqlfront needs to rewrite Phoenix
+        ``date ± int`` (days) arithmetic (DateAddExpression analogue)."""
+        if self._ts_cols is not None:
+            return self._ts_cols
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        cols: set[str] = set()
+        sources = []
+        if self.catalog is not None:
+            sources += [self.catalog.df(n) for n in self.catalog.tables]
+        sources += [self.spark.table(n) for n in self._registered]
+        for df in sources:
+            cols.update(
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (DateType, TimestampType, TimestampNTZType))
+            )
+        self._ts_cols = cols
+        return cols
 
     # -- sequences (SequenceRegionObserver analogue) -----------------------
 
@@ -200,7 +227,9 @@ class Engine:
     # -- per-statement executors -------------------------------------------
 
     def _exec_select(self, text: str) -> DataFrame:
-        return self.spark.sql(translate_phoenix_sql(text))
+        return self.spark.sql(
+            translate_phoenix_sql(text, ts_columns=self._ts_columns())
+        )
 
     def _exec_explain(self, text: str) -> DataFrame:
         plan = self.explain(re.sub(r"^\s*EXPLAIN\s+", "", text, flags=re.I))

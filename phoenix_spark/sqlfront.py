@@ -76,6 +76,9 @@ _SHAPE_FNS = (
     "REGEXP_SUBSTR",
     "STRING_TO_ARRAY",
     "TO_NUMBER",
+    "TO_DATE",
+    "TO_TIME",
+    "TO_TIMESTAMP",
     "LOG",
     "CONVERT_TZ",
     "TIMEZONE_OFFSET",
@@ -164,6 +167,20 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             "TO_NUMBER(value, format) format patterns are not supported; "
             "cast explicitly instead"
         )
+    if up in ("TO_DATE", "TO_TIME", "TO_TIMESTAMP"):
+        # Phoenix DATE/TIME/TIMESTAMP all carry full time (PDate is ms-epoch
+        # — ToDateFunction.java), so every variant maps to a timestamp, NOT
+        # Spark's to_date (which truncates to DateType).  Cast to NTZ to
+        # match the engine's naive-timestamp column discipline.
+        if len(args) == 1:
+            return f"cast(to_timestamp({args[0]}) as timestamp_ntz)"
+        if len(args) == 2:
+            # java.text patterns ≈ Spark datetime patterns for the common
+            # yyyy/MM/dd/HH/mm/ss letters; exotic letters raise at runtime
+            return f"cast(to_timestamp({args[0]}, {args[1]}) as timestamp_ntz)"
+        raise PhoenixTranslationError(
+            f"{up} with a timezone argument is not supported; use CONVERT_TZ"
+        )
     if up == "LOG":
         # Phoenix LOG(x[, base]) defaults to base 10; Spark log(base, x)
         if len(args) == 1:
@@ -233,8 +250,34 @@ def _translate_hint_body(body: str, first_table: str | None) -> str:
     return f"/*+ {', '.join(out)} */ " if out else " "
 
 
-def translate_phoenix_sql(sql: str) -> str:
-    """Rewrite Phoenix-dialect SQL into Spark SQL (literal-safe)."""
+_DATE_ARITH_RE = re.compile(
+    r"((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))"  # (qualified) column
+    r"\s*([+-])\s*"
+    r"(\d+)\b(?!\s*\.\d)"  # integer literal (not the start of a decimal)
+)
+
+
+def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
+    """Phoenix `date + n` / `date - n` means n DAYS (DateAddExpression /
+    DateSubtractExpression) — Spark rejects timestamp ± int, so rewrite to
+    INTERVAL arithmetic for columns known (from the catalog) to be
+    date/timestamp typed.  Masked text: literals can't false-match."""
+    lowered = {c.lower() for c in ts_columns}
+
+    def sub(m: re.Match) -> str:
+        if m.group(2).lower() not in lowered:
+            return m.group(0)
+        return f"{m.group(1)} {m.group(3)} INTERVAL '{m.group(4)}' DAY"
+
+    return _DATE_ARITH_RE.sub(sub, masked)
+
+
+def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:
+    """Rewrite Phoenix-dialect SQL into Spark SQL (literal-safe).
+
+    ``ts_columns``: names of date/timestamp-typed columns (the caller's
+    catalog knowledge) — enables the Phoenix ``date ± int`` (days) rewrite.
+    """
     # Reassemble with rewrites applied to code segments only.  Function calls
     # may span literal boundaries (an argument IS a literal), so rather than
     # rewriting code segments independently, mask literals, rewrite, unmask.
@@ -286,6 +329,8 @@ def translate_phoenix_sql(sql: str) -> str:
     def _unmask(s: str) -> str:
         return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], s)
 
+    if ts_columns:
+        masked = _rewrite_date_arith(masked, ts_columns)
     # Rewrites need literal args visible (STRING_TO_ARRAY escapes them), so
     # unmask per-argument inside the rewriter via a wrapper.
     rewritten = _rewrite_code_masked(masked, _unmask)

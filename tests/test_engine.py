@@ -412,3 +412,47 @@ def test_hint_use_sort_merge_join_forces_smj(engine):
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
     )
     assert "BroadcastHashJoin" in df2._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# Phoenix-dialect TPC-H through Engine.sql (the §3.1 executeQuery lifecycle:
+# dialect translate → Catalyst → DataFrame), vs the DataFrame builders
+# ---------------------------------------------------------------------------
+
+def test_translate_to_date_carries_time():
+    out = translate_phoenix_sql("SELECT TO_DATE('1996-01-01') FROM t")
+    assert "cast(to_timestamp('1996-01-01') as timestamp_ntz)" in out
+
+
+def test_translate_date_plus_int_is_days():
+    out = translate_phoenix_sql(
+        "SELECT * FROM t WHERE l_shipdate > o_orderdate + 60 AND l_quantity + 60 > 0",
+        ts_columns={"o_orderdate", "l_shipdate"},
+    )
+    assert "o_orderdate + INTERVAL '60' DAY" in out
+    # non-date columns keep plain integer arithmetic
+    assert "l_quantity + 60 > 0" in out
+
+
+def test_engine_sql_phoenix_dialect_q4(spark):
+    """Q4 written in Phoenix dialect (TO_DATE literals, date+int day
+    arithmetic, EXISTS) must equal the DataFrame builder's result."""
+    from phoenix_spark.engine import Engine
+    from phoenix_spark.queries import all_queries
+
+    e = Engine(spark, SF_TEST_DIR)
+    got = e.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TO_DATE('1996-01-01')
+          AND o_orderdate < TO_DATE('1996-04-01')
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + 60)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    ).collect()
+    want = all_queries()["q4_order_priority"](spark, SF_TEST_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
