@@ -256,20 +256,40 @@ _DATE_ARITH_RE = re.compile(
     r"(\d+)\b(?!\s*\.\d)"  # integer literal (not the start of a decimal)
 )
 
+_DATE_DIFF_RE = re.compile(
+    r"((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))"  # left column
+    r"\s*-\s*"
+    r"((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))"  # right column
+)
+
 
 def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
-    """Phoenix `date + n` / `date - n` means n DAYS (DateAddExpression /
-    DateSubtractExpression) — Spark rejects timestamp ± int, so rewrite to
-    INTERVAL arithmetic for columns known (from the catalog) to be
-    date/timestamp typed.  Masked text: literals can't false-match."""
+    """Phoenix date arithmetic (DateAddExpression / DateSubtractExpression)
+    for columns known (from the catalog) to be date/timestamp typed:
+
+      date ± n    → n DAYS of INTERVAL arithmetic (Spark rejects ts ± int)
+      date - date → fractional days as DOUBLE (Phoenix returns DECIMAL days)
+
+    Masked text: literals can't false-match."""
     lowered = {c.lower() for c in ts_columns}
 
-    def sub(m: re.Match) -> str:
+    def _days(col: str) -> str:
+        return f"unix_micros(cast({col} as timestamp))"
+
+    def sub_diff(m: re.Match) -> str:
+        if m.group(2).lower() not in lowered or m.group(4).lower() not in lowered:
+            return m.group(0)
+        return (
+            f"(cast({_days(m.group(1))} - {_days(m.group(3))} as double)"
+            " / 86400000000)"
+        )
+
+    def sub_int(m: re.Match) -> str:
         if m.group(2).lower() not in lowered:
             return m.group(0)
         return f"{m.group(1)} {m.group(3)} INTERVAL '{m.group(4)}' DAY"
 
-    return _DATE_ARITH_RE.sub(sub, masked)
+    return _DATE_ARITH_RE.sub(sub_int, _DATE_DIFF_RE.sub(sub_diff, masked))
 
 
 def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:

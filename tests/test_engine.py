@@ -456,3 +456,30 @@ def test_engine_sql_phoenix_dialect_q4(spark):
     ).collect()
     want = all_queries()["q4_order_priority"](spark, SF_TEST_DIR).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_translate_date_minus_date_fractional_days():
+    out = translate_phoenix_sql(
+        "SELECT l_shipdate - o_orderdate AS lag_days, a - b FROM t",
+        ts_columns={"o_orderdate", "l_shipdate"},
+    )
+    assert (
+        "(cast(unix_micros(cast(l_shipdate as timestamp))"
+        " - unix_micros(cast(o_orderdate as timestamp)) as double)"
+        " / 86400000000) AS lag_days" in out
+    )
+    assert "a - b" in out  # non-date pairs untouched
+
+
+def test_engine_sql_date_minus_date(spark):
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, SF_TEST_DIR)
+    row = e.sql(
+        """
+        SELECT MAX(l_shipdate - o_orderdate) AS max_lag
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        """
+    ).collect()[0]
+    assert isinstance(row.max_lag, float)  # DOUBLE days, not an interval
+    assert 0 < row.max_lag < 10_000  # synthetic fixture lags span years
