@@ -61,18 +61,26 @@ REG.add(
 # on both engines; TRUNC via date_trunc.
 REG.add(
     "dt_trunc_round",
+    # All four columns are pure NTZ *field* arithmetic — no LTZ round-trip.
+    # (date_trunc / unix_micros cast NTZ through the session zone, which
+    # breaks across DST gaps when the driver's system TZ isn't UTC; field
+    # extraction + make_timestamp_ntz is timezone-independent.)
     lambda spark, sf: t(spark, sf, "events").select(
         "event_id",
-        # date_trunc promotes NTZ→LTZ in Spark 4; cast back so returned
-        # timestamps stay naive like the DuckDB oracle's
-        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("ts_trunc_h"),
-        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("ts_trunc_d"),
-        F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("ts_trunc_mo"),
-        # inner cast: ts is TIMESTAMP_NTZ and unix_micros needs LTZ; outer
-        # cast back to NTZ so the returned column matches DuckDB's naive type
         F.expr(
-            "cast(timestamp_seconds(((unix_micros(cast(ts as timestamp))"
-            " div 1000000 + 1800) div 3600) * 3600) as timestamp_ntz)"
+            "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+        ).alias("ts_trunc_h"),
+        F.expr(
+            "make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0)"
+        ).alias("ts_trunc_d"),
+        F.expr(
+            "make_timestamp_ntz(year(ts), month(ts), 1, 0, 0, 0)"
+        ).alias("ts_trunc_mo"),
+        # half-up round-to-hour: minute>=30 is exactly floor((s+1800)/3600)
+        # on the second-of-hour (sub-second parts can't cross the boundary)
+        F.expr(
+            "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+            " + IF(minute(ts) >= 30, INTERVAL 1 HOUR, INTERVAL 0 HOUR)"
         ).alias("ts_round_h"),
     ),
     """
@@ -80,7 +88,9 @@ REG.add(
            date_trunc('hour', ts)   AS ts_trunc_h,
            date_trunc('day', ts)    AS ts_trunc_d,
            date_trunc('month', ts)  AS ts_trunc_mo,
-           to_timestamp(((epoch_us(ts) // 1000000 + 1800) // 3600) * 3600)::TIMESTAMP
+           date_trunc('hour', ts)
+             + CASE WHEN minute(ts) >= 30 THEN INTERVAL 1 HOUR
+                    ELSE INTERVAL 0 HOUR END
                                     AS ts_round_h
     FROM events
     """,
@@ -95,9 +105,12 @@ REG.add(
         F.date_format("o_orderdate", "yyyy/MM").alias("ch_ym"),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("plus3d"),
         (F.col("o_orderdate") - F.expr("INTERVAL 90 MINUTES")).alias("minus90m"),
-        F.from_utc_timestamp("o_orderdate", "America/New_York")
-        .cast("timestamp_ntz")
-        .alias("ny_time"),
+        # convert_timezone with an EXPLICIT source zone: from_utc_timestamp
+        # would interpret the NTZ input in the session zone (driver-TZ
+        # dependent); this is pure wall-time → wall-time, NTZ in, NTZ out
+        F.convert_timezone(
+            F.lit("UTC"), F.lit("America/New_York"), F.col("o_orderdate")
+        ).alias("ny_time"),
     ),
     """
     SELECT o_orderkey,
@@ -105,7 +118,7 @@ REG.add(
            strftime(o_orderdate, '%Y/%m')           AS ch_ym,
            o_orderdate + INTERVAL 3 DAY             AS plus3d,
            o_orderdate - INTERVAL 90 MINUTE         AS minus90m,
-           timezone('America/New_York', o_orderdate::TIMESTAMPTZ)::TIMESTAMP AS ny_time
+           timezone('America/New_York', timezone('UTC', o_orderdate)) AS ny_time
     FROM orders
     """,
 )
