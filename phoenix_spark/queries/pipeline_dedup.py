@@ -112,10 +112,7 @@ def _ngram_jaccard(spark, sf):
     )
 
 
-REG.add(
-    "dedup_ngram_jaccard",
-    _ngram_jaccard,
-    """
+_NGRAM_PAIRS_SQL = """
     WITH sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -130,6 +127,80 @@ REG.add(
     FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE len(list_distinct(list_intersect(a.sh, b.sh)))
             / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+"""
+
+REG.add("dedup_ngram_jaccard", _ngram_jaccard, _NGRAM_PAIRS_SQL)
+
+
+# --- duplicate-cluster assignment: connected components over the near-dup
+# pair graph (the "keep one canonical doc per cluster" pipeline step) ---------
+def _dup_clusters(spark, sf):
+    """Min-label propagation (synchronous Pregel shape) to a fixpoint.
+
+    Each round every doc takes the min cluster label among itself and its
+    near-dup neighbors; convergence in <= graph-diameter rounds (dup
+    clusters are shallow — fixture converges in 2-3).  The per-round
+    ``collect()`` is a SINGLE scalar (the decreasing label sum used as the
+    convergence signal) — the Pregel driver-side control loop, not a data
+    collect.  ``localCheckpoint`` truncates the growing lineage each round,
+    exactly what an iterative algorithm needs at scale (on a cluster,
+    ``checkpoint()`` to reliable storage instead).
+    """
+    edges = _ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = t(spark, sf, "documents").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    prev = None
+    for _ in range(20):
+        nmin = (
+            und.join(labels, und.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        labels = (
+            labels.join(nmin, labels.doc_id == nmin.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+REG.add(
+    "dedup_clusters",
+    _dup_clusters,
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id, MIN(r) AS cluster_id,
+           (doc = MIN(r)) AS is_canonical
+    FROM reach GROUP BY doc
     """,
 )
 
