@@ -228,3 +228,53 @@ REG.add(
     FROM orders
     """,
 )
+
+
+# --- native session_window (the Structured-Streaming operator, batch mode) ---
+# Pins Spark's built-in session_window against the same gap rule the
+# lag-based sessionize oracle uses: empirically (and per the window-merge
+# semantics) an event exactly AT prev_ts + gap merges into the session, so
+# a new session starts strictly beyond the gap — identical to the `>` lag
+# rule.  Window end = last event + gap.  This is the §2.11 streaming
+# operator made hash-verifiable in batch.
+def _session_native(spark, sf):
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+REG.add(
+    "window_session_native",
+    _session_native,
+    """
+    SELECT user_id,
+           MIN(ts)                       AS s_start,
+           MAX(ts) + INTERVAL 30 MINUTE  AS s_end,
+           COUNT(*)                      AS n_events
+    FROM (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL THEN 1
+                    WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 30 * 60 * 1000000 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events) g
+    ) s
+    GROUP BY user_id, session_id
+    """,
+)
