@@ -483,3 +483,31 @@ def test_engine_sql_date_minus_date(spark):
     ).collect()[0]
     assert isinstance(row.max_lag, float)  # DOUBLE days, not an interval
     assert 0 < row.max_lag < 10_000  # synthetic fixture lags span years
+
+
+def test_rvc_pagination_partitions_table(spark):
+    """Walking the whole table in RVC-offset pages (resume strictly after the
+    last seen PK, ORDER BY PK, LIMIT k) must visit every row exactly once —
+    the RVCOffsetCompiler O(1)-per-page contract.  Uses the region+nation-
+    sized customer table so the walk stays fast."""
+    import pyspark.sql.functions as F
+
+    from phoenix_spark.queries._util import t
+
+    k = 37
+    base = t(spark, SF_TEST_DIR, "customer").select("c_custkey")
+    total = base.count()
+    seen = []
+    last = None
+    for _ in range(total // k + 2):
+        page = base
+        if last is not None:
+            page = page.filter(F.col("c_custkey") > F.lit(last))
+        rows = [r.c_custkey for r in page.orderBy("c_custkey").limit(k).collect()]
+        if not rows:
+            break
+        assert rows == sorted(rows)
+        seen.extend(rows)
+        last = rows[-1]
+    assert len(seen) == total
+    assert len(set(seen)) == total  # no row visited twice
