@@ -259,19 +259,36 @@ def _minhash_lsh(spark, sf):
             out = out * 31 + F.col(f"s{j * _ROWS + r}")
         return out
 
-    bands = sigs.select(
+    keyed = sigs.select(
+        "doc_id", *[_band_key(j).alias(f"k{j}") for j in range(_BANDS)]
+    )
+    bands = keyed.select(
         "doc_id",
+        *[f"k{j}" for j in range(_BANDS)],
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(j).alias("band"), _band_key(j).alias("bkey"))
+                    F.struct(F.lit(j).alias("band"), F.col(f"k{j}").alias("bkey"))
                     for j in range(_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    ).select("doc_id", *[f"k{j}" for j in range(_BANDS)], "bb.band", "bb.bkey")
     # Candidate pairs: equi-join on (band, bkey) — never a cartesian product.
+    # First-matching-band dedup (no earlier band key equal) replaces the
+    # candidate distinct(): one full shuffle removed, every pair emitted
+    # exactly once.  The 8 band keys ride through the explode for it.
     a, b = bands.alias("a"), bands.alias("b")
+    first_match = F.lit(True)
+    for c in range(1, _BANDS):
+        first_match = F.when(
+            F.col("a.band") == c,
+            sum(
+                (F.col(f"a.k{j}") == F.col(f"b.k{j}")).cast("int")
+                for j in range(c)
+            )
+            == 0,
+        ).otherwise(first_match)
     cand = (
         a.join(
             b,
@@ -279,10 +296,10 @@ def _minhash_lsh(spark, sf):
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
     # Exact-Jaccard verification of the candidates only — over the HASHED
     # shingle arrays (8-byte ints), not the raw 3-gram strings: the verify
@@ -454,6 +471,23 @@ def _simhash(spark, sf):
         F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
         for c in range(_N_CHUNKS)
     ).cast("bigint")
+    # First-matching-band dedup: a pair sharing several chunk-buckets is
+    # emitted ONLY from its lowest matching band (no earlier chunk equal),
+    # so the final distinct() — a full extra shuffle over the candidate
+    # stream — disappears.  The predicate is free: both sides' chunks are
+    # already carried through the join.
+    first_match = F.lit(True)
+    for c in range(_N_CHUNKS):
+        first_match = F.when(
+            F.col("a.band") == c,
+            sum(
+                (F.col(f"a.c{j}") == F.col(f"b.c{j}")).cast("int")
+                for j in range(c)
+            )
+            == 0
+            if c
+            else F.lit(True),
+        ).otherwise(first_match)
     return (
         a.join(
             b,
@@ -461,13 +495,13 @@ def _simhash(spark, sf):
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .distinct()
     )
 
 

@@ -202,17 +202,39 @@ def _sim_bands(spark, sf) -> DataFrame:
             for r in range(_SIM_ROWS)
         )
 
-    structs = ", ".join(
-        f"struct({b} AS band, {bkey(b)} AS bkey)" for b in range(_SIM_BANDS)
+    # All 8 band keys ride along (8 ints/row): the candidate join's
+    # first-matching-band predicate needs them — see _lsh_pairs.
+    keyed = projs.select(
+        "vec_id", *[F.expr(f"{bkey(b)}").alias(f"k{b}") for b in range(_SIM_BANDS)]
     )
-    return projs.select(
-        "vec_id", F.expr(f"explode(array({structs}))").alias("bb")
-    ).select("vec_id", "bb.band", "bb.bkey")
+    structs = ", ".join(
+        f"struct({b} AS band, k{b} AS bkey)" for b in range(_SIM_BANDS)
+    )
+    return keyed.select(
+        "vec_id",
+        *[f"k{b}" for b in range(_SIM_BANDS)],
+        F.expr(f"explode(array({structs}))").alias("bb"),
+    ).select(
+        "vec_id", *[f"k{b}" for b in range(_SIM_BANDS)], "bb.band", "bb.bkey"
+    )
 
 
 def _lsh_pairs(spark, sf):
     bands = _sim_bands(spark, sf)
     a, b = bands.alias("a"), bands.alias("b")
+    # First-matching-band dedup (no earlier band key equal) replaces the
+    # candidate distinct() — one full shuffle removed; both sides' band
+    # keys are already in the joined row.
+    first_match = F.lit(True)
+    for c in range(1, _SIM_BANDS):
+        first_match = F.when(
+            F.col("a.band") == c,
+            sum(
+                (F.col(f"a.k{j}") == F.col(f"b.k{j}")).cast("int")
+                for j in range(c)
+            )
+            == 0,
+        ).otherwise(first_match)
     cand = (
         a.join(
             b,
@@ -220,8 +242,8 @@ def _lsh_pairs(spark, sf):
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )  # equi-join on the band bucket — never all-pairs
+        .filter(first_match)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
     )
     emb = _quantized(spark, sf)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("qn").alias("qn_a"))
