@@ -54,7 +54,103 @@ def build_registry() -> Registry:
     reg = Registry()
     for mod in modules:
         reg.merge(mod.REG)
-    return reg
+    return _reorder(reg)
+
+
+# The external correctness driver replays only a prefix of the registry (the
+# round-2 window was the first 50 entries), so registration order decides
+# which operators get an external hash-verified row each round.  Tier 1
+# interleaves one-or-two representatives of EVERY SURVEY §2 family and every
+# LLM-pipeline operator family into that window; the remaining
+# not-yet-driver-verified entries follow; the 50 queries that already earned
+# driver-green rows in CORRECTNESS_r02 go last (they stay registered — a wide
+# driver window re-verifies them).
+_TIER1 = [
+    "window_rank_topn",
+    "sort_topk",
+    "setop_union_all",
+    "subq_exists_correlated",
+    "str_regexp",
+    "math_round_floor_ceil",
+    "dt_trunc_round",
+    "arr_unnest",
+    "json_value",
+    "mutation_upsert_compaction",
+    "dedup_exact",
+    "similarity_topk",
+    "text_stats",
+    "mm_binary_meta",
+    "window_running_lag",
+    "sort_rvc_offset_page",
+    "setop_intersect",
+    "subq_in",
+    "str_collation_ci",
+    "math_to_number",
+    "dt_format_arith_tz",
+    "arr_any_all",
+    "bson_condition_filter",
+    "mutation_cdc_feed",
+    "dedup_minhash_lsh",
+    "similarity_lsh_pairs",
+    "text_langid",
+    "mm_frame_sample",
+    "window_sessionize",
+    "sort_nulls_first",
+    "setop_except_all",
+    "subq_scalar_correlated",
+    "bin_encode_decode",
+    "meta_row_timestamp",
+    "dt_parse",
+    "mutation_snapshot_read",
+    "dedup_simhash",
+    "similarity_ivf_probe",
+    "text_tfidf",
+    "mm_resize_thumbnail",
+    "window_session_native",
+    "ddl_view_predicate",
+    "ddl_sequence_rows",
+    "engine_sql_roundtrip",
+    "source_csv_bulk_load",
+    "agg_grouping_sets",
+    "agg_filter_clause",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "ddl_index_scan",
+]
+
+# Driver-green in CORRECTNESS_r02 (hash-matched or, for
+# agg_approx_count_distinct, the deliberate rows-only check) — deprioritized
+# so the driver window covers the not-yet-verified surface first.
+_R02_GREEN = frozenset(
+    {
+        "scan_projection", "scan_point_lookup", "scan_skip", "scan_tablesample",
+        "scan_serial", "filter_range_pred", "filter_in_like", "filter_ilike",
+        "filter_null_3vl", "filter_rvc_compare", "filter_rvc_in",
+        "filter_case_cast", "filter_like_escape", "agg_ungrouped",
+        "q1_pricing_summary", "agg_groupby_hash", "agg_groupby_pk_prefix",
+        "agg_distinct", "agg_count_distinct", "agg_having", "agg_stddev",
+        "agg_percentile", "agg_first_last_value", "agg_approx_count_distinct",
+        "agg_rollup", "join_broadcast_inner", "join_broadcast_left",
+        "join_right_outer", "join_sort_merge_full", "join_cross", "join_semi",
+        "join_anti", "q3_shipping_priority", "q6_forecast_revenue",
+        "q12_shipmode_priority", "q14_promo_revenue", "q10_returned_items",
+        "q5_local_supplier_volume", "join_asof", "join_range_bucketed",
+        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+        "q8_market_share", "q13_customer_distribution", "q9_product_profit",
+        "q11_important_stock", "q15_top_supplier", "q16_supplier_cnt",
+        "q17_small_qty_revenue",
+    }
+)
+
+
+def _reorder(reg: Registry) -> Registry:
+    order = [n for n in _TIER1 if n in reg.queries]
+    order += [n for n in reg.queries if n not in _TIER1 and n not in _R02_GREEN]
+    order += [n for n in reg.queries if n in _R02_GREEN and n not in _TIER1]
+    out = Registry()
+    for name in order:
+        out.add(name, reg.queries[name], reg.oracles.get(name))
+    return out
 
 
 _REG: Registry | None = None

@@ -25,3 +25,30 @@ def test_query_parity(name, spark, duck):
     ddf = duck.execute(ORACLES[name]).fetchdf()
     problems = compare(sdf, ddf)
     assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_driver_window_covers_every_family():
+    """The external driver replays only a prefix of the registry (50 entries
+    in round 2), so the first 50 names must include at least one
+    representative of every operator family — otherwise whole families ship
+    without an external correctness row."""
+    window = list(QUERIES)[:50]
+    families = {
+        "window_", "sort_", "setop_", "subq_", "str_", "math_", "dt_",
+        "arr_", "mutation_", "dedup_", "similarity_", "text_", "mm_",
+        "ddl_", "bin_",
+    }
+    present = {f for f in families if any(n.startswith(f) for n in window)}
+    assert present == families, f"families missing from driver window: {families - present}"
+    # json/bson + engine/source/meta families use mixed prefixes:
+    for needle in ("json", "bson", "engine_sql", "source_", "meta_"):
+        assert any(needle in n for n in window), f"no {needle} query in driver window"
+
+
+def test_tier1_names_exist():
+    """Typo guard: every tier-1 priority name must resolve to a registered
+    query (ddl_index_scan lands with the covered-index work)."""
+    from phoenix_spark.queries import _TIER1
+
+    missing = [n for n in _TIER1 if n not in QUERIES]
+    assert missing in ([], ["ddl_index_scan"]), f"unknown tier-1 names: {missing}"
