@@ -63,7 +63,7 @@ class Engine:
         # tenant column itself.
         self.tenant_id = tenant_id
         self._registered: set[str] = set()
-        self._ts_cols: set[str] | None = None
+        self._ts_cols: dict[str, set[str]] | None = None
         if sf_dir is not None:
             self.attach(sf_dir)
 
@@ -141,26 +141,39 @@ class Engine:
         self._registered.add(name.split(".")[-1])
         self._ts_cols = None  # new schema may add date/timestamp columns
 
-    def _ts_columns(self) -> set[str]:
-        """Names of date/timestamp-typed columns across attached + managed
-        tables — catalog knowledge the sqlfront needs to rewrite Phoenix
-        ``date ± int`` (days) arithmetic (DateAddExpression analogue)."""
+    def _ts_columns(self) -> dict[str, set[str]]:
+        """Per-table names of date/timestamp-typed columns across attached +
+        managed tables — catalog knowledge the sqlfront needs to rewrite
+        Phoenix ``date ± int`` (days) arithmetic (DateAddExpression
+        analogue)."""
         if self._ts_cols is not None:
             return self._ts_cols
         from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
-        cols: set[str] = set()
-        sources = []
+        by_table: dict[str, set[str]] = {}
+        sources: list[tuple[str, DataFrame]] = []
         if self.catalog is not None:
-            sources += [self.catalog.df(n) for n in self.catalog.tables]
-        sources += [self.spark.table(n) for n in self._registered]
-        for df in sources:
-            cols.update(
+            sources += [(n, self.catalog.df(n)) for n in self.catalog.tables]
+        sources += [(n, self.spark.table(n)) for n in self._registered]
+        for name, df in sources:
+            by_table[name.split(".")[-1].lower()] = {
                 f.name
                 for f in df.schema.fields
                 if isinstance(f.dataType, (DateType, TimestampType, TimestampNTZType))
-            )
-        self._ts_cols = cols
+            }
+        self._ts_cols = by_table
+        return by_table
+
+    def _ts_columns_for(self, text: str) -> set[str]:
+        """ts-typed column names scoped to the tables the statement actually
+        references — a same-named column that is numeric in the queried table
+        but a timestamp elsewhere must NOT trigger the date-arith rewrite."""
+        by_table = self._ts_columns()
+        tokens = {m.lower() for m in re.findall(r"[A-Za-z_]\w*", text)}
+        cols: set[str] = set()
+        for table, ts_cols in by_table.items():
+            if table in tokens:
+                cols |= ts_cols
         return cols
 
     # -- sequences (SequenceRegionObserver analogue) -----------------------
@@ -228,7 +241,7 @@ class Engine:
 
     def _exec_select(self, text: str) -> DataFrame:
         return self.spark.sql(
-            translate_phoenix_sql(text, ts_columns=self._ts_columns())
+            translate_phoenix_sql(text, ts_columns=self._ts_columns_for(text))
         )
 
     def _exec_explain(self, text: str) -> DataFrame:

@@ -321,3 +321,27 @@ def rowkey_bytes_string(*pk_cols) -> Column:
     \\x00 separator; the analog renders the PK tuple the same way (each part
     in its canonical string form)."""
     return F.concat_ws("\x00", *[_c(c).cast("string") for c in pk_cols])
+
+
+def ntz_epoch_micros_sql(col: str) -> str:
+    """Timezone-INDEPENDENT epoch-microseconds SQL for a DATE / TIMESTAMP_NTZ
+    column: the naive value interpreted as UTC, as DuckDB's epoch_us does.
+
+    ``unix_micros(cast(x as timestamp))`` would route the naive value through
+    the session timezone (an NTZ→LTZ cast), shifting results by the UTC
+    offset and breaking across DST transitions under a non-UTC driver.  This
+    form uses only field extractions, which are pure on NTZ values:
+    ``unix_date`` of the date part (a plain day count) plus time-of-day
+    microseconds; ``date_part('SECOND')`` carries the fractional seconds
+    exactly.  DATE inputs first cast to TIMESTAMP_NTZ (midnight, a pure
+    field operation — unlike DATE→TIMESTAMP, which is zone-dependent).
+    """
+    c = f"cast({col} as timestamp_ntz)"
+    # field extractions return INT — widen before multiplying (minute*6e7
+    # overflows int32 for minute >= 36)
+    return (
+        f"(cast(unix_date(cast({c} as date)) as bigint) * 86400000000"
+        f" + cast(hour({c}) as bigint) * 3600000000"
+        f" + cast(minute({c}) as bigint) * 60000000"
+        f" + cast(date_part('SECOND', {c}) * 1000000 as bigint))"
+    )

@@ -93,12 +93,15 @@ def sessionize(ev, gap_minutes: int = 30):
     session starts after ``gap_minutes`` of inactivity.  Exposed for reuse
     (and the property-based model check in tests/test_window_properties.py).
     """
+    from phoenix_spark.functions import ntz_epoch_micros_sql
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = ev.select(
-        # cast: ts reads as TIMESTAMP_NTZ (naive parquet micros) and
-        # unix_micros requires LTZ; the UTC session makes the cast exact
+        # ts reads as TIMESTAMP_NTZ (naive parquet micros); the epoch
+        # derivation must not route it through the session timezone (a
+        # non-UTC driver would shift gaps across DST transitions)
         "user_id", "event_id", "ts",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.expr(ntz_epoch_micros_sql("ts")).alias("us"),
     )
     gap = F.col("us") - F.lag("us", 1).over(w)
     sess = ev.withColumn(

@@ -274,7 +274,9 @@ def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
     lowered = {c.lower() for c in ts_columns}
 
     def _days(col: str) -> str:
-        return f"unix_micros(cast({col} as timestamp))"
+        from phoenix_spark.functions import ntz_epoch_micros_sql
+
+        return ntz_epoch_micros_sql(col)
 
     def sub_diff(m: re.Match) -> str:
         if m.group(2).lower() not in lowered or m.group(4).lower() not in lowered:

@@ -463,11 +463,16 @@ def test_translate_date_minus_date_fractional_days():
         "SELECT l_shipdate - o_orderdate AS lag_days, a - b FROM t",
         ts_columns={"o_orderdate", "l_shipdate"},
     )
+    # Epoch derivation must be timezone-independent (pure NTZ field
+    # arithmetic, no NTZ→LTZ cast through the session zone).
+    from phoenix_spark.functions import ntz_epoch_micros_sql
+
     assert (
-        "(cast(unix_micros(cast(l_shipdate as timestamp))"
-        " - unix_micros(cast(o_orderdate as timestamp)) as double)"
+        f"(cast({ntz_epoch_micros_sql('l_shipdate')}"
+        f" - {ntz_epoch_micros_sql('o_orderdate')} as double)"
         " / 86400000000) AS lag_days" in out
     )
+    assert "unix_micros" not in out  # LTZ-cast epoch would be zone-dependent
     assert "a - b" in out  # non-date pairs untouched
 
 
@@ -511,3 +516,18 @@ def test_rvc_pagination_partitions_table(spark):
         last = rows[-1]
     assert len(seen) == total
     assert len(set(seen)) == total  # no row visited twice
+
+
+def test_ts_columns_scoped_to_referenced_tables(spark):
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, SF_TEST_DIR)
+    # orders is not referenced → its o_orderdate must not be rewritten
+    assert "o_orderdate" not in e._ts_columns_for("SELECT l_quantity FROM lineitem")
+    assert "o_orderdate" in e._ts_columns_for(
+        "SELECT o_orderdate - 3 FROM orders"
+    )
+    # a numeric column sharing a ts column's NAME in another, unreferenced
+    # table stays untouched: only referenced tables contribute ts columns
+    cols = e._ts_columns_for("SELECT ts FROM events")
+    assert "ts" in cols and "o_orderdate" not in cols

@@ -76,3 +76,31 @@ def test_sessionize_matches_model(spark, events):
         for r in sessionize(df, gap_minutes=GAP_MIN).collect()
     }
     assert got == expected
+
+
+def test_sessionize_timezone_independent(spark):
+    """Gap computation must be pure NTZ arithmetic: under a non-UTC session
+    timezone, a pair of events straddling a DST transition (2024-03-10
+    02:00 America/New_York) must still split by the naive 30-min gap rule,
+    not by wall-clock-shifted instants."""
+    from phoenix_spark.queries.windows import sessionize
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.sql(
+            """
+            SELECT * FROM VALUES
+              (1, 1, timestamp_ntz'2024-03-10 01:50:00'),
+              (1, 2, timestamp_ntz'2024-03-10 02:10:00'),  -- naive gap 20m: same session
+              (1, 3, timestamp_ntz'2024-03-10 03:20:00')   -- naive gap 70m: new session
+            AS t(user_id, event_id, ts)
+            """
+        )
+        out = {
+            (r.user_id, r.session_id): r.n_events
+            for r in sessionize(df).collect()
+        }
+        assert out == {(1, 1): 2, (1, 2): 1}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
