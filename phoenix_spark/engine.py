@@ -323,7 +323,9 @@ class Engine:
         cur = self._cursors[m.group(1).lower()]
         # toLocalIterator streams partition-by-partition — client paging
         # without materializing the result on the driver.
-        cur["it"] = self._exec_select(cur["sql"]).toLocalIterator()
+        df = self._exec_select(cur["sql"])
+        cur["it"] = df.toLocalIterator()
+        cur["schema"] = df.schema  # FETCH reuses it (no per-fetch recompile)
         return 0
 
     def _exec_fetch_cursor(self, text: str) -> DataFrame:
@@ -338,8 +340,7 @@ class Engine:
         import itertools
 
         rows = list(itertools.islice(cur["it"], n))
-        schema = self._exec_select(cur["sql"]).schema
-        return self.spark.createDataFrame(rows, schema=schema)
+        return self.spark.createDataFrame(rows, schema=cur["schema"])
 
     def _exec_close_cursor(self, text: str) -> int:
         m = re.match(r"^\s*CLOSE\s+(\w+)\s*;?\s*$", text, re.I)
@@ -387,20 +388,25 @@ class Engine:
         distributed spark.read.csv → one change-log commit)."""
         mt = self.managed(table)
         df = self.spark.read.csv(csv_path, header=header, schema=mt.schema)
-        n = df.count()
-        mt.upsert_df(df)
-        self._register(table)
-        return n
+        return self._load_once(mt, table, df)
 
     def bulk_load_json(self, table: str, json_path: str) -> int:
         """JSON-lines bulk load (the reference bulkload module's JSON input
         format, same mapreduce/ package)."""
         mt = self.managed(table)
         df = self.spark.read.schema(mt.schema).json(json_path)
-        n = df.count()
-        mt.upsert_df(df)
+        return self._load_once(mt, table, df)
+
+    def _load_once(self, mt: "ManagedTable", table: str, df: DataFrame) -> int:
+        """Commit ``df`` and return its row count with a SINGLE scan of the
+        input: ``observe()`` counts on the write action itself (a separate
+        ``df.count()`` would read a 100 TB load twice)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        mt.upsert_df(df.observe(obs, F.count(F.lit(1)).alias("n")))
         self._register(table)
-        return n
+        return obs.get["n"]
 
     def _exec_create_index(self, text: str) -> int:
         # Parse-only per SURVEY §4.1: Parquet + AQE replace index selection;

@@ -157,10 +157,12 @@ REG.add(
 # --- LIKE with ESCAPE (SURVEY §7 hard-part 8) ---------------------------------
 # Phoenix LikeExpression treats \ as the escape for literal %/_; Spark and
 # DuckDB both take an explicit ESCAPE clause, which sidesteps the engines'
-# different string-literal backslash parsing.  Even-keyed rows get their
-# underscore replaced with 'X' so the two predicates genuinely diverge:
-# `wild` ('_' = any char) stays true for every row, `esc` (escaped literal
-# underscore) is true only where the '_' survived.
+# different string-literal backslash parsing.  The fixture's n_name values
+# are the synthetic 'NATION_<k>' (see FIXTURES.md), so after even-keyed rows
+# get their underscore replaced with 'X' ('NATIONX<k>') the two predicates
+# genuinely diverge: `wild` ('_' = any char) matches 'NATION_<k>' AND
+# 'NATIONX<k>' alike (stays true for every row), while `esc` (escaped
+# literal underscore) is true only where the '_' survived.
 def _like_escape(spark, sf):
     n = t(spark, sf, "nation").select(
         "n_nationkey",

@@ -156,7 +156,10 @@ def _dup_clusters(spark, sf):
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
     prev = None
-    for _ in range(20):
+    converged = False
+    max_rounds = 50  # >= any real dup-chain diameter; raises rather than
+    # silently returning partial labels if a pathological component exceeds it
+    for _ in range(max_rounds):
         nmin = (
             und.join(labels, und.dst == labels.doc_id)
             .groupBy("src")
@@ -174,8 +177,15 @@ def _dup_clusters(spark, sf):
         )
         s = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if s == prev:
+            converged = True
             break
         prev = s
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_rounds} rounds (near-dup component diameter exceeds the "
+            f"cap); returning partial labels would silently break parity"
+        )
     return labels.select(
         "doc_id",
         "cluster_id",

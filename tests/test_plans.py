@@ -144,7 +144,8 @@ def test_extension_joins_no_cartesian(spark):
 # explicitly-Pandas / explicitly-cartesian ones are excluded from the sweep.
 _SWEEP_EXCLUDE_PREFIXES = ("mutation_", "ddl_", "source_", "engine_", "scan_salted", "meta_row")
 _ALLOWED_NESTED_LOOP = {"join_cross"}  # explicit CROSS JOIN of two tiny dims
-_ALLOWED_PYTHON = {"mm_decode_features"}  # the declared Pandas-UDF plumbing
+# The declared Pandas-UDF plumbing: mapInPandas-backed multimodal operators.
+_ALLOWED_PYTHON = {"mm_decode_features", "mm_frame_sample", "mm_resize_thumbnail"}
 
 
 def test_plan_audit_all_queries(spark):
@@ -158,7 +159,10 @@ def test_plan_audit_all_queries(spark):
             assert "CartesianProduct" not in plan, name
         if name not in _ALLOWED_PYTHON:
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
-        assert "mapInPandas" not in plan or name in _ALLOWED_PYTHON, name
+            # Spark prints the physical nodes capitalized: MapInPandas,
+            # FlatMapGroupsInPandas (a lowercase match would never fire)
+            assert "MapInPandas" not in plan, name
+            assert "FlatMapGroupsInPandas" not in plan, name
 
 
 def test_partition_pruning_on_partitioned_table(spark, tmp_path):
