@@ -28,6 +28,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from phoenix_spark import ddl as D
+from phoenix_spark import indexes as IX
 from phoenix_spark.catalog import Catalog
 from phoenix_spark.mutations import ManagedTable
 from phoenix_spark.sqlfront import classify, translate_phoenix_sql
@@ -55,6 +56,14 @@ class Engine:
             with open(self._views_path) as f:
                 self._views = {k: tuple(v) for k, v in json.load(f).items()}
         self._seq_path = os.path.join(self.warehouse, "_sequences.json")
+        # secondary indexes (SYSTEM.CATALOG's PTableType.INDEX rows analogue)
+        self._indexes_path = os.path.join(self.warehouse, "_indexes.json")
+        self._indexes: dict[str, "IX.IndexDef"] = {}
+        if os.path.exists(self._indexes_path):
+            with open(self._indexes_path) as f:
+                self._indexes = {
+                    k: IX.IndexDef.from_json(v) for k, v in json.load(f).items()
+                }
         self._cursors: dict[str, dict] = {}
         self.default_schema: str | None = None
         # Tenant-specific connection (PTable.isMultiTenant, PTable.java:915):
@@ -240,9 +249,34 @@ class Engine:
     # -- per-statement executors -------------------------------------------
 
     def _exec_select(self, text: str) -> DataFrame:
+        text = self._maybe_use_index(text)
         return self.spark.sql(
             translate_phoenix_sql(text, ts_columns=self._ts_columns_for(text))
         )
+
+    def _maybe_use_index(self, text: str) -> str:
+        """QueryOptimizer.java:230-236 analogue: substitute a covered index
+        for the base table when the index covers every referenced column and
+        its leading key appears in the WHERE clause.  Tenant connections
+        never substitute (the tenant filter lives on the base read path)."""
+        if not self._indexes or self.tenant_id is not None:
+            return text
+
+        def base_cols_of(table: str):
+            try:
+                return set(self.managed(table).schema.fieldNames())
+            except ValueError:
+                return None
+
+        def base_pk_of(table: str):
+            return self.managed(table).pk
+
+        choice = IX.choose_index(text, self._indexes, base_cols_of, base_pk_of)
+        if choice is None:
+            return text
+        table_ref, d = choice
+        self._register(d.name)  # index temp view must resolve
+        return IX.substitute_table(text, table_ref, d.name)
 
     def _exec_explain(self, text: str) -> DataFrame:
         plan = self.explain(re.sub(r"^\s*EXPLAIN\s+", "", text, flags=re.I))
@@ -409,12 +443,87 @@ class Engine:
         return obs.get["n"]
 
     def _exec_create_index(self, text: str) -> int:
-        # Parse-only per SURVEY §4.1: Parquet + AQE replace index selection;
-        # the DDL is accepted and recorded nowhere (QueryOptimizer analogue
-        # deliberately skipped).
+        """CREATE INDEX → materialized covered projection (see indexes.py:
+        CreateIndexCompiler.java / IndexMaintainer.java:143 analogue).
+
+        The index is a ManagedTable with PK = (index key ++ base PK) whose
+        segments are written sorted by the index key (WRITE_SORT), read-path
+        substituted by _exec_select when it covers a query."""
+        d, if_not_exists = IX.parse_create_index(text)
+        if d.name in self._indexes:
+            if if_not_exists:
+                return 0
+            raise ValueError(f"index {d.name} already exists")
+        base = self.managed(d.table)
+        base_fields = {f.name.lower(): f for f in base.schema.fields}
+        cols = d.covered(base.pk)
+        for c in cols:
+            if c not in base_fields:
+                raise ValueError(f"index column {c} not in table {d.table}")
+        from pyspark.sql import types as T
+
+        schema = T.StructType([base_fields[c] for c in cols])
+        imt = ManagedTable.create(
+            self.spark,
+            self.warehouse,
+            d.name,
+            schema,
+            pk=d.key + [c for c in base.pk if c not in d.key],
+            sort_orders=d.sort_orders,
+            props={"INDEX_OF": d.table, "WRITE_SORT": d.key},
+        )
+        # initial build: one distributed projection scan of the base table
+        imt.upsert_df(base.read().select(*cols))
+        self._indexes[d.name] = d
+        self._save_indexes()
+        self._register(d.name)
         return 0
 
+    def _save_indexes(self) -> None:
+        with open(self._indexes_path, "w") as f:
+            json.dump({k: v.to_json() for k, v in self._indexes.items()}, f, indent=1)
+
+    def _drop_index(self, name: str) -> None:
+        self._indexes.pop(name, None)
+        self._save_indexes()
+        ManagedTable(self.spark, self.warehouse, name).drop()
+        self.spark.catalog.dropTempView(name)
+        self._registered.discard(name)
+        self._ts_cols = None
+
+    def _sync_indexes(self, table: str, touched_pks: DataFrame, prev_ts: int) -> None:
+        """IndexMaintainer delete+put pair for one committed mutation batch:
+        tombstone the pre-image index rows of the touched base PKs, then
+        upsert their post-state projections.  Both sides are broadcast
+        semi-joins of the touched-PK set — never a full index rewrite."""
+        table = table.split(".")[-1].lower()
+        cands = [d for d in self._indexes.values() if d.table == table]
+        if not cands:
+            return
+        base = self.managed(table)
+        keys = F.broadcast(touched_pks.select(*base.pk).distinct())
+        for d in cands:
+            imt = self.managed(d.name)
+            cols = d.covered(base.pk)
+            if prev_ts >= 1:
+                stale = base.read(as_of=prev_ts).join(keys, base.pk, "semi")
+                imt._append_segment(
+                    stale.select(*cols), imt._next_ts(), deleted=True
+                )
+            post = base.read().join(keys, base.pk, "semi")
+            imt.upsert_df(post.select(*cols))
+            self._register(d.name)
+
     def _exec_drop(self, text: str) -> int:
+        di = IX.parse_drop_index(text)
+        if di is not None:
+            name, _table, if_exists = di
+            if name not in self._indexes:
+                if if_exists:
+                    return 0
+                raise ValueError(f"no index {name}")
+            self._drop_index(name)
+            return 0
         dr = D.parse_drop(text)
         if dr.kind == "sequence":
             seqs = self._sequences()
@@ -435,11 +544,22 @@ class Engine:
             if dr.if_exists:
                 return 0
             raise ValueError(f"no table {dr.name}")
+        dependent = [
+            d.name
+            for d in self._indexes.values()
+            if d.table == dr.name.split(".")[-1].lower()
+        ]
         if dr.truncate:
             mt.truncate()
+            for ix in dependent:  # indexes follow the base table's state
+                ManagedTable(self.spark, self.warehouse, ix).truncate()
         else:
             mt.drop()
             self.spark.catalog.dropTempView(dr.name)
+            self._registered.discard(dr.name.split(".")[-1])
+            self._ts_cols = None
+            for ix in dependent:
+                self._drop_index(ix)
         return 0
 
     def _exec_alter(self, text: str) -> int:
@@ -547,6 +667,7 @@ class Engine:
                     up.returning,
                 )
             cols = up.columns
+        prev_ts = mt._next_ts() - 1  # for index maintenance pre-images
         if up.select is not None:
             df = self._exec_select(up.select).toDF(*cols)
             n = df.count()
@@ -563,6 +684,7 @@ class Engine:
             full = [{f.name: r.get(f.name) for f in mt.schema.fields} for r in rows]
             written = self.spark.createDataFrame(full, schema=mt.schema)
         self._register(up.table)
+        self._sync_indexes(up.table, written.select(*mt.pk), prev_ts)
         if up.returning:
             # RETURNING * (grammar :901): the written slice as full rows
             for f in mt.schema.fields:
@@ -575,13 +697,19 @@ class Engine:
         dl = D.parse_delete(text)
         mt = self.managed(dl.table)
         cond = translate_phoenix_sql(dl.where) if dl.where else None
+        has_idx = any(
+            d.table == dl.table.split(".")[-1].lower() for d in self._indexes.values()
+        )
         victims = None
-        if dl.returning:
+        if dl.returning or has_idx:
             # capture the affected slice against the pre-delete segment list
             # (segments are immutable; the tombstone commit adds new files)
             victims = mt.read().filter(cond) if cond else mt.read()
+        prev_ts = mt._next_ts() - 1
         mt.delete_where(cond)
         self._register(dl.table)
+        if has_idx:
+            self._sync_indexes(dl.table, victims.select(*mt.pk), prev_ts)
         return victims if dl.returning else 0
 
     def _eval_literal(self, lit: str):

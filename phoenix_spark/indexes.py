@@ -1,0 +1,235 @@
+"""Secondary indexes: materialized covered projections + read-path rewrite.
+
+Reference behavior being reproduced (NOT ported):
+  * CREATE INDEX grammar — /root/reference/phoenix-core-client/src/main/
+    antlr3/PhoenixSQL.g:568-591, compiled by CreateIndexCompiler.java
+  * an index row = index key ++ base PK (++ INCLUDE columns), kept in sync
+    with the base table on every mutation — IndexMaintainer.java:143 (the
+    delete-stale + put-new pair per updated row)
+  * the optimizer substitutes the index table when the index covers the
+    query's columns and its leading key appears in the filter —
+    QueryOptimizer.java:230-236, exercised by GlobalIndexOptimizationIT.java
+
+Spark-first design: an index is a ManagedTable holding the covered
+projection with PK = (index key ++ base PK).  Its segments are written
+range-partitioned and sorted by the index key (the ``WRITE_SORT`` table
+prop), so a probe on that key scans a NARROW table whose parquet row-groups
+prune by min/max statistics — the covered-index O(result) win, delivered by
+the Parquet reader instead of an HBase row-key scan.  At 100 TB the index is
+a fraction of the base table's width and the probe reads only the row-groups
+whose [min,max] straddle the predicate.
+
+Maintenance is synchronous per mutation batch (the reference maintains
+global indexes server-side per batch too): the pre-images of the touched
+base PKs are tombstoned in the index, then the post-state rows are upserted.
+Both sides are computed as broadcast semi-joins of the (small) touched-PK
+set against the base snapshot — never a full rewrite of the index.
+
+Deliberate scope (documented, fail-loud):
+  * functional indexes (expression keys) are rejected at parse time;
+  * LOCAL / UNCOVERED are parsed and recorded; both build the same
+    materialized projection (UNCOVERED simply has no INCLUDE columns, so it
+    substitutes only for queries its key + base PK already cover — the
+    join-back-to-base plan the reference uses for uncovered probes is not
+    generated because without an isolated probe predicate it would read the
+    full base table and lose the win);
+  * tenant-scoped connections never substitute (the tenant filter is
+    applied by the base-table read path).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class IndexError_(ValueError):
+    pass
+
+
+@dataclass
+class IndexDef:
+    name: str
+    table: str
+    key: list[str]
+    sort_orders: dict[str, str] = field(default_factory=dict)
+    include: list[str] = field(default_factory=list)
+    local: bool = False
+    uncovered: bool = False
+
+    def covered(self, base_pk: list[str]) -> list[str]:
+        """All columns present in the index table, in storage order."""
+        cols = list(self.key)
+        cols += [c for c in base_pk if c not in cols]
+        cols += [c for c in self.include if c not in cols]
+        return cols
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "table": self.table,
+            "key": self.key,
+            "sort_orders": self.sort_orders,
+            "include": self.include,
+            "local": self.local,
+            "uncovered": self.uncovered,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "IndexDef":
+        return cls(**d)
+
+
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(?P<local>LOCAL\s+)?(?P<uncovered>UNCOVERED\s+)?INDEX\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+ON\s+(?P<table>[\w.]+)\s*"
+    r"\((?P<key>[^)]*)\)\s*"
+    r"(?:INCLUDE\s*\((?P<include>[^)]*)\)\s*)?"
+    r"(?:ASYNC\s*)?;?\s*$",
+    re.I | re.S,
+)
+
+_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def parse_create_index(text: str) -> tuple[IndexDef, bool]:
+    """Parse CREATE [LOCAL|UNCOVERED] INDEX; returns (def, if_not_exists).
+
+    Key parts must be bare column names — functional index expressions
+    (CreateIndexCompiler's expression keys) are rejected loudly rather than
+    silently mis-indexed.
+    """
+    m = _CREATE_INDEX_RE.match(text)
+    if not m:
+        raise IndexError_(f"unparseable CREATE INDEX: {text[:120]!r}")
+    key: list[str] = []
+    sort_orders: dict[str, str] = {}
+    for part in m.group("key").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        pm = re.match(r"^([^\s]+(?:\s+[^\s]+)*?)\s*(ASC|DESC)?$", part, re.I)
+        col = pm.group(1).strip()
+        if not _IDENT_RE.match(col):
+            raise IndexError_(
+                f"functional index key {col!r} not supported: index keys "
+                "must be bare column names (materialize the expression as a "
+                "table column instead)"
+            )
+        key.append(col.lower())
+        if pm.group(2) and pm.group(2).upper() == "DESC":
+            sort_orders[col.lower()] = "DESC"
+    if not key:
+        raise IndexError_("CREATE INDEX requires at least one key column")
+    include = [
+        c.strip().lower()
+        for c in (m.group("include") or "").split(",")
+        if c.strip()
+    ]
+    for c in include:
+        if not _IDENT_RE.match(c):
+            raise IndexError_(f"bad INCLUDE column {c!r}")
+    d = IndexDef(
+        name=m.group("name").lower(),
+        table=m.group("table").lower().split(".")[-1],
+        key=key,
+        sort_orders=sort_orders,
+        include=include,
+        local=bool(m.group("local")),
+        uncovered=bool(m.group("uncovered")),
+    )
+    return d, bool(m.group("ine"))
+
+
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([\w.]+)\s+ON\s+([\w.]+)\s*;?\s*$", re.I
+)
+
+
+def parse_drop_index(text: str):
+    """Returns (name, table, if_exists) or None if not a DROP INDEX."""
+    m = _DROP_INDEX_RE.match(text)
+    if not m:
+        return None
+    return (
+        m.group(2).lower().split(".")[-1],
+        m.group(3).lower().split(".")[-1],
+        bool(m.group(1)),
+    )
+
+
+# --- read-path substitution (QueryOptimizer.java:230-236 analogue) -----------
+
+_FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)", re.I)
+_WHERE_RE = re.compile(
+    r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b|\bFETCH\b|$)",
+    re.I | re.S,
+)
+
+
+def choose_index(
+    text: str,
+    indexes: dict[str, IndexDef],
+    base_cols_of,
+    base_pk_of,
+) -> tuple[str, IndexDef] | None:
+    """If ``text`` is a single-table SELECT whose referenced base-table
+    columns are all covered by an index on that table AND whose WHERE
+    references the index's leading key column, return (table_ref, IndexDef)
+    for substitution.  Conservative by construction: any shape this parser
+    doesn't fully understand (joins, subqueries, ``*``) is left alone.
+
+    ``base_cols_of(table) -> set[str] | None`` and ``base_pk_of(table) ->
+    list[str]`` supply catalog knowledge.
+    """
+    froms = _FROM_RE.findall(text)
+    if len(froms) != 1:
+        return None  # joins with comma-FROM, subqueries, or no table at all
+    if re.search(r"\bJOIN\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b", text, re.I):
+        return None
+    if re.search(r"SELECT\s+(DISTINCT\s+)?\*", text, re.I) or re.search(
+        r"\.\s*\*", text
+    ):
+        return None  # * expands to the base schema, never covered
+    table = froms[0].split(".")[-1].lower()
+    cands = [d for d in indexes.values() if d.table == table]
+    if not cands:
+        return None
+    base_cols = base_cols_of(table)
+    if not base_cols:
+        return None
+    base_cols = {c.lower() for c in base_cols}
+    tokens = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", text)}
+    used = (tokens - {table}) & base_cols
+    wm = _WHERE_RE.search(text)
+    if not wm:
+        return None  # no filter → full scan either way; keep the base table
+    where_tokens = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", wm.group(1))}
+    pk = [c.lower() for c in base_pk_of(table)]
+    best = None
+    for d in cands:
+        covered = {c.lower() for c in d.covered(pk)}
+        if used <= covered and d.key[0] in where_tokens:
+            # prefer the index whose key prefix matches the most WHERE columns
+            score = 0
+            for k in d.key:
+                if k in where_tokens:
+                    score += 1
+                else:
+                    break
+            if best is None or score > best[0]:
+                best = (score, froms[0], d)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def substitute_table(text: str, table_ref: str, index_name: str) -> str:
+    """Swap the FROM table reference for the index table name."""
+    return re.sub(
+        rf"(\bFROM\s+){re.escape(table_ref)}\b",
+        rf"\g<1>{index_name}",
+        text,
+        count=1,
+        flags=re.I,
+    )

@@ -146,6 +146,12 @@ class ManagedTable:
         out = df.select(*cols).withColumns(
             {_TS_COL: F.lit(ts).cast("long"), _DEL_COL: F.lit(deleted)}
         )
+        # WRITE_SORT (secondary-index layout): range-partition + sort each
+        # segment by the index key so parquet row-group min/max statistics
+        # prune key probes to O(result) — the covered-index scan shape.
+        sort_cols = self.meta.get("props", {}).get("WRITE_SORT")
+        if sort_cols:
+            out = out.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
         path = os.path.join(self.seg_dir, f"seg-{ts:012d}-{uuid.uuid4().hex[:8]}.parquet")
         out.write.mode("errorifexists").parquet(path)
         return ts

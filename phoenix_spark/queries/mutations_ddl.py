@@ -255,3 +255,43 @@ REG.add(
                           (115, 'd')) AS t(id, tag)
     """,
 )
+
+
+# --- secondary index: covered scan substitution (SURVEY §1.1 Index row;
+# CreateIndexCompiler / IndexMaintainer.java:143 / QueryOptimizer.java:230) ---
+def _index_scan(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_ixo (o_orderkey BIGINT NOT NULL, o_custkey BIGINT, "
+        "o_totalprice DOUBLE, o_orderstatus VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_ixo SELECT o_orderkey, o_custkey, o_totalprice, "
+        "o_orderstatus FROM orders"
+    )
+    e.sql("CREATE INDEX ix_cust ON t_ixo (o_custkey) INCLUDE (o_totalprice)")
+    df = e.sql(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM t_ixo "
+        "WHERE o_custkey <= 500"
+    )
+    # the entry pins INDEX USAGE, not just result parity: fail loudly if the
+    # optimizer fell back to the base table
+    assert any(
+        "/ix_cust/segments/" in f for f in df.inputFiles()
+    ), "covered index was not substituted"
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+REG.add(
+    "ddl_index_scan",
+    _index_scan,
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_custkey <= 500
+    """,
+)

@@ -531,3 +531,102 @@ def test_ts_columns_scoped_to_referenced_tables(spark):
     # table stays untouched: only referenced tables contribute ts columns
     cols = e._ts_columns_for("SELECT ts FROM events")
     assert "ts" in cols and "o_orderdate" not in cols
+
+
+# ---------------------------------------------------------------------------
+# Secondary indexes (CreateIndexCompiler / IndexMaintainer / QueryOptimizer
+# analogues — reference behavior: GlobalIndexOptimizationIT.java)
+# ---------------------------------------------------------------------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _reads_index(df, name):
+    """True iff the query's scan reads the index table's files (the plan
+    toString truncates long path lists, so check inputFiles directly)."""
+    return any(f"/{name}/segments/" in f for f in df.inputFiles())
+
+
+@pytest.fixture()
+def ixengine(engine):
+    engine.sql(
+        "CREATE TABLE ixt (k BIGINT NOT NULL, a VARCHAR, b DOUBLE, c VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO ixt SELECT o_orderkey, o_orderstatus, o_totalprice, "
+        "o_orderpriority FROM orders WHERE o_orderkey <= 300"
+    )
+    engine.sql("CREATE INDEX ix_a ON ixt (a) INCLUDE (b)")
+    return engine
+
+
+def test_index_substituted_when_covering(ixengine):
+    df = ixengine.sql("SELECT a, b FROM ixt WHERE a = 'F'")
+    assert _reads_index(df, "ix_a") and not _reads_index(df, "ixt")
+    # values identical to the base-table read
+    base = ixengine.sql("SELECT a, b, c FROM ixt WHERE a = 'F'")
+    assert sorted((r.a, r.b) for r in df.collect()) == sorted(
+        (r.a, r.b) for r in base.collect()
+    )
+
+
+def test_index_not_substituted_when_not_covering(ixengine):
+    # c is not covered → base table
+    assert not _reads_index(ixengine.sql("SELECT a, c FROM ixt WHERE a = 'F'"), "ix_a")
+    # SELECT * expands to the full base schema → base table
+    assert not _reads_index(ixengine.sql("SELECT * FROM ixt WHERE a = 'F'"), "ix_a")
+    # no WHERE on the leading key → base table
+    assert not _reads_index(ixengine.sql("SELECT a, b FROM ixt WHERE b > 100"), "ix_a")
+
+
+def test_index_maintained_on_upsert_and_delete(ixengine):
+    e = ixengine
+    # move keys 1..50 from their old status to 'Z' — stale index rows must go
+    e.sql(
+        "UPSERT INTO ixt SELECT o_orderkey, 'Z', o_totalprice * 2, "
+        "o_orderpriority FROM orders WHERE o_orderkey <= 50"
+    )
+    e.sql("DELETE FROM ixt WHERE k > 250")
+    for pred in ("a = 'Z'", "a = 'F'"):
+        via_index = e.sql(f"SELECT a, b FROM ixt WHERE {pred}")
+        assert _reads_index(via_index, "ix_a")
+        via_base = e.sql(f"SELECT a, b, c FROM ixt WHERE {pred}")
+        assert sorted((r.a, r.b) for r in via_index.collect()) == sorted(
+            (r.a, r.b) for r in via_base.collect()
+        )
+
+
+def test_index_dropped_with_table_and_explicitly(ixengine):
+    e = ixengine
+    e.sql("DROP INDEX ix_a ON ixt")
+    assert "ix_a" not in e._indexes
+    assert not _reads_index(e.sql("SELECT a, b FROM ixt WHERE a = 'F'"), "ix_a")
+    e.sql("CREATE INDEX ix_a2 ON ixt (a)")
+    e.sql("DROP TABLE ixt")
+    assert "ix_a2" not in e._indexes  # cascade
+
+
+def test_functional_index_rejected_loudly(engine):
+    from phoenix_spark.indexes import IndexError_
+
+    engine.sql(
+        "CREATE TABLE fx (k BIGINT NOT NULL, s VARCHAR, CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    with pytest.raises(IndexError_):
+        engine.sql("CREATE INDEX fix ON fx (UPPER(s))")
+
+
+def test_index_segments_sorted_by_key(ixengine):
+    """The physical covered-index win: index segments are written sorted by
+    the index key, so parquet row-group min/max stats prune key probes."""
+    import pyarrow.parquet as pq
+    import glob, os
+
+    seg_dir = os.path.join(ixengine.warehouse, "ix_a", "segments")
+    files = glob.glob(os.path.join(seg_dir, "*", "*.parquet"))
+    assert files
+    for f in files:
+        col = pq.read_table(f, columns=["a"]).column("a").to_pylist()
+        assert col == sorted(col), f

@@ -316,3 +316,34 @@ def test_output_dtype_discipline(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_covered_index_probe_plan(spark, tmp_path):
+    """Covered-index probe (QueryOptimizer.java:230-236 analogue): the scan
+    must read the index projection — not the base table — with the key
+    predicate pushed to the parquet reader, whose row-group min/max stats
+    prune because index segments are written sorted by the key."""
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=SF_TEST_DIR, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE pt (k BIGINT NOT NULL, a VARCHAR, b DOUBLE, c VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    e.sql(
+        "UPSERT INTO pt SELECT o_orderkey, o_orderpriority, o_totalprice, "
+        "o_orderstatus FROM orders"
+    )
+    e.sql("CREATE INDEX pix ON pt (a) INCLUDE (b)")
+    df = e.sql("SELECT a, b FROM pt WHERE a = '1-URGENT'")
+    files = df.inputFiles()
+    assert files and all("/pix/segments/" in f for f in files)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in formatted
+    pushed = formatted.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "EqualTo(a," in pushed  # key predicate reached the parquet reader
+    # narrow projection: the uncovered column c never appears in the scan
+    read_schema = formatted.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "c:" not in read_schema
