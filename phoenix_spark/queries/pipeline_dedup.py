@@ -134,41 +134,40 @@ REG.add("dedup_ngram_jaccard", _ngram_jaccard, _NGRAM_PAIRS_SQL)
 
 # --- duplicate-cluster assignment: connected components over the near-dup
 # pair graph (the "keep one canonical doc per cluster" pipeline step) ---------
-def _dup_clusters(spark, sf):
-    """Min-label propagation (synchronous Pregel shape) to a fixpoint.
+def min_label_propagate(
+    nodes: DataFrame, edges: DataFrame, id_col: str, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components via min-label propagation (synchronous Pregel
+    shape) to a fixpoint: (id_col, cluster_id, is_canonical).
 
-    Each round every doc takes the min cluster label among itself and its
-    near-dup neighbors; convergence in <= graph-diameter rounds (dup
-    clusters are shallow — fixture converges in 2-3).  The per-round
-    ``collect()`` is a SINGLE scalar (the decreasing label sum used as the
-    convergence signal) — the Pregel driver-side control loop, not a data
-    collect.  ``localCheckpoint`` truncates the growing lineage each round,
-    exactly what an iterative algorithm needs at scale (on a cluster,
-    ``checkpoint()`` to reliable storage instead).
+    ``nodes``: one column ``id_col``; ``edges``: two columns (``src``,
+    ``dst``), directed — undirected closure is taken here.  Each round every
+    node takes the min cluster label among itself and its neighbors;
+    convergence in <= graph-diameter rounds (dup clusters are shallow —
+    fixtures converge in 2-3).  The per-round ``collect()`` is a SINGLE
+    scalar (the decreasing label sum used as the convergence signal) — the
+    Pregel driver-side control loop, not a data collect.  ``localCheckpoint``
+    truncates the growing lineage each round, exactly what an iterative
+    algorithm needs at scale (on a cluster, ``checkpoint()`` to reliable
+    storage instead).  Raises rather than silently returning partial labels
+    if a pathological component's diameter exceeds ``max_rounds``.
     """
-    edges = _ngram_jaccard(spark, sf).select("doc_a", "doc_b")
-    und = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = t(spark, sf, "documents").select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    )
+    labels = nodes.select(id_col, F.col(id_col).alias("cluster_id"))
     prev = None
     converged = False
-    max_rounds = 50  # >= any real dup-chain diameter; raises rather than
-    # silently returning partial labels if a pathological component exceeds it
     for _ in range(max_rounds):
         nmin = (
-            und.join(labels, und.dst == labels.doc_id)
+            und.join(labels, und.dst == labels[id_col])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
         labels = (
-            labels.join(nmin, labels.doc_id == nmin.src, "left")
+            labels.join(nmin, labels[id_col] == nmin.src, "left")
             .select(
-                labels.doc_id,
+                labels[id_col],
                 F.least(
                     F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
                 ).alias("cluster_id"),
@@ -182,15 +181,23 @@ def _dup_clusters(spark, sf):
         prev = s
     if not converged:
         raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge in "
-            f"{max_rounds} rounds (near-dup component diameter exceeds the "
-            f"cap); returning partial labels would silently break parity"
+            f"min_label_propagate: did not converge in {max_rounds} rounds "
+            f"(near-dup component diameter exceeds the cap); returning "
+            f"partial labels would silently break parity"
         )
     return labels.select(
-        "doc_id",
+        id_col,
         "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def _dup_clusters(spark, sf):
+    edges = _ngram_jaccard(spark, sf).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = t(spark, sf, "documents").select("doc_id")
+    return min_label_propagate(nodes, edges, "doc_id")
 
 
 REG.add(
@@ -390,35 +397,62 @@ REG.add(
 )
 
 # --- SimHash near-dup (oracle-paired; banded Hamming buckets) -----------------
-# 64-bit SimHash: bit b of the fingerprint is the sign of
+# n-bit SimHash: bit b of the fingerprint is the sign of
 # sum_tokens(bit_b(md5(token)) * 2 - 1).  Both engines read the SAME md5 hex,
 # so fingerprints agree exactly (verified bit-for-bit at sf0.001).  The
-# fingerprint is kept as 4 x 16-bit chunk columns instead of one int64 —
-# chunk 3 would otherwise occupy the sign bit, which DuckDB's checked `<<`
-# rejects — and the Hamming distance is the sum of per-chunk
+# fingerprint is kept as n_chunks chunk columns instead of one int64/128 —
+# the top chunk would otherwise occupy the sign bit, which DuckDB's checked
+# `<<` rejects — and the Hamming distance is the sum of per-chunk
 # bit_count(xor(...)).
 #
-# Scale shape: fingerprints are a pure map (F.aggregate over the token
-# array — NO explode/groupBy shuffle); the only shuffle is the candidate
-# equi-join on (chunk_index, chunk_value).  Hamming <= 3 over 4 chunks
-# guarantees a shared chunk (pigeonhole), so banding loses no pairs.  At
-# 100 TB, 16-bit buckets collide too often (N^2/2^16 random candidates) —
-# widen to 8 chunks of 16 bits over a 128-bit fingerprint, which keeps the
-# same pigeonhole bound for Hamming <= 7.
-_N_CHUNKS = 4
-_CHUNK_BITS = 16
+# Scale shape: the only shuffle is the map-side-combined fingerprint groupBy
+# plus the candidate equi-join on (chunk_index, chunk_value).  Hamming <=
+# n_chunks-1 over n_chunks chunks guarantees a shared chunk (pigeonhole), so
+# banding loses no pairs.  The CHUNK WIDTH is the collision knob: random
+# docs share a w-bit chunk with probability 2^-w, so expected random
+# candidates are n_chunks * N^2 / 2^w.  ``simhash_params`` picks the config
+# by corpus size; two configs are registered and oracle-paired:
+#   dedup_simhash     64-bit fp,  4 x 16-bit chunks, Hamming <= 3
+#   dedup_simhash128  128-bit fp, 8 x 16-bit chunks, Hamming <= 7
+# (md5 is exactly 128 bits, so the wide variant consumes the whole digest.)
 
 
-def _simhash_fp(spark, sf) -> DataFrame:
-    """doc_id + 4 x 16-bit fingerprint chunks (c0..c3).
+def simhash_params(n_docs: int) -> tuple[int, int]:
+    """(n_bits, n_chunks) for a corpus of ``n_docs`` documents.
 
-    Formulated as explode(distinct tokens) -> 64 codegen'd SUM(shifted bit)
-    aggregates -> chunk packing, NOT as nested array lambdas over a
-    64-element accumulator: higher-order functions evaluate their lambda
-    interpreted per element (measured ~15 s/side at sf0.1 vs ~2 s for this
-    shape).  The groupBy shuffles only (doc_id, 64 partial longs) thanks to
-    map-side combine; the md5 is computed once per token occurrence.
+    Chosen so expected random-chunk collisions n_chunks*N^2/2^w stay
+    near-linear in N (w = chunk width):
+
+      N <= ~65k   -> (64, 4):  16-bit chunks, Hamming <= 3
+      N <= ~1e9   -> (128, 8): 16->16-bit chunks but Hamming <= 7 recall;
+                     pair with (128, 4) below when collisions dominate
+      N >  ~2^32  -> (128, 4): 32-bit chunks, Hamming <= 3 — buckets stay
+                     O(dup-cluster) past 4B docs
+
+    The trade-off is explicit: more chunks = higher Hamming tolerance
+    (recall), wider chunks = fewer random collisions (scale).  All configs
+    run through the same parameterized builder below.
     """
+    if n_docs <= 1 << 16:
+        return (64, 4)
+    if n_docs <= 1 << 30:
+        return (128, 8)
+    return (128, 4)
+
+
+def _simhash_fp(spark, sf, n_bits: int = 64, n_chunks: int = 4) -> DataFrame:
+    """doc_id + n_chunks fingerprint chunk columns (c0..c{n-1}).
+
+    Formulated as explode(distinct tokens) -> n_bits codegen'd SUM(shifted
+    bit) aggregates -> chunk packing, NOT as nested array lambdas over an
+    accumulator: higher-order functions evaluate their lambda interpreted
+    per element (measured ~15 s/side at sf0.1 vs ~2 s for this shape).  The
+    groupBy shuffles only (doc_id, n_bits partial longs) thanks to map-side
+    combine; the md5 is computed once per token occurrence.
+    """
+    assert n_bits % 32 == 0 and n_bits <= 128 and n_bits % n_chunks == 0
+    chunk_bits = n_bits // n_chunks
+    n_parts = n_bits // 32
     toks = _docs_wide(spark, sf).select(
         "doc_id",
         F.explode(
@@ -428,36 +462,41 @@ def _simhash_fp(spark, sf) -> DataFrame:
     h = F.md5(F.col("tok"))
     hashed = toks.select(
         "doc_id",
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+        *[
+            F.conv(F.substring(h, 8 * p + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"h{p}")
+            for p in range(n_parts)
+        ],
     )
 
     # Single-F.expr strings per aggregate/chunk: nested Column-object
-    # construction for 64 aggregates costs hundreds of py4j round-trips of
+    # construction for 64+ aggregates costs hundreds of py4j round-trips of
     # driver time per run (same finding as pipeline_similarity._sim_bands).
     def contrib(b: int) -> str:
-        # bit b of the 64-bit md5 prefix (MSB first), mapped to +/-1
-        src, sh = ("hi", 31 - b) if b < 32 else ("lo", 63 - b)
+        # bit b of the n_bits-wide md5 prefix (MSB first), mapped to +/-1
+        src, sh = f"h{b // 32}", 31 - (b % 32)
         return f"sum((shiftright({src}, {sh}) & 1) * 2 - 1) AS s{b}"
 
     sums = hashed.groupBy("doc_id").agg(
-        *[F.expr(contrib(b)) for b in range(64)]
+        *[F.expr(contrib(b)) for b in range(n_bits)]
     )
 
     def chunk(c: int) -> str:
         terms = " + ".join(
-            f"(CASE WHEN s{_CHUNK_BITS * c + j} > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(_CHUNK_BITS)
+            f"(CASE WHEN s{chunk_bits * c + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(chunk_bits)
         )
         return f"CAST({terms} AS BIGINT) AS c{c}"
 
     return sums.select(
-        "doc_id", *[F.expr(chunk(c)) for c in range(_N_CHUNKS)]
+        "doc_id", *[F.expr(chunk(c)) for c in range(n_chunks)]
     )
 
 
-def _simhash(spark, sf):
-    fp = _simhash_fp(spark, sf)
+def _simhash(spark, sf, n_bits: int = 64, n_chunks: int = 4):
+    _N_CHUNKS = n_chunks
+    fp = _simhash_fp(spark, sf, n_bits, n_chunks)
     # Carry the 4 chunk columns THROUGH the band explode: the candidate
     # self-join then yields both sides' full fingerprints directly — no
     # join-back to fp, which would re-run the expensive fingerprint map two
@@ -511,41 +550,65 @@ def _simhash(spark, sf):
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= n_chunks - 1)
     )
 
 
-REG.add(
-    "dedup_simhash",
-    _simhash,
-    """
+def _simhash_oracle(n_bits: int, n_chunks: int) -> str:
+    """DuckDB oracle generated from the SAME (n_bits, n_chunks) parameters as
+    the Spark builder, so the constants can't drift between the two sides.
+    The oracle computes fingerprints the slow exact way (all-pairs Hamming):
+    it verifies the banded candidate join loses no pairs (pigeonhole)."""
+    chunk_bits = n_bits // n_chunks
+    n_parts = n_bits // 32
+    parts = ",\n             ".join(
+        f"('0x' || substring(md5(tok), {8 * p + 1}, 8))::BIGINT AS h{p}"
+        for p in range(n_parts)
+    )
+    part_case = " ".join(
+        f"WHEN b < {32 * (p + 1)} THEN h{p} >> ({32 * (p + 1) - 1} - b)"
+        for p in range(n_parts)
+    )
+    chunks = ",\n             ".join(
+        f"SUM(CASE WHEN b // {chunk_bits} = {c} AND s > 0"
+        f" THEN (1::BIGINT << (b % {chunk_bits})) ELSE 0 END) AS c{c}"
+        for c in range(n_chunks)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(n_chunks)
+    )
+    return f"""
     WITH toks AS (
       SELECT doc_id,
              unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
       FROM documents
     ), tb AS (
       SELECT doc_id,
-             ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
-             ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+             {parts}
       FROM toks
     ), sums AS (
       SELECT doc_id, b,
-             SUM(((CASE WHEN b < 32 THEN hi >> (31 - b)
-                        ELSE lo >> (63 - b) END) & 1) * 2 - 1) AS s
-      FROM tb, range(64) r(b) GROUP BY doc_id, b
+             SUM(((CASE {part_case} END) & 1) * 2 - 1) AS s
+      FROM tb, range({n_bits}) r(b) GROUP BY doc_id, b
     ), fp AS (
       SELECT doc_id,
-             SUM(CASE WHEN b < 16 AND s > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS c0,
-             SUM(CASE WHEN b BETWEEN 16 AND 31 AND s > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS c1,
-             SUM(CASE WHEN b BETWEEN 32 AND 47 AND s > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS c2,
-             SUM(CASE WHEN b >= 48 AND s > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END) AS c3
+             {chunks}
       FROM sums GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           (bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
-            + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)))::BIGINT AS hamming
+           ({ham})::BIGINT AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
-          + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
-    """,
+    WHERE {ham} <= {n_chunks - 1}
+    """
+
+
+REG.add("dedup_simhash", _simhash, _simhash_oracle(64, 4))
+
+# The documented wide variant: the full 128-bit md5 digest, 8 x 16-bit
+# chunks, Hamming <= 7 — the recall configuration of simhash_params for
+# corpora past the 16-bit-bucket regime.
+REG.add(
+    "dedup_simhash128",
+    lambda spark, sf: _simhash(spark, sf, n_bits=128, n_chunks=8),
+    _simhash_oracle(128, 8),
 )

@@ -167,20 +167,40 @@ REG.add(
 _NPLANES = 64
 _SIM_BANDS = 8  # 8 bands x 8 planes: P(candidate) = 1-(1-p^8)^8, p = 1-θ/π.
 # Random (cosine≈0) pairs collide at ~3%; cosine≥0.4 pairs at ~20-40%.  The
-# banded recall curve sharpens with more planes per band — at 100 TB scale
-# R grows like log(N) to keep bucket sizes bounded.
-_SIM_ROWS = _NPLANES // _SIM_BANDS
+# banded recall curve sharpens with more planes per band — the band-key
+# space is 2^(planes/band), so planes/band must grow like log2(N) to keep
+# random-collision candidate volume (bands * N^2 / 2^(planes/band))
+# near-linear.  ``sign_lsh_params`` picks the config by corpus size; the
+# registry entry pins the fixture config (8x8) and scale_smoke.py measures
+# the candidate-volume curve for wider keys at 10x data.
 _SIM_THRESHOLD = 0.4  # the fixture's similarity range tops out at ~0.6
+
+
+def sign_lsh_params(n_rows: int) -> tuple[int, int]:
+    """(n_planes, n_bands) for a corpus of ``n_rows`` vectors.
+
+    planes/band = max(8, ceil(log2(n_rows))) keeps the band-key space
+    >= N, so expected random candidates per band stay O(N); 8 bands holds
+    the recall curve's shape (P(candidate) = 1-(1-p^R)^8).  At 10^8 rows
+    this yields 27 planes/band (216 projections/vector — still one
+    codegen'd map, no extra shuffle)."""
+    import math
+
+    rows_per_band = max(8, math.ceil(math.log2(max(n_rows, 2))))
+    n_bands = 8
+    return (n_bands * rows_per_band, n_bands)
+
 
 # Hyperplane weights w[p][d] ∈ {+1,-1}: parity of a Knuth-style integer mix
 # of (plane, 1-based dim) — no RNG, identical in both engines.
 _PARITY = "pmod(d * 2654435761 + {p} * 40503, 65536) < 32768"
 
 
-def _sim_bands(spark, sf) -> DataFrame:
-    """(vec_id, band, bkey): 8-bit sign-pattern key per band, via 64
-    codegen'd SUM(CASE) projections (same shape as the text SimHash
-    fingerprint — no interpreted array lambdas in the hot path)."""
+def _sim_bands(spark, sf, n_planes: int = _NPLANES, n_bands: int = _SIM_BANDS) -> DataFrame:
+    """(vec_id, band, bkey): (planes/band)-bit sign-pattern key per band,
+    via n_planes codegen'd SUM(CASE) projections (same shape as the text
+    SimHash fingerprint — no interpreted array lambdas in the hot path)."""
+    rows = n_planes // n_bands
     # Single-F.expr strings per column: building these as nested F.when
     # Column objects costs hundreds of py4j round-trips (~1 s of driver time
     # per run at 64 planes — measured half this query's wall time).
@@ -192,41 +212,41 @@ def _sim_bands(spark, sf) -> DataFrame:
             F.expr(
                 f"sum(CASE WHEN {_PARITY.format(p=p)} THEN x ELSE -x END)"
             ).alias(f"p{p}")
-            for p in range(_NPLANES)
+            for p in range(n_planes)
         ]
     )
 
     def bkey(b: int) -> str:
         return " + ".join(
-            f"(CASE WHEN p{b * _SIM_ROWS + r} >= 0 THEN {1 << r} ELSE 0 END)"
-            for r in range(_SIM_ROWS)
+            f"(CASE WHEN p{b * rows + r} >= 0 THEN cast({1 << r} as bigint) ELSE 0 END)"
+            for r in range(rows)
         )
 
-    # All 8 band keys ride along (8 ints/row): the candidate join's
+    # All band keys ride along (n_bands ints/row): the candidate join's
     # first-matching-band predicate needs them — see _lsh_pairs.
     keyed = projs.select(
-        "vec_id", *[F.expr(f"{bkey(b)}").alias(f"k{b}") for b in range(_SIM_BANDS)]
+        "vec_id", *[F.expr(f"{bkey(b)}").alias(f"k{b}") for b in range(n_bands)]
     )
     structs = ", ".join(
-        f"struct({b} AS band, k{b} AS bkey)" for b in range(_SIM_BANDS)
+        f"struct({b} AS band, k{b} AS bkey)" for b in range(n_bands)
     )
     return keyed.select(
         "vec_id",
-        *[f"k{b}" for b in range(_SIM_BANDS)],
+        *[f"k{b}" for b in range(n_bands)],
         F.expr(f"explode(array({structs}))").alias("bb"),
     ).select(
-        "vec_id", *[f"k{b}" for b in range(_SIM_BANDS)], "bb.band", "bb.bkey"
+        "vec_id", *[f"k{b}" for b in range(n_bands)], "bb.band", "bb.bkey"
     )
 
 
-def _lsh_pairs(spark, sf):
-    bands = _sim_bands(spark, sf)
+def _lsh_pairs(spark, sf, n_planes: int = _NPLANES, n_bands: int = _SIM_BANDS):
+    bands = _sim_bands(spark, sf, n_planes, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     # First-matching-band dedup (no earlier band key equal) replaces the
     # candidate distinct() — one full shuffle removed; both sides' band
     # keys are already in the joined row.
     first_match = F.lit(True)
-    for c in range(1, _SIM_BANDS):
+    for c in range(1, n_bands):
         first_match = F.when(
             F.col("a.band") == c,
             sum(
@@ -264,10 +284,14 @@ def _lsh_pairs(spark, sf):
     )
 
 
-REG.add(
-    "similarity_lsh_pairs",
-    _lsh_pairs,
-    f"""
+def _lsh_pairs_oracle(n_planes: int, n_bands: int) -> str:
+    """DuckDB oracle generated from the SAME (n_planes, n_bands) as the
+    Spark builder — the constants cannot drift between the two sides."""
+    rows = n_planes // n_bands
+    dot_ab = _DUCK_DOT.format(a="qa.q", b="qb.q")
+    dot_aa = _DUCK_DOT.format(a="qa.q", b="qa.q")
+    dot_bb = _DUCK_DOT.format(a="qb.q", b="qb.q")
+    return f"""
     WITH qe AS (
       SELECT vec_id, {_DUCK_Q} AS q FROM embeddings
     ),
@@ -276,12 +300,12 @@ REG.add(
              CAST(list_sum([CASE WHEN (d * 2654435761 + p * 40503) % 65536 < 32768
                                  THEN q[d] ELSE -q[d] END
                             FOR d IN range(1, len(q) + 1)]) AS BIGINT) AS proj
-      FROM qe, range({_NPLANES}) r(p)
+      FROM qe, range({n_planes}) r(p)
     ),
     bands AS (
-      SELECT vec_id, p // {_SIM_ROWS} AS band,
-             SUM(CASE WHEN proj >= 0 THEN (1 << (p % {_SIM_ROWS})) ELSE 0 END) AS bkey
-      FROM projs GROUP BY vec_id, p // {_SIM_ROWS}
+      SELECT vec_id, p // {rows} AS band,
+             SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << (p % {rows})) ELSE 0 END) AS bkey
+      FROM projs GROUP BY vec_id, p // {rows}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -289,15 +313,51 @@ REG.add(
         ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b,
-           {_DUCK_DOT.format(a='qa.q', b='qb.q')}
-             / (sqrt({_DUCK_DOT.format(a='qa.q', b='qa.q')})
-                * sqrt({_DUCK_DOT.format(a='qb.q', b='qb.q')})) AS cosine
+           {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cosine
     FROM cand
     JOIN qe qa ON qa.vec_id = cand.id_a
     JOIN qe qb ON qb.vec_id = cand.id_b
-    WHERE {_DUCK_DOT.format(a='qa.q', b='qb.q')}
-             / (sqrt({_DUCK_DOT.format(a='qa.q', b='qa.q')})
-                * sqrt({_DUCK_DOT.format(a='qb.q', b='qb.q')})) >= {_SIM_THRESHOLD}
+    WHERE {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) >= {_SIM_THRESHOLD}
+    """
+
+
+REG.add("similarity_lsh_pairs", _lsh_pairs, _lsh_pairs_oracle(_NPLANES, _SIM_BANDS))
+
+
+# --- embedding-cosine near-duplicate clusters --------------------------------
+# The "semantic dedup" pipeline step: vectors whose cosine >= threshold are
+# near-dups; keep one canonical representative per connected component.
+# Pairs come from the banded sign-LSH join above (never all-pairs); cluster
+# assignment is the same min-label-propagation kernel as dedup_clusters.
+# Oracle: recursive CTE over the SAME pair SQL — exact reachability.
+def _dedup_embedding(spark, sf):
+    from phoenix_spark.queries.pipeline_dedup import min_label_propagate
+
+    edges = _lsh_pairs(spark, sf).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nodes = t(spark, sf, "embeddings").select("vec_id")
+    return min_label_propagate(nodes, edges, "vec_id")
+
+
+REG.add(
+    "dedup_embedding",
+    _dedup_embedding,
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_oracle(_NPLANES, _SIM_BANDS)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.v
+    )
+    SELECT v AS vec_id, MIN(r) AS cluster_id,
+           (v = MIN(r)) AS is_canonical
+    FROM reach GROUP BY v
     """,
 )
 
