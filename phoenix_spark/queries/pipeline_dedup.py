@@ -237,7 +237,10 @@ _A = [(2654435761 * (2 * i + 1)) % _P or 1 for i in range(_K)]
 _B = [(0x9E3779B97F4A7C15 * (i + 1)) % _P for i in range(_K)]
 
 
-def _minhash_lsh(spark, sf):
+def _minhash_lsh(spark, sf, candidates_only: bool = False):
+    """``candidates_only``: return the pre-verify candidate pair set — the
+    quantity whose growth rate IS the LSH scale contract (measured at 1x and
+    10x by scripts/scale_smoke.py)."""
     docs = _shingled(spark, sf).select("doc_id", "sh")
     # Per-row signature: min over the shingle array per permutation — a pure
     # map (array_min ∘ transform), NO explode/groupBy shuffle.  At 100 TB the
@@ -318,6 +321,8 @@ def _minhash_lsh(spark, sf):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
+    if candidates_only:
+        return cand
     # Exact-Jaccard verification of the candidates only — over the HASHED
     # shingle arrays (8-byte ints), not the raw 3-gram strings: the verify
     # joins shuffle ~4x fewer bytes, and Jaccard over distinct hashes equals
@@ -494,7 +499,9 @@ def _simhash_fp(spark, sf, n_bits: int = 64, n_chunks: int = 4) -> DataFrame:
     )
 
 
-def _simhash(spark, sf, n_bits: int = 64, n_chunks: int = 4):
+def _simhash(
+    spark, sf, n_bits: int = 64, n_chunks: int = 4, candidates_only: bool = False
+):
     _N_CHUNKS = n_chunks
     fp = _simhash_fp(spark, sf, n_bits, n_chunks)
     # Carry the 4 chunk columns THROUGH the band explode: the candidate
@@ -537,21 +544,21 @@ def _simhash(spark, sf, n_bits: int = 64, n_chunks: int = 4):
             if c
             else F.lit(True),
         ).otherwise(first_match)
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).filter(first_match)
+    if candidates_only:
+        return cand.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .filter(first_match)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= n_chunks - 1)
-    )
+    return cand.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        hamming.alias("hamming"),
+    ).filter(F.col("hamming") <= n_chunks - 1)
 
 
 def _simhash_oracle(n_bits: int, n_chunks: int) -> str:

@@ -239,7 +239,17 @@ def _sim_bands(spark, sf, n_planes: int = _NPLANES, n_bands: int = _SIM_BANDS) -
     )
 
 
-def _lsh_pairs(spark, sf, n_planes: int = _NPLANES, n_bands: int = _SIM_BANDS):
+def _lsh_pairs(
+    spark,
+    sf,
+    n_planes: int = _NPLANES,
+    n_bands: int = _SIM_BANDS,
+    candidates_only: bool = False,
+):
+    """``candidates_only``: return the pre-verify candidate pair set — the
+    quantity whose growth rate IS the LSH scale contract (measured at 1x and
+    10x, for both fixture and sign_lsh_params configs, by
+    scripts/scale_smoke.py)."""
     bands = _sim_bands(spark, sf, n_planes, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     # First-matching-band dedup (no earlier band key equal) replaces the
@@ -265,6 +275,8 @@ def _lsh_pairs(spark, sf, n_planes: int = _NPLANES, n_bands: int = _SIM_BANDS):
         .filter(first_match)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
+    if candidates_only:
+        return cand
     emb = _quantized(spark, sf)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("qn").alias("qn_a"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("qn").alias("qn_b"))

@@ -132,3 +132,47 @@ REG.add(
     FROM customer
     """,
 )
+
+
+# --- TO_NUMBER / TO_CHAR with java.text.DecimalFormat patterns ---------------
+# Reference: ToNumberFunction.java / ToCharFunction.java (both delegate to
+# java.text.DecimalFormat).  The front-end translation
+# (sqlfront.to_number_expr / to_char_numeric_expr) widens the integer part,
+# handles sign and currency prefixes explicitly, and rounds HALF_EVEN via
+# bround — verified against real DecimalFormat outputs (see
+# tests/test_sqlfront_properties.py).  Round-trip over c_acctbal (which
+# includes negatives): format '#,##0.00' -> parse back, and format with a
+# currency prefix.  DuckDB's format('{:,.2f}') groups and rounds HALF_EVEN
+# exactly like DecimalFormat, giving a textual oracle for the formatter.
+def _to_number_fmt(spark, sf):
+    from phoenix_spark.sqlfront import to_char_numeric_expr, to_number_expr
+
+    parse_back = to_number_expr("format_number(c_acctbal, 2)", "#,##0.00")
+    fmt_cur = to_char_numeric_expr("c_acctbal", "$#,##0.00")
+    return t(spark, sf, "customer").select(
+        "c_custkey",
+        F.expr(parse_back).alias("parsed_back"),
+        F.expr(fmt_cur).alias("formatted"),
+    )
+
+
+# DuckDB can't group floats in format(); build '#,##0.00' from the grouped
+# INTEGER part (format('{:,}') groups integers) + zero-padded cents.
+REG.add(
+    "math_to_number_fmt",
+    _to_number_fmt,
+    """
+    WITH v AS (
+      SELECT c_custkey,
+             CAST(round_even(c_acctbal, 2) AS DECIMAL(18,2)) AS d
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(d AS DOUBLE) AS parsed_back,
+           (CASE WHEN d < 0 THEN '-' ELSE '' END) || '$'
+             || format('{:,}', CAST(floor(abs(d)) AS BIGINT)) || '.'
+             || lpad(CAST(CAST(abs(d) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+             AS formatted
+    FROM v
+    """,
+)

@@ -76,6 +76,7 @@ _SHAPE_FNS = (
     "REGEXP_SUBSTR",
     "STRING_TO_ARRAY",
     "TO_NUMBER",
+    "TO_CHAR",
     "TO_DATE",
     "TO_TIME",
     "TO_TIMESTAMP",
@@ -98,6 +99,225 @@ _WORD_RE = re.compile(
 
 class PhoenixTranslationError(ValueError):
     """A Phoenix construct this front-end refuses to silently mistranslate."""
+
+
+# ---------------------------------------------------------------------------
+# Format-pattern translation (reference: ToNumberFunction.java /
+# ToCharFunction.java use java.text.DecimalFormat; ToDateFunction.java /
+# DateUtil.java use java.text SimpleDateFormat-style patterns).  Spark's
+# datetime patterns share most letters with java.text but several DIFFER IN
+# MEANING or are banned by Spark's parser — those are rejected loudly here
+# instead of passing through to a runtime error or, worse, a silently wrong
+# result ('u': day-number-of-week in java.text, year-era in Spark).
+# ---------------------------------------------------------------------------
+
+# Letters with the SAME meaning in java.text and Spark datetime patterns.
+_DT_OK = set("GyMLdDEaHhKkmszZXQq")
+# Letters whose meaning differs or that Spark's parser bans outright.
+_DT_BAD = {
+    "u": "day-number-of-week in java.text but year-of-era in Spark",
+    "Y": "week-based year (rejected by Spark's datetime parser)",
+    "w": "week-of-year (rejected by Spark's datetime parser)",
+    "W": "week-of-month (rejected by Spark's datetime parser)",
+    "F": "day-of-week-in-month (no Spark pattern equivalent)",
+}
+
+
+def translate_datetime_pattern(fmt: str) -> str:
+    """java.text datetime pattern -> Spark datetime pattern (or raise).
+
+    ``fmt`` is the raw pattern (no surrounding SQL quotes).  Quoted literal
+    sections ('...') use identical syntax in both and pass through; every
+    unquoted letter is checked against the translation table.  'S' is
+    accepted only as 'SSS': java.text 'S' is the millisecond VALUE while
+    Spark 'S' is fraction-of-second, so only the 3-digit run means the same
+    thing for the engine's microsecond timestamps.
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "'":
+            j = i + 1
+            while j < len(fmt):
+                if fmt[j] == "'":
+                    if j + 1 < len(fmt) and fmt[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(fmt[i : j + 1])
+            i = j + 1
+            continue
+        if c.isalpha():
+            j = i
+            while j < len(fmt) and fmt[j] == c:
+                j += 1
+            run = fmt[i:j]
+            if c in _DT_BAD:
+                raise PhoenixTranslationError(
+                    f"datetime pattern letter {c!r}: {_DT_BAD[c]}"
+                )
+            if c == "S":
+                if run != "SSS":
+                    raise PhoenixTranslationError(
+                        "datetime pattern 'S' differs between java.text "
+                        "(millisecond value) and Spark (fraction); only "
+                        "'SSS' is portable"
+                    )
+                out.append(run)
+            elif c in _DT_OK:
+                out.append(run)
+            else:
+                raise PhoenixTranslationError(
+                    f"datetime pattern letter {c!r} has no verified Spark "
+                    "translation"
+                )
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+_NUM_FMT_CHARS = set("0#.,$¤")
+
+
+def _looks_like_number_format(fmt: str) -> bool:
+    """DecimalFormat patterns are digits-and-punctuation; any other letter
+    means a datetime pattern (TO_CHAR dispatches on this — the reference
+    dispatches on the ARGUMENT type, which the textual front-end can't see,
+    but the two pattern languages are disjoint on every real format)."""
+    return bool(fmt) and any(c in "0#" for c in fmt) and all(
+        c in _NUM_FMT_CHARS for c in fmt
+    )
+
+
+def _parse_decimal_format(fmt: str) -> tuple[str, bool, int, str]:
+    """java.text.DecimalFormat pattern -> (currency, grouping, min_int, frac).
+
+    Accepts the practical subset: optional currency prefix ('$' or the
+    generic '¤'), '#'/'0' digit positions, group size 3, one decimal point.
+    Scientific notation, percent/permille scaling, positive;negative
+    sub-patterns, quoted literals, non-3 group sizes, and non-prefix
+    currency have no Spark to_number/to_char analogue — rejected loudly
+    (reference: ToNumberFunction.java / ToCharFunction.java delegate to
+    java.text.DecimalFormat; this covers its common constructions).
+    """
+    bad = {
+        "E": "scientific notation",
+        "%": "percent scaling",
+        "‰": "permille scaling",
+        ";": "positive;negative sub-patterns",
+        "'": "quoted literals",
+        "-": "literal sign prefix",
+    }
+    for c in fmt:
+        if c in bad:
+            raise PhoenixTranslationError(
+                f"number format {c!r} ({bad[c]}) has no Spark "
+                "to_number/to_char equivalent"
+            )
+    currency = ""
+    body = fmt
+    if body[:1] in ("$", "¤"):
+        currency = "$"
+        body = body[1:]
+    if any(c in "$¤" for c in body):
+        raise PhoenixTranslationError(
+            "currency symbol is only supported as a format prefix"
+        )
+    if body.count(".") > 1:
+        raise PhoenixTranslationError("multiple decimal points in format")
+    int_part, _, frac = body.partition(".")
+    if not int_part or not all(c in "0#," for c in int_part):
+        raise PhoenixTranslationError(
+            f"untranslatable integer part in number format {fmt!r}"
+        )
+    if not all(c in "0#" for c in frac):
+        raise PhoenixTranslationError(
+            f"untranslatable fraction part in number format {fmt!r}"
+        )
+    grouping = "," in int_part
+    if grouping and len(int_part.rsplit(",", 1)[1]) != 3:
+        raise PhoenixTranslationError(
+            "only group size 3 is translatable (DecimalFormat group size is "
+            "defined by the digits after the last ',')"
+        )
+    min_int = int_part.count("0")
+    return currency, grouping, min_int, frac
+
+
+def _widened_int(grouping: bool, min_int: int) -> str:
+    """18 integer digit positions (DecimalFormat's integer part is
+    unbounded; decimal(38,x) magnitudes fit in 18+ digits) with the last
+    ``min_int`` always-printed."""
+    min_int = max(min_int, 1)
+    digits = "9" * (18 - min_int) + "0" * min_int
+    if not grouping:
+        return digits
+    out = []
+    for i, c in enumerate(reversed(digits)):
+        if i and i % 3 == 0:
+            out.append(",")
+        out.append(c)
+    return "".join(reversed(out))
+
+
+def to_number_expr(arg: str, fmt: str) -> str:
+    """TO_NUMBER(value, DecimalFormat) -> Spark SQL expression (double).
+
+    DecimalFormat.parse accepts any magnitude and a leading '-'; Spark's
+    to_number is fixed-width and unsigned-by-default, so the format's
+    integer part is widened to 18 positions and the sign is handled
+    explicitly.  Known (documented) strictness difference vs java.text:
+    a GROUPED format requires grouped input ('1234.56' will not parse
+    against '#,##0.00' — write it '1,234.56' as DecimalFormat.format would).
+    """
+    currency, grouping, min_int, frac = _parse_decimal_format(fmt)
+    spark_fmt = currency + _widened_int(grouping, min_int)
+    if frac:
+        spark_fmt += "." + "".join("9" if c == "#" else "0" for c in frac)
+    body = f"trim(LEADING '-' FROM trim({arg}))"
+    sign = f"(CASE WHEN trim({arg}) LIKE '-%' THEN -1 ELSE 1 END)"
+    return f"cast({sign} * to_number({body}, '{spark_fmt}') as double)"
+
+
+def to_char_numeric_expr(arg: str, fmt: str) -> str:
+    """TO_CHAR(numeric, DecimalFormat) -> Spark SQL expression (string).
+
+    The value is rounded to the format's scale first with ``bround``
+    (DecimalFormat rounds HALF_EVEN; Spark's to_char overflows with '#'),
+    formatted with a widened integer part, and trimmed (Spark space-pads
+    dropped '9' positions; DecimalFormat does not).  Sign and currency are
+    emitted as explicit prefixes in DecimalFormat's order (-$1,234.50)
+    because Spark's to_char drops the sign and pads after '$'.  Fraction
+    '#' (drop trailing zeros) has no Spark analogue — rejected.  Verified
+    against java.text.DecimalFormat outputs (jshell) for the grouped,
+    currency, negative, rounding-tie, and magnitude-overflow cases.
+    """
+    currency, grouping, min_int, frac = _parse_decimal_format(fmt)
+    if "#" in frac:
+        raise PhoenixTranslationError(
+            "TO_CHAR fraction '#' (drop trailing zeros) has no Spark "
+            "to_char equivalent; use '0' fraction digits"
+        )
+    spark_fmt = _widened_int(grouping, min_int)
+    if frac:
+        spark_fmt += "." + frac
+    v = f"cast(bround({arg}, {len(frac)}) as decimal(38,{len(frac)}))"
+    sign = f"CASE WHEN {v} < 0 THEN '-' ELSE '' END"
+    return (
+        f"concat({sign}, '{currency}', trim(to_char(abs({v}), '{spark_fmt}')))"
+    )
+
+
+def _literal_text(arg: str) -> str | None:
+    """'...literal...' -> inner text (SQL-unescaped), else None."""
+    a = arg.strip()
+    if len(a) >= 2 and a.startswith("'") and a.endswith("'"):
+        return a[1:-1].replace("''", "'")
+    return None
 
 
 def _split_args(argtext: str) -> list[str]:
@@ -163,10 +383,35 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     if up == "TO_NUMBER":
         if len(args) == 1:
             return f"cast({args[0]} as double)"
-        raise PhoenixTranslationError(
-            "TO_NUMBER(value, format) format patterns are not supported; "
-            "cast explicitly instead"
-        )
+        if len(args) == 2:
+            # DecimalFormat pattern (ToNumberFunction.java) -> Spark
+            # to_number; result cast to double to match the engine's
+            # TO_NUMBER discipline (Phoenix returns DECIMAL).
+            lit = _literal_text(args[1])
+            if lit is None:
+                raise PhoenixTranslationError(
+                    "TO_NUMBER format must be a string literal"
+                )
+            return to_number_expr(args[0], lit)
+        raise PhoenixTranslationError(f"TO_NUMBER with {len(args)} args")
+    if up == "TO_CHAR":
+        # ToCharFunction.java dispatches on the argument's runtime type; the
+        # textual front-end dispatches on the format pattern instead — the
+        # DecimalFormat and SimpleDateFormat languages are disjoint on every
+        # real-world pattern (#/0 vs letters).
+        if len(args) == 1:
+            return f"cast({args[0]} as string)"
+        if len(args) == 2:
+            lit = _literal_text(args[1])
+            if lit is None:
+                raise PhoenixTranslationError(
+                    "TO_CHAR format must be a string literal"
+                )
+            if _looks_like_number_format(lit):
+                return to_char_numeric_expr(args[0], lit)
+            df = translate_datetime_pattern(lit).replace("'", "''")
+            return f"date_format({args[0]}, '{df}')"
+        raise PhoenixTranslationError(f"TO_CHAR with {len(args)} args")
     if up in ("TO_DATE", "TO_TIME", "TO_TIMESTAMP"):
         # Phoenix DATE/TIME/TIMESTAMP all carry full time (PDate is ms-epoch
         # — ToDateFunction.java), so every variant maps to a timestamp, NOT
@@ -175,9 +420,18 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         if len(args) == 1:
             return f"cast(to_timestamp({args[0]}) as timestamp_ntz)"
         if len(args) == 2:
-            # java.text patterns ≈ Spark datetime patterns for the common
-            # yyyy/MM/dd/HH/mm/ss letters; exotic letters raise at runtime
-            return f"cast(to_timestamp({args[0]}, {args[1]}) as timestamp_ntz)"
+            # java.text pattern -> Spark pattern via the translation table
+            # (letters that differ in meaning or are banned raise here
+            # rather than failing downstream or silently diverging).
+            lit = _literal_text(args[1])
+            if lit is None:
+                raise PhoenixTranslationError(
+                    f"{up} format must be a string literal"
+                )
+            spark_fmt = translate_datetime_pattern(lit).replace("'", "''")
+            return (
+                f"cast(to_timestamp({args[0]}, '{spark_fmt}') as timestamp_ntz)"
+            )
         raise PhoenixTranslationError(
             f"{up} with a timezone argument is not supported; use CONVERT_TZ"
         )

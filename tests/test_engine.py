@@ -37,9 +37,13 @@ def test_translate_string_to_array_escapes_delimiter():
     assert "split(s, '\\\\.')" in out
 
 
-def test_translate_to_number_two_arg_rejected():
+def test_translate_to_number_two_arg_formats():
+    # DecimalFormat patterns now translate (widened int part, explicit sign)
+    out = translate_phoenix_sql("SELECT TO_NUMBER(s, '#,##0') FROM t")
+    assert "to_number(" in out and "999,999,999,999,990" in out
+    # untranslatable patterns still rejected loudly
     with pytest.raises(PhoenixTranslationError):
-        translate_phoenix_sql("SELECT TO_NUMBER(s, '#,##0') FROM t")
+        translate_phoenix_sql("SELECT TO_NUMBER(s, '0.00E0') FROM t")
 
 
 def test_translate_nested_call():

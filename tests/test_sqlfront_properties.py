@@ -76,3 +76,87 @@ def test_hint_translation():
     # hint-shaped text inside a string literal is untouched
     out = translate_phoenix_sql("SELECT '/*+ SERIAL */' AS s FROM region")
     assert "'/*+ SERIAL */'" in out
+
+
+# ---------------------------------------------------------------------------
+# Format-pattern translation (TO_NUMBER / TO_CHAR / TO_DATE patterns)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from phoenix_spark.sqlfront import (
+    PhoenixTranslationError,
+    to_char_numeric_expr,
+    to_number_expr,
+    translate_datetime_pattern,
+)
+
+
+def test_datetime_pattern_letters_enumerated():
+    """Every letter java.text documents either translates or raises —
+    nothing passes through unvetted (the round-2 gap: exotic letters only
+    failed at runtime)."""
+    same_meaning = "GyMLdDEaHhKkmszZXQq"
+    for c in same_meaning:
+        assert translate_datetime_pattern(c) == c
+    for c in "uYwWF":  # differ in meaning or banned by Spark's parser
+        with pytest.raises(PhoenixTranslationError):
+            translate_datetime_pattern(c)
+    for c in "bBcefgijlnNoprtvx":  # no verified translation -> loud
+        with pytest.raises(PhoenixTranslationError):
+            translate_datetime_pattern(c)
+
+
+def test_datetime_pattern_quoted_literals_pass_through():
+    assert translate_datetime_pattern("yyyy'T'HH") == "yyyy'T'HH"
+    assert translate_datetime_pattern("'week' d") == "'week' d"
+    # banned letters inside quotes are literal text, not pattern letters
+    assert translate_datetime_pattern("'u w W'yyyy") == "'u w W'yyyy"
+
+
+def test_datetime_pattern_fraction_only_sss():
+    assert translate_datetime_pattern("HH:mm:ss.SSS") == "HH:mm:ss.SSS"
+    for bad in ("S", "SS", "SSSS"):
+        with pytest.raises(PhoenixTranslationError):
+            translate_datetime_pattern(bad)
+
+
+def test_number_format_translation_shapes():
+    # DecimalFormat '#,##0.00' widens to 18 grouped digits, sign handled
+    e = to_number_expr("x", "#,##0.00")
+    assert "999,999,999,999,990.00" in e and "LIKE '-%'" in e
+    e = to_char_numeric_expr("x", "$#,##0.00")
+    assert "'$'" in e and "bround(x, 2)" in e and "abs(" in e
+    # integer-only format -> scale-0 rounding
+    assert "bround(x, 0)" in to_char_numeric_expr("x", "#,##0")
+
+
+def test_number_format_rejections():
+    for bad in ("0.00E0", "#,##0%", "0.00;-0.00", "#,####", "0'x'0", "abc"):
+        with pytest.raises(PhoenixTranslationError):
+            to_number_expr("x", bad)
+    # fraction '#' drops trailing zeros - representable in parse, not format
+    to_number_expr("x", "0.##")
+    with pytest.raises(PhoenixTranslationError):
+        to_char_numeric_expr("x", "0.##")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.integers(min_value=0, max_value=99),
+)
+def test_decimalformat_parity_on_spark(spark, int_part, cents):
+    """The translated TO_CHAR expression reproduces java.text.DecimalFormat
+    on '#,##0.00' (ground truth captured from JDK 17 DecimalFormat: grouped
+    thousands, no padding, '-' prefix), and TO_NUMBER round-trips it."""
+    val = int_part + (cents / 100 if int_part >= 0 else -cents / 100)
+    expected = f"{abs(val):,.2f}"  # Python grouping matches DecimalFormat
+    if val < 0:
+        expected = "-" + expected
+    expr = to_char_numeric_expr(f"cast('{val:.2f}' as double)", "#,##0.00")
+    got = spark.sql(f"SELECT {expr} AS r").collect()[0][0]
+    assert got == expected, (val, got, expected)
+    back = to_number_expr(f"'{got}'", "#,##0.00")
+    rt = spark.sql(f"SELECT {back} AS r").collect()[0][0]
+    assert abs(rt - round(val, 2)) < 1e-9
