@@ -365,3 +365,81 @@ REG.add(
     FROM documents
     """,
 )
+
+
+# --- composed curation pipeline: the canonical LLM-data pass as ONE plan -----
+# quality gate -> exact dedup (keep min doc_id per content fingerprint) ->
+# per-kept-doc stats.  The point of registering the COMPOSITION: a user's
+# real pipeline chains these operators, and because every stage is a
+# declarative map/filter, Catalyst fuses the whole pass into a single scan +
+# ONE shuffle (the fingerprint groupBy over quality survivors) — the shape a
+# 100 TB curation job wants.  Struct-min keyed by the unique doc_id makes the
+# kept representative deterministic on both engines.
+def _curate_e2e(spark, sf):
+    toks = f"size({_TOKENS})"
+    d = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.expr(toks).alias("n_tokens"),
+            (
+                F.expr(
+                    f"size(filter({_TOKENS},"
+                    " x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+                )
+                / F.expr(toks)
+            ).alias("stop_ratio"),
+            (F.expr(f"size(array_distinct({_TOKENS}))") / F.expr(toks)).alias(
+                "ttr"
+            ),
+            F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+        )
+        .filter(
+            "n_tokens >= 50 AND n_tokens <= 100000"
+            " AND stop_ratio >= 0.01 AND ttr >= 0.05"
+        )
+    )
+    kept = d.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "lang", "n_tokens")).alias("m"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return kept.select(
+        F.col("m.doc_id").alias("doc_id"),
+        F.col("m.lang").alias("lang"),
+        F.col("m.n_tokens").cast("int").alias("n_tokens"),
+        "fp",
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+REG.add(
+    "pipeline_curate_e2e",
+    _curate_e2e,
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to')))
+               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+               AS stop_ratio,
+             len(list_distinct(string_split_regex(trim(text), '\\s+')))
+               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+               AS ttr,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), f AS (
+      SELECT * FROM q
+      WHERE n_tokens >= 50 AND n_tokens <= 100000
+        AND stop_ratio >= 0.01 AND ttr >= 0.05
+    )
+    SELECT MIN(doc_id) AS doc_id,
+           arg_min(lang, doc_id) AS lang,
+           CAST(arg_min(n_tokens, doc_id) AS INT) AS n_tokens,
+           fp,
+           COUNT(*) AS n_copies
+    FROM f GROUP BY fp
+    """,
+)

@@ -634,3 +634,37 @@ def test_index_segments_sorted_by_key(ixengine):
     for f in files:
         col = pq.read_table(f, columns=["a"]).column("a").to_pylist()
         assert col == sorted(col), f
+
+
+def test_engine_sql_to_number_to_char_formats(spark):
+    """TO_NUMBER(v, fmt) / TO_CHAR(v, fmt) with DecimalFormat patterns and
+    TO_CHAR(date, pattern) run end-to-end through Engine.sql."""
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, SF_TEST_DIR)
+    rows = e.sql(
+        """
+        SELECT c_custkey,
+               TO_CHAR(c_acctbal, '$#,##0.00') AS bal_cur,
+               TO_NUMBER('1,234.56', '#,##0.00') AS parsed
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 3
+        """
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.bal_cur.startswith(("$", "-$")) and "." in r.bal_cur
+        assert abs(r.parsed - 1234.56) < 1e-9
+    # date pattern goes through the translation table
+    rows = e.sql(
+        "SELECT TO_CHAR(o_orderdate, 'yyyy-MM-dd') AS d FROM orders LIMIT 2"
+    ).collect()
+    assert all(len(r.d) == 10 and r.d[4] == "-" for r in rows)
+    # banned pattern letters fail at translate time, not runtime
+    import pytest as _pytest
+
+    from phoenix_spark.sqlfront import PhoenixTranslationError
+
+    with _pytest.raises(PhoenixTranslationError):
+        e.sql("SELECT TO_CHAR(o_orderdate, 'YYYY-ww') AS d FROM orders")
