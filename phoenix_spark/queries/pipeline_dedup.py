@@ -426,22 +426,23 @@ def simhash_params(n_docs: int) -> tuple[int, int]:
     """(n_bits, n_chunks) for a corpus of ``n_docs`` documents.
 
     Chosen so expected random-chunk collisions n_chunks*N^2/2^w stay
-    near-linear in N (w = chunk width):
+    near-linear in N (w = chunk width = n_bits/n_chunks):
 
-      N <= ~65k   -> (64, 4):  16-bit chunks, Hamming <= 3
-      N <= ~1e9   -> (128, 8): 16->16-bit chunks but Hamming <= 7 recall;
-                     pair with (128, 4) below when collisions dominate
-      N >  ~2^32  -> (128, 4): 32-bit chunks, Hamming <= 3 — buckets stay
-                     O(dup-cluster) past 4B docs
+      N <= ~65k -> (64, 4):  16-bit chunks, Hamming <= 3
+      larger    -> (128, 4): 32-bit chunks, Hamming <= 3 — random
+                   collisions stay O(N) up to ~4B docs
 
     The trade-off is explicit: more chunks = higher Hamming tolerance
-    (recall), wider chunks = fewer random collisions (scale).  All configs
-    run through the same parameterized builder below.
+    (recall), wider chunks = fewer random collisions (scale).  The
+    recall-oriented (128, 8) config — Hamming <= 7, but 16-bit buckets,
+    so candidate volume is O(8*N^2/2^16) and only affordable to ~10^6-10^7
+    docs — is registered separately as ``dedup_simhash128``; it is NOT
+    returned here because it fails this function's near-linearity
+    criterion at larger N.  All configs run through the same parameterized
+    builder below.
     """
     if n_docs <= 1 << 16:
         return (64, 4)
-    if n_docs <= 1 << 30:
-        return (128, 8)
     return (128, 4)
 
 
@@ -502,9 +503,8 @@ def _simhash_fp(spark, sf, n_bits: int = 64, n_chunks: int = 4) -> DataFrame:
 def _simhash(
     spark, sf, n_bits: int = 64, n_chunks: int = 4, candidates_only: bool = False
 ):
-    _N_CHUNKS = n_chunks
     fp = _simhash_fp(spark, sf, n_bits, n_chunks)
-    # Carry the 4 chunk columns THROUGH the band explode: the candidate
+    # Carry the n_chunks chunk columns THROUGH the band explode: the candidate
     # self-join then yields both sides' full fingerprints directly — no
     # join-back to fp, which would re-run the expensive fingerprint map two
     # more times (diamond DAG).  Both join inputs are byte-identical plans
@@ -512,20 +512,20 @@ def _simhash(
     # (ReusedExchange) and the fingerprint map runs ONCE.
     bands = fp.select(
         "doc_id",
-        *[f"c{c}" for c in range(_N_CHUNKS)],
+        *[f"c{c}" for c in range(n_chunks)],
         F.explode(
             F.array(
                 *[
                     F.struct(F.lit(c).alias("band"), F.col(f"c{c}").alias("val"))
-                    for c in range(_N_CHUNKS)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", *[f"c{c}" for c in range(_N_CHUNKS)], "bb.band", "bb.val")
+    ).select("doc_id", *[f"c{c}" for c in range(n_chunks)], "bb.band", "bb.val")
     a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
         F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
-        for c in range(_N_CHUNKS)
+        for c in range(n_chunks)
     ).cast("bigint")
     # First-matching-band dedup: a pair sharing several chunk-buckets is
     # emitted ONLY from its lowest matching band (no earlier chunk equal),
@@ -533,7 +533,7 @@ def _simhash(
     # stream — disappears.  The predicate is free: both sides' chunks are
     # already carried through the join.
     first_match = F.lit(True)
-    for c in range(_N_CHUNKS):
+    for c in range(n_chunks):
         first_match = F.when(
             F.col("a.band") == c,
             sum(

@@ -112,18 +112,30 @@ class PhoenixTranslationError(ValueError):
 # ---------------------------------------------------------------------------
 
 # Letters with the SAME meaning in java.text and Spark datetime patterns.
-_DT_OK = set("GyMLdDEaHhKkmszZXQq")
+_DT_OK = set("GyMLdDEaHhKkmsQq")
+# Of those, the ones Spark supports only for FORMATTING (day-of-week text,
+# quarter): to_timestamp raises on them, date_format is fine.
+_FORMAT_ONLY = set("EQq")
 # Letters whose meaning differs or that Spark's parser bans outright.
+_ZONE_MSG = (
+    "zone letter on the engine's zoneless (NTZ) timestamps would silently "
+    "inject the session timezone (verified: formatting prints the session "
+    "zone, parsing shifts wall time through it); use CONVERT_TZ with "
+    "explicit zones instead"
+)
 _DT_BAD = {
     "u": "day-number-of-week in java.text but year-of-era in Spark",
     "Y": "week-based year (rejected by Spark's datetime parser)",
     "w": "week-of-year (rejected by Spark's datetime parser)",
     "W": "week-of-month (rejected by Spark's datetime parser)",
     "F": "day-of-week-in-month (no Spark pattern equivalent)",
+    "z": _ZONE_MSG,
+    "Z": _ZONE_MSG,
+    "X": _ZONE_MSG,
 }
 
 
-def translate_datetime_pattern(fmt: str) -> str:
+def translate_datetime_pattern(fmt: str, parse: bool = False) -> str:
     """java.text datetime pattern -> Spark datetime pattern (or raise).
 
     ``fmt`` is the raw pattern (no surrounding SQL quotes).  Quoted literal
@@ -131,7 +143,11 @@ def translate_datetime_pattern(fmt: str) -> str:
     unquoted letter is checked against the translation table.  'S' is
     accepted only as 'SSS': java.text 'S' is the millisecond VALUE while
     Spark 'S' is fraction-of-second, so only the 3-digit run means the same
-    thing for the engine's microsecond timestamps.
+    thing for the engine's microsecond timestamps.  ``parse=True`` (the
+    TO_DATE/TO_TIME/TO_TIMESTAMP direction) additionally rejects the
+    letters Spark allows only when FORMATTING (verified: to_timestamp with
+    'E'/'Q'/'q' raises at runtime) — the table's whole point is failing at
+    translate time instead.
     """
     out: list[str] = []
     i = 0
@@ -157,6 +173,11 @@ def translate_datetime_pattern(fmt: str) -> str:
             if c in _DT_BAD:
                 raise PhoenixTranslationError(
                     f"datetime pattern letter {c!r}: {_DT_BAD[c]}"
+                )
+            if parse and c in _FORMAT_ONLY:
+                raise PhoenixTranslationError(
+                    f"datetime pattern letter {c!r} is format-only in "
+                    "Spark (to_timestamp rejects it at runtime)"
                 )
             if c == "S":
                 if run != "SSS":
@@ -248,12 +269,15 @@ def _parse_decimal_format(fmt: str) -> tuple[str, bool, int, str]:
     return currency, grouping, min_int, frac
 
 
-def _widened_int(grouping: bool, min_int: int) -> str:
-    """18 integer digit positions (DecimalFormat's integer part is
-    unbounded; decimal(38,x) magnitudes fit in 18+ digits) with the last
-    ``min_int`` always-printed."""
+def _widened_int(grouping: bool, min_int: int, width: int) -> str:
+    """``width`` integer digit positions with the last ``min_int``
+    always-printed.  DecimalFormat's integer part is unbounded; Spark's
+    decimal caps total precision at 38, so the integer width is whatever
+    the 38-digit budget leaves after the fraction: 26 positions for the
+    parse direction (12 lenient fraction digits), 38-len(frac) for the
+    format direction."""
     min_int = max(min_int, 1)
-    digits = "9" * (18 - min_int) + "0" * min_int
+    digits = "9" * (width - min_int) + "0" * min_int
     if not grouping:
         return digits
     out = []
@@ -267,18 +291,26 @@ def _widened_int(grouping: bool, min_int: int) -> str:
 def to_number_expr(arg: str, fmt: str) -> str:
     """TO_NUMBER(value, DecimalFormat) -> Spark SQL expression (double).
 
-    DecimalFormat.parse accepts any magnitude and a leading '-'; Spark's
-    to_number is fixed-width and unsigned-by-default, so the format's
-    integer part is widened to 18 positions and the sign is handled
-    explicitly.  Known (documented) strictness difference vs java.text:
-    a GROUPED format requires grouped input ('1234.56' will not parse
-    against '#,##0.00' — write it '1,234.56' as DecimalFormat.format would).
+    DecimalFormat.parse accepts any magnitude, a leading '-', and ANY
+    number of fraction digits regardless of the pattern (it ignores
+    maximum/minimumFractionDigits when parsing); Spark's to_number is
+    fixed-width and unsigned-by-default.  So the integer part is widened to
+    26 positions (the 38-digit decimal budget minus the lenient fraction),
+    the fraction is replaced by twelve optional '9' positions
+    (leniency emulation: '1.234' and '12' both parse against '#,##0.00',
+    as DecimalFormat.parse does), and the sign is handled explicitly.
+    Known (documented) strictness difference vs java.text: a GROUPED format
+    requires grouped input ('1234.56' will not parse against '#,##0.00' —
+    write it '1,234.56' as DecimalFormat.format would).
     """
     currency, grouping, min_int, frac = _parse_decimal_format(fmt)
-    spark_fmt = currency + _widened_int(grouping, min_int)
-    if frac:
-        spark_fmt += "." + "".join("9" if c == "#" else "0" for c in frac)
-    body = f"trim(LEADING '-' FROM trim({arg}))"
+    spark_fmt = currency + _widened_int(grouping, min_int, 26) + "." + "9" * 12
+    # strip exactly ONE leading '-' (DecimalFormat rejects '--5' too —
+    # a double minus must still fail to parse, not silently negate twice)
+    body = (
+        f"(CASE WHEN trim({arg}) LIKE '-%' THEN substring(trim({arg}), 2)"
+        f" ELSE trim({arg}) END)"
+    )
     sign = f"(CASE WHEN trim({arg}) LIKE '-%' THEN -1 ELSE 1 END)"
     return f"cast({sign} * to_number({body}, '{spark_fmt}') as double)"
 
@@ -302,7 +334,7 @@ def to_char_numeric_expr(arg: str, fmt: str) -> str:
             "TO_CHAR fraction '#' (drop trailing zeros) has no Spark "
             "to_char equivalent; use '0' fraction digits"
         )
-    spark_fmt = _widened_int(grouping, min_int)
+    spark_fmt = _widened_int(grouping, min_int, 38 - len(frac))
     if frac:
         spark_fmt += "." + frac
     v = f"cast(bround({arg}, {len(frac)}) as decimal(38,{len(frac)}))"
@@ -407,7 +439,11 @@ def _rewrite_call(name: str, args: list[str]) -> str:
                 raise PhoenixTranslationError(
                     "TO_CHAR format must be a string literal"
                 )
-            if _looks_like_number_format(lit):
+            if any(c in "0#" for c in lit):
+                # digit positions never appear in datetime patterns; route
+                # to the DecimalFormat translator so unsupported features
+                # (E/%/;/...) raise ITS specific error, not a baffling
+                # date_format type error downstream
                 return to_char_numeric_expr(args[0], lit)
             df = translate_datetime_pattern(lit).replace("'", "''")
             return f"date_format({args[0]}, '{df}')"
@@ -428,7 +464,9 @@ def _rewrite_call(name: str, args: list[str]) -> str:
                 raise PhoenixTranslationError(
                     f"{up} format must be a string literal"
                 )
-            spark_fmt = translate_datetime_pattern(lit).replace("'", "''")
+            spark_fmt = translate_datetime_pattern(lit, parse=True).replace(
+                "'", "''"
+            )
             return (
                 f"cast(to_timestamp({args[0]}, '{spark_fmt}') as timestamp_ntz)"
             )

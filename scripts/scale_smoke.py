@@ -79,7 +79,11 @@ if not os.path.exists(f"{DST}/_done"):
         .write.mode("overwrite")
         .parquet(f"{DST}/documents.parquet")
     )
-    # 10x embeddings, per-copy ±1 sign mask (copy 0 unchanged)
+    # 10x embeddings, per-copy ±1 sign mask (copy 0 unchanged).  The mask
+    # mix constants deliberately DIFFER from pipeline_similarity._PARITY's
+    # (2654435761/40503): reusing them would make mask c identical to LSH
+    # hyperplane c, correlating the replication with the very band keys the
+    # probe measures.
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     (
         emb.crossJoin(copies)
@@ -87,7 +91,7 @@ if not os.path.exists(f"{DST}/_done"):
             "embedding",
             F.expr(
                 "transform(embedding, (x, i) -> CASE WHEN copy = 0 THEN x"
-                " WHEN pmod((i + 1) * 2654435761 + copy * 40503, 65536)"
+                " WHEN pmod((i + 1) * 2246822519 + copy * 668265263, 65536)"
                 " < 32768 THEN x ELSE -x END)"
             ),
         )

@@ -96,10 +96,12 @@ def test_datetime_pattern_letters_enumerated():
     """Every letter java.text documents either translates or raises —
     nothing passes through unvetted (the round-2 gap: exotic letters only
     failed at runtime)."""
-    same_meaning = "GyMLdDEaHhKkmszZXQq"
+    same_meaning = "GyMLdDEaHhKkmsQq"
     for c in same_meaning:
         assert translate_datetime_pattern(c) == c
-    for c in "uYwWF":  # differ in meaning or banned by Spark's parser
+    # differ in meaning, banned by Spark's parser, or (zone letters) would
+    # silently inject the session timezone into NTZ values
+    for c in "uYwWFzZX":
         with pytest.raises(PhoenixTranslationError):
             translate_datetime_pattern(c)
     for c in "bBcefgijlnNoprtvx":  # no verified translation -> loud
@@ -122,13 +124,44 @@ def test_datetime_pattern_fraction_only_sss():
 
 
 def test_number_format_translation_shapes():
-    # DecimalFormat '#,##0.00' widens to 18 grouped digits, sign handled
+    # DecimalFormat '#,##0.00' widens within the 38-digit decimal budget:
+    # 26 int positions + a 12-'9' lenient parse fraction (DecimalFormat
+    # .parse ignores the pattern's fraction digits); sign handled explicitly
     e = to_number_expr("x", "#,##0.00")
-    assert "999,999,999,999,990.00" in e and "LIKE '-%'" in e
+    assert ",990.999999999999'" in e and e.count("999,") >= 7
+    assert "LIKE '-%'" in e
+    # leniency emulation: integer-only patterns still parse fractions
+    assert ".999999999999'" in to_number_expr("x", "#,##0")
     e = to_char_numeric_expr("x", "$#,##0.00")
     assert "'$'" in e and "bround(x, 2)" in e and "abs(" in e
+    assert ",990.00'" in e  # format direction keeps the pattern's fraction
     # integer-only format -> scale-0 rounding
     assert "bround(x, 0)" in to_char_numeric_expr("x", "#,##0")
+
+
+def test_datetime_format_only_letters_rejected_for_parse():
+    # 'E'/'Q'/'q' format fine (date_format) but Spark's to_timestamp
+    # rejects them at runtime -> the parse direction fails at translate time
+    for c in "EQq":
+        assert translate_datetime_pattern(c) == c
+        with pytest.raises(PhoenixTranslationError):
+            translate_datetime_pattern(c, parse=True)
+    from phoenix_spark.sqlfront import translate_phoenix_sql
+
+    with pytest.raises(PhoenixTranslationError):
+        translate_phoenix_sql("SELECT TO_DATE(s, 'EEE yyyy-MM-dd') FROM t")
+
+
+def test_to_char_numeric_dispatch_on_digit_positions():
+    """A pattern containing digit positions routes to the DecimalFormat
+    translator even when it has DecimalFormat features we reject — so the
+    user sees the specific rejection, not a baffling date_format type
+    error."""
+    from phoenix_spark.sqlfront import translate_phoenix_sql
+
+    for bad in ("0.00E0", "#,##0%", "0.00;-0.00"):
+        with pytest.raises(PhoenixTranslationError):
+            translate_phoenix_sql(f"SELECT TO_CHAR(x, '{bad}') FROM t")
 
 
 def test_number_format_rejections():
