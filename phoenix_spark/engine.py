@@ -274,9 +274,9 @@ class Engine:
         choice = IX.choose_index(text, self._indexes, base_cols_of, base_pk_of)
         if choice is None:
             return text
-        table_ref, d = choice
+        table_ref, d, eff_text = choice
         self._register(d.name)  # index temp view must resolve
-        return IX.substitute_table(text, table_ref, d.name)
+        return IX.substitute_table(eff_text, table_ref, d.name)
 
     def _exec_explain(self, text: str) -> DataFrame:
         plan = self.explain(re.sub(r"^\s*EXPLAIN\s+", "", text, flags=re.I))
@@ -473,7 +473,11 @@ class Engine:
             props={"INDEX_OF": d.table, "WRITE_SORT": d.key},
         )
         # initial build: one distributed projection scan of the base table
-        imt.upsert_df(base.read().select(*cols))
+        # (partial index: only rows satisfying the predicate are projected)
+        build = base.read()
+        if d.where is not None:
+            build = build.filter(self._translate_pred(d.where, d.table))
+        imt.upsert_df(build.select(*cols))
         self._indexes[d.name] = d
         self._save_indexes()
         self._register(d.name)
@@ -505,14 +509,38 @@ class Engine:
         for d in cands:
             imt = self.managed(d.name)
             cols = d.covered(base.pk)
+            pred = (
+                self._translate_pred(d.where, d.table)
+                if d.where is not None
+                else None
+            )
             if prev_ts >= 1:
                 stale = base.read(as_of=prev_ts).join(keys, base.pk, "semi")
+                if pred is not None:
+                    # only rows that satisfied the predicate were indexed
+                    stale = stale.filter(pred)
                 imt._append_segment(
                     stale.select(*cols), imt._next_ts(), deleted=True
                 )
             post = base.read().join(keys, base.pk, "semi")
+            if pred is not None:
+                # a row updated OUT of the predicate leaves the index (its
+                # pre-image was tombstoned above and nothing re-enters)
+                post = post.filter(pred)
             imt.upsert_df(post.select(*cols))
             self._register(d.name)
+
+    def _translate_pred(self, pred: str, table: str | None = None) -> str:
+        """Phoenix-dialect predicate fragment -> Spark SQL condition (the
+        same translation the SELECT path applies to full statements).
+        ``table`` scopes the date-arith rewrite's ts-column set to the
+        indexed base table."""
+        ts = (
+            self._ts_columns().get(table.split(".")[-1].lower(), set())
+            if table
+            else set()
+        )
+        return translate_phoenix_sql(pred, ts)
 
     def _exec_drop(self, text: str) -> int:
         di = IX.parse_drop_index(text)

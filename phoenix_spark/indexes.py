@@ -56,6 +56,11 @@ class IndexDef:
     include: list[str] = field(default_factory=list)
     local: bool = False
     uncovered: bool = False
+    # Partial index (reference: Phoenix 5.2 CREATE INDEX ... WHERE,
+    # CreateIndexCompiler's index.where) — the projection holds ONLY rows
+    # satisfying this predicate, and substitution requires the query's WHERE
+    # to textually contain it (see choose_index).
+    where: str | None = None
 
     def covered(self, base_pk: list[str]) -> list[str]:
         """All columns present in the index table, in storage order."""
@@ -73,6 +78,7 @@ class IndexDef:
             "include": self.include,
             "local": self.local,
             "uncovered": self.uncovered,
+            "where": self.where,
         }
 
     @classmethod
@@ -85,6 +91,7 @@ _CREATE_INDEX_RE = re.compile(
     r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+ON\s+(?P<table>[\w.]+)\s*"
     r"\((?P<key>[^)]*)\)\s*"
     r"(?:INCLUDE\s*\((?P<include>[^)]*)\)\s*)?"
+    r"(?:WHERE\s+(?P<where>.*?)\s*)?"
     r"(?:ASYNC\s*)?;?\s*$",
     re.I | re.S,
 )
@@ -137,6 +144,7 @@ def parse_create_index(text: str) -> tuple[IndexDef, bool]:
         include=include,
         local=bool(m.group("local")),
         uncovered=bool(m.group("uncovered")),
+        where=(m.group("where") or "").strip() or None,
     )
     return d, bool(m.group("ine"))
 
@@ -167,17 +175,63 @@ _WHERE_RE = re.compile(
 )
 
 
+def _top_level_conjuncts(where: str) -> list[str]:
+    """Split a WHERE body on top-level AND (outside parens and string
+    literals).  Returns the raw conjunct texts."""
+    parts, depth, i, start = [], 0, 0, 0
+    n = len(where)
+    while i < n:
+        c = where[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if where[j] == "'":
+                    if j + 1 < n and where[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and where[i : i + 3].upper() == "AND":
+            before = where[i - 1] if i else " "
+            after = where[i + 3] if i + 3 < n else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                parts.append(where[start:i])
+                start = i + 3
+                i += 3
+                continue
+        i += 1
+    parts.append(where[start:])
+    return parts
+
+
 def choose_index(
     text: str,
     indexes: dict[str, IndexDef],
     base_cols_of,
     base_pk_of,
-) -> tuple[str, IndexDef] | None:
+) -> tuple[str, IndexDef, str] | None:
     """If ``text`` is a single-table SELECT whose referenced base-table
     columns are all covered by an index on that table AND whose WHERE
-    references the index's leading key column, return (table_ref, IndexDef)
-    for substitution.  Conservative by construction: any shape this parser
-    doesn't fully understand (joins, subqueries, ``*``) is left alone.
+    references the index's leading key column, return (table_ref, IndexDef,
+    effective_text) for substitution.  Conservative by construction: any
+    shape this parser doesn't fully understand (joins, subqueries, ``*``)
+    is left alone.
+
+    Partial indexes (``d.where``): substitutable only when the query's WHERE
+    is a top-level AND-conjunction with one conjunct equal (normalized) to
+    the index predicate — an OR-embedded match would be UNSOUND (the index
+    lacks rows failing the predicate that pass the other arm).  The matched
+    conjunct is replaced by TRUE in ``effective_text``: every index row
+    satisfies it by construction, and the predicate's columns need not be
+    stored in the index.
 
     ``base_cols_of(table) -> set[str] | None`` and ``base_pk_of(table) ->
     list[str]`` supply catalog knowledge.
@@ -199,15 +253,31 @@ def choose_index(
     if not base_cols:
         return None
     base_cols = {c.lower() for c in base_cols}
-    tokens = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", text)}
-    used = (tokens - {table}) & base_cols
     wm = _WHERE_RE.search(text)
     if not wm:
         return None  # no filter → full scan either way; keep the base table
-    where_tokens = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", wm.group(1))}
     pk = [c.lower() for c in base_pk_of(table)]
     best = None
     for d in cands:
+        eff_text = text
+        if d.where is not None:
+            # find the predicate as a top-level AND conjunct of the WHERE
+            target = _norm_pred(d.where)
+            conjuncts = _top_level_conjuncts(wm.group(1))
+            match = next(
+                (c for c in conjuncts if _norm_pred(c) == target), None
+            )
+            if match is None:
+                continue
+            eff_text = text.replace(match, " TRUE ", 1)
+        tokens = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", eff_text)}
+        used = (tokens - {table}) & base_cols
+        ewm = _WHERE_RE.search(eff_text)
+        where_tokens = (
+            {t.lower() for t in re.findall(r"[A-Za-z_]\w*", ewm.group(1))}
+            if ewm
+            else set()
+        )
         covered = {c.lower() for c in d.covered(pk)}
         if used <= covered and d.key[0] in where_tokens:
             # prefer the index whose key prefix matches the most WHERE columns
@@ -218,10 +288,33 @@ def choose_index(
                 else:
                     break
             if best is None or score > best[0]:
-                best = (score, froms[0], d)
+                best = (score, froms[0], d, eff_text)
     if best is None:
         return None
-    return best[1], best[2]
+    return best[1], best[2], best[3]
+
+
+def _norm_pred(p: str) -> str:
+    """Normalize a predicate for textual containment: lowercase, collapse
+    whitespace, drop redundant outer parens."""
+    p = re.sub(r"\s+", " ", p.strip().lower())
+    while p.startswith("(") and p.endswith(")"):
+        inner = p[1:-1].strip()
+        # only strip if the parens are balanced as a pair
+        depth = 0
+        ok = True
+        for i, c in enumerate(inner):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    ok = False
+                    break
+        if not ok or depth != 0:
+            break
+        p = inner
+    return p
 
 
 def substitute_table(text: str, table_ref: str, index_name: str) -> str:

@@ -295,3 +295,53 @@ REG.add(
     FROM orders WHERE o_custkey <= 500
     """,
 )
+
+
+# --- partial index: CREATE INDEX ... WHERE (Phoenix 5.2 partial indexes;
+# CreateIndexCompiler's index WHERE) — the projection holds ONLY rows
+# satisfying the predicate, mutations maintain membership (rows updated out
+# of the predicate leave the index), and substitution requires the query's
+# WHERE to contain the index predicate ------------------------------------
+def _index_partial(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_ixp (o_orderkey BIGINT NOT NULL, o_custkey BIGINT, "
+        "o_totalprice DOUBLE, o_orderstatus VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_ixp SELECT o_orderkey, o_custkey, o_totalprice, "
+        "o_orderstatus FROM orders"
+    )
+    e.sql(
+        "CREATE INDEX ix_open ON t_ixp (o_custkey) INCLUDE (o_totalprice) "
+        "WHERE o_orderstatus = 'O'"
+    )
+    df = e.sql(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM t_ixp "
+        "WHERE o_orderstatus = 'O' AND o_custkey <= 500"
+    )
+    assert any(
+        "/ix_open/segments/" in f for f in df.inputFiles()
+    ), "partial index was not substituted"
+    # a query whose WHERE does NOT contain the index predicate must fall
+    # back to the base table (the partial index is incomplete for it)
+    full = e.sql("SELECT o_custkey, o_orderkey FROM t_ixp WHERE o_custkey <= 500")
+    assert not any("/ix_open/segments/" in f for f in full.inputFiles()), (
+        "partial index substituted for a query it does not cover"
+    )
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+REG.add(
+    "ddl_index_partial",
+    _index_partial,
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'O' AND o_custkey <= 500
+    """,
+)

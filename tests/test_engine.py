@@ -668,3 +668,45 @@ def test_engine_sql_to_number_to_char_formats(spark):
 
     with _pytest.raises(PhoenixTranslationError):
         e.sql("SELECT TO_CHAR(o_orderdate, 'YYYY-ww') AS d FROM orders")
+
+
+def test_partial_index_membership_maintenance(engine):
+    """A partial index holds only rows satisfying its predicate; updates
+    that move a row out of the predicate remove it from the index, and an
+    OR-embedded predicate match must NOT substitute (unsound)."""
+    engine.sql(
+        "CREATE TABLE po (k BIGINT NOT NULL, status VARCHAR, amt DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO po VALUES (1, 'O', 10.0), (2, 'F', 20.0), (3, 'O', 30.0)"
+    )
+    engine.sql(
+        "CREATE INDEX po_open ON po (amt) WHERE status = 'O'"
+    )
+    q = "SELECT amt, k FROM po WHERE status = 'O' AND amt >= 0"
+    df = engine.sql(q)
+    assert any("/po_open/segments/" in f for f in df.inputFiles())
+    assert {r.k for r in df.collect()} == {1, 3}
+    # row 3 leaves the predicate -> leaves the index
+    engine.sql("UPSERT INTO po VALUES (3, 'F', 30.0)")
+    assert {r.k for r in engine.sql(q).collect()} == {1}
+    # row 2 enters the predicate -> enters the index
+    engine.sql("UPSERT INTO po VALUES (2, 'O', 25.0)")
+    assert {r.k: r.amt for r in engine.sql(q).collect()} == {1: 10.0, 2: 25.0}
+    # OR-embedded predicate: substitution would drop rows -> must use base
+    orq = "SELECT amt, k FROM po WHERE amt >= 20 OR status = 'O'"
+    odf = engine.sql(orq)
+    assert not any("/po_open/segments/" in f for f in odf.inputFiles())
+    assert {r.k for r in odf.collect()} == {1, 2, 3}
+
+
+def test_partial_index_parse_and_drop(engine):
+    from phoenix_spark.indexes import parse_create_index
+
+    d, _ = parse_create_index(
+        "CREATE INDEX i1 ON t (a) INCLUDE (b) WHERE c = 'x' AND d > 3"
+    )
+    assert d.where == "c = 'x' AND d > 3"
+    d2, _ = parse_create_index("CREATE INDEX i2 ON t (a) ASYNC")
+    assert d2.where is None
