@@ -458,11 +458,22 @@ class Engine:
         base_fields = {f.name.lower(): f for f in base.schema.fields}
         cols = d.covered(base.pk)
         for c in cols:
-            if c not in base_fields:
+            if c not in base_fields and c not in d.exprs:
                 raise ValueError(f"index column {c} not in table {d.table}")
         from pyspark.sql import types as T
 
-        schema = T.StructType([base_fields[c] for c in cols])
+        # functional keys: the generated columns' types come from evaluating
+        # the expressions against the base schema
+        expr_fields: dict[str, T.StructField] = {}
+        if d.exprs:
+            probe = self._with_index_exprs(base.read(), d)
+            expr_fields = {f.name.lower(): f for f in probe.schema.fields}
+        schema = T.StructType(
+            [
+                base_fields[c] if c in base_fields else expr_fields[c]
+                for c in cols
+            ]
+        )
         imt = ManagedTable.create(
             self.spark,
             self.warehouse,
@@ -473,8 +484,9 @@ class Engine:
             props={"INDEX_OF": d.table, "WRITE_SORT": d.key},
         )
         # initial build: one distributed projection scan of the base table
-        # (partial index: only rows satisfying the predicate are projected)
-        build = base.read()
+        # (functional keys materialized; partial index: only rows satisfying
+        # the predicate are projected)
+        build = self._with_index_exprs(base.read(), d)
         if d.where is not None:
             build = build.filter(self._translate_pred(d.where, d.table))
         imt.upsert_df(build.select(*cols))
@@ -515,20 +527,30 @@ class Engine:
                 else None
             )
             if prev_ts >= 1:
-                stale = base.read(as_of=prev_ts).join(keys, base.pk, "semi")
+                stale = self._with_index_exprs(
+                    base.read(as_of=prev_ts).join(keys, base.pk, "semi"), d
+                )
                 if pred is not None:
                     # only rows that satisfied the predicate were indexed
                     stale = stale.filter(pred)
                 imt._append_segment(
                     stale.select(*cols), imt._next_ts(), deleted=True
                 )
-            post = base.read().join(keys, base.pk, "semi")
+            post = self._with_index_exprs(
+                base.read().join(keys, base.pk, "semi"), d
+            )
             if pred is not None:
                 # a row updated OUT of the predicate leaves the index (its
                 # pre-image was tombstoned above and nothing re-enters)
                 post = post.filter(pred)
             imt.upsert_df(post.select(*cols))
             self._register(d.name)
+
+    def _with_index_exprs(self, df: DataFrame, d: "IX.IndexDef") -> DataFrame:
+        """Materialize an index's functional-key expressions as columns."""
+        for name, ex in d.exprs.items():
+            df = df.withColumn(name, F.expr(self._translate_pred(ex, d.table)))
+        return df
 
     def _translate_pred(self, pred: str, table: str | None = None) -> str:
         """Phoenix-dialect predicate fragment -> Spark SQL condition (the

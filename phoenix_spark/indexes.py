@@ -61,6 +61,13 @@ class IndexDef:
     # satisfying this predicate, and substitution requires the query's WHERE
     # to textually contain it (see choose_index).
     where: str | None = None
+    # Functional index keys (reference: expression keys compiled by
+    # CreateIndexCompiler; IndexMaintainer stores the evaluated expression):
+    # maps a generated index column name (ixk<N>, appears in ``key``) to the
+    # Phoenix expression text it materializes.  The read path replaces
+    # occurrences of the expression in a query with the generated column
+    # before coverage analysis (see choose_index).
+    exprs: dict[str, str] = field(default_factory=dict)
 
     def covered(self, base_pk: list[str]) -> list[str]:
         """All columns present in the index table, in storage order."""
@@ -79,6 +86,7 @@ class IndexDef:
             "local": self.local,
             "uncovered": self.uncovered,
             "where": self.where,
+            "exprs": self.exprs,
         }
 
     @classmethod
@@ -86,56 +94,129 @@ class IndexDef:
         return cls(**d)
 
 
-_CREATE_INDEX_RE = re.compile(
+_HEAD_RE = re.compile(
     r"^\s*CREATE\s+(?P<local>LOCAL\s+)?(?P<uncovered>UNCOVERED\s+)?INDEX\s+"
-    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+ON\s+(?P<table>[\w.]+)\s*"
-    r"\((?P<key>[^)]*)\)\s*"
-    r"(?:INCLUDE\s*\((?P<include>[^)]*)\)\s*)?"
-    r"(?:WHERE\s+(?P<where>.*?)\s*)?"
-    r"(?:ASYNC\s*)?;?\s*$",
-    re.I | re.S,
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+ON\s+(?P<table>[\w.]+)\s*",
+    re.I,
 )
 
 _IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
 
 
+def _paren_group(text: str, start: int) -> tuple[str, int]:
+    """text[start] must be '(' — return (inner text, index after ')')."""
+    assert text[start] == "("
+    depth, i = 1, start + 1
+    while i < len(text) and depth:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < len(text):
+                if text[j] == "'":
+                    if j + 1 < len(text) and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise IndexError_("unbalanced parens in CREATE INDEX")
+    return text[start + 1 : i - 1], i
+
+
+def _split_top(argtext: str) -> list[str]:
+    """Comma-split at paren depth 0 (string-literal aware)."""
+    parts, depth, cur, i = [], 0, [], 0
+    while i < len(argtext):
+        c = argtext[i]
+        if c == "'":
+            j = i + 1
+            while j < len(argtext):
+                if argtext[j] == "'":
+                    if j + 1 < len(argtext) and argtext[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(argtext[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
 def parse_create_index(text: str) -> tuple[IndexDef, bool]:
     """Parse CREATE [LOCAL|UNCOVERED] INDEX; returns (def, if_not_exists).
 
-    Key parts must be bare column names — functional index expressions
-    (CreateIndexCompiler's expression keys) are rejected loudly rather than
-    silently mis-indexed.
+    Key parts are bare column names or functional expressions
+    (CreateIndexCompiler's expression keys) — an expression key is stored
+    as a generated ``ixk<N>`` column materializing the expression.
+    Expressions containing string literals are rejected (the read-path
+    expression matcher is case-insensitive, which would corrupt literal
+    matching).
     """
-    m = _CREATE_INDEX_RE.match(text)
+    m = _HEAD_RE.match(text)
     if not m:
         raise IndexError_(f"unparseable CREATE INDEX: {text[:120]!r}")
+    pos = m.end()
+    if pos >= len(text) or text[pos] != "(":
+        raise IndexError_(f"CREATE INDEX missing key list: {text[:120]!r}")
+    key_text, pos = _paren_group(text, pos)
     key: list[str] = []
     sort_orders: dict[str, str] = {}
-    for part in m.group("key").split(","):
-        part = part.strip()
-        if not part:
-            continue
-        pm = re.match(r"^([^\s]+(?:\s+[^\s]+)*?)\s*(ASC|DESC)?$", part, re.I)
+    exprs: dict[str, str] = {}
+    for part in _split_top(key_text):
+        pm = re.match(r"^(.*?)\s*(ASC|DESC)?$", part, re.I | re.S)
         col = pm.group(1).strip()
-        if not _IDENT_RE.match(col):
-            raise IndexError_(
-                f"functional index key {col!r} not supported: index keys "
-                "must be bare column names (materialize the expression as a "
-                "table column instead)"
-            )
-        key.append(col.lower())
+        if _IDENT_RE.match(col):
+            name = col.lower()
+        else:
+            if "'" in col:
+                raise IndexError_(
+                    f"functional index key {col!r}: expressions containing "
+                    "string literals are not supported (case-insensitive "
+                    "matching would corrupt them)"
+                )
+            name = f"ixk{len(exprs)}"
+            exprs[name] = col
+        key.append(name)
         if pm.group(2) and pm.group(2).upper() == "DESC":
-            sort_orders[col.lower()] = "DESC"
+            sort_orders[name] = "DESC"
     if not key:
         raise IndexError_("CREATE INDEX requires at least one key column")
-    include = [
-        c.strip().lower()
-        for c in (m.group("include") or "").split(",")
-        if c.strip()
-    ]
+    tail = text[pos:]
+    im = re.match(r"\s*INCLUDE\s*", tail, re.I)
+    include: list[str] = []
+    if im:
+        inc_text, after = _paren_group(tail, im.end())
+        include = [c.strip().lower() for c in _split_top(inc_text)]
+        tail = tail[after:]
     for c in include:
         if not _IDENT_RE.match(c):
             raise IndexError_(f"bad INCLUDE column {c!r}")
+    where = None
+    wm = re.match(r"\s*WHERE\s+(.*?)\s*(ASYNC\s*)?;?\s*$", tail, re.I | re.S)
+    if wm:
+        where = wm.group(1).strip() or None
+    elif not re.match(r"\s*(ASYNC\s*)?;?\s*$", tail, re.I):
+        raise IndexError_(f"unparseable CREATE INDEX tail: {tail[:80]!r}")
     d = IndexDef(
         name=m.group("name").lower(),
         table=m.group("table").lower().split(".")[-1],
@@ -144,7 +225,8 @@ def parse_create_index(text: str) -> tuple[IndexDef, bool]:
         include=include,
         local=bool(m.group("local")),
         uncovered=bool(m.group("uncovered")),
-        where=(m.group("where") or "").strip() or None,
+        where=where,
+        exprs=exprs,
     )
     return d, bool(m.group("ine"))
 
@@ -212,6 +294,27 @@ def _top_level_conjuncts(where: str) -> list[str]:
     return parts
 
 
+def _expr_pattern(expr: str) -> "re.Pattern[str]":
+    """Whitespace-flexible, case-insensitive regex matching an index
+    expression as written in a query (tokens fixed, spacing free)."""
+    tokens = re.findall(r"\w+|[^\w\s]", expr)
+    return re.compile(r"\s*".join(re.escape(t) for t in tokens), re.I)
+
+
+def _replace_exprs(text: str, exprs: dict[str, str]) -> str:
+    """Replace occurrences of each functional-key expression with its
+    generated index column name — outside string literals only."""
+    from phoenix_spark.sqlfront import segments
+
+    out = []
+    for kind, seg in segments(text):
+        if kind == "code":
+            for name, ex in exprs.items():
+                seg = _expr_pattern(ex).sub(name, seg)
+        out.append(seg)
+    return "".join(out)
+
+
 def choose_index(
     text: str,
     indexes: dict[str, IndexDef],
@@ -260,16 +363,27 @@ def choose_index(
     best = None
     for d in cands:
         eff_text = text
+        if d.exprs:
+            # functional keys: rewrite the expression to the materialized
+            # index column FIRST — coverage analysis then sees the generated
+            # column; a query using the raw underlying column some other way
+            # fails coverage and falls back to the base table.
+            eff_text = _replace_exprs(eff_text, d.exprs)
+            if not any(k in eff_text for k in d.exprs):
+                continue  # expression not used by this query
         if d.where is not None:
             # find the predicate as a top-level AND conjunct of the WHERE
             target = _norm_pred(d.where)
-            conjuncts = _top_level_conjuncts(wm.group(1))
+            ewm0 = _WHERE_RE.search(eff_text)
+            if not ewm0:
+                continue
+            conjuncts = _top_level_conjuncts(ewm0.group(1))
             match = next(
                 (c for c in conjuncts if _norm_pred(c) == target), None
             )
             if match is None:
                 continue
-            eff_text = text.replace(match, " TRUE ", 1)
+            eff_text = eff_text.replace(match, " TRUE ", 1)
         tokens = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", eff_text)}
         used = (tokens - {table}) & base_cols
         ewm = _WHERE_RE.search(eff_text)

@@ -345,3 +345,40 @@ REG.add(
     FROM orders WHERE o_orderstatus = 'O' AND o_custkey <= 500
     """,
 )
+
+
+# --- functional index: expression key (CreateIndexCompiler expression keys;
+# IndexMaintainer stores the evaluated expression) ---------------------------
+def _index_functional(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_ixf (o_orderkey BIGINT NOT NULL, o_custkey BIGINT, "
+        "o_totalprice DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_ixf SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders"
+    )
+    e.sql(
+        "CREATE INDEX ix_floor ON t_ixf (FLOOR(o_totalprice)) "
+        "INCLUDE (o_custkey)"
+    )
+    df = e.sql(
+        "SELECT o_orderkey, o_custkey FROM t_ixf "
+        "WHERE FLOOR(o_totalprice) < 10000"
+    )
+    assert any(
+        "/ix_floor/segments/" in f for f in df.inputFiles()
+    ), "functional index was not substituted"
+    return df.select("o_orderkey", "o_custkey")
+
+
+REG.add(
+    "ddl_index_functional",
+    _index_functional,
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders WHERE FLOOR(o_totalprice) < 10000
+    """,
+)

@@ -612,14 +612,17 @@ def test_index_dropped_with_table_and_explicitly(ixengine):
     assert "ix_a2" not in e._indexes  # cascade
 
 
-def test_functional_index_rejected_loudly(engine):
+def test_functional_index_literal_exprs_rejected_loudly(engine):
+    # expression keys are supported (test_functional_index_expression_key);
+    # ones containing string literals are rejected because the read-path
+    # expression matcher is case-insensitive and would corrupt them
     from phoenix_spark.indexes import IndexError_
 
     engine.sql(
-        "CREATE TABLE fx (k BIGINT NOT NULL, s VARCHAR, CONSTRAINT pk PRIMARY KEY (k))"
+        "CREATE TABLE fxr (k BIGINT NOT NULL, s VARCHAR, CONSTRAINT pk PRIMARY KEY (k))"
     )
     with pytest.raises(IndexError_):
-        engine.sql("CREATE INDEX fix ON fx (UPPER(s))")
+        engine.sql("CREATE INDEX fixr ON fxr (COALESCE(s, 'x'))")
 
 
 def test_index_segments_sorted_by_key(ixengine):
@@ -710,3 +713,30 @@ def test_partial_index_parse_and_drop(engine):
     assert d.where == "c = 'x' AND d > 3"
     d2, _ = parse_create_index("CREATE INDEX i2 ON t (a) ASYNC")
     assert d2.where is None
+
+
+def test_functional_index_expression_key(engine):
+    """CREATE INDEX on an expression key (UPPER(name)) materializes the
+    expression; queries filtering on the same expression substitute the
+    index, while queries using the raw column fall back to the base."""
+    engine.sql(
+        "CREATE TABLE fx (k BIGINT NOT NULL, name VARCHAR, amt DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO fx VALUES (1, 'alice', 1.0), (2, 'Bob', 2.0), (3, 'CARL', 3.0)"
+    )
+    engine.sql("CREATE INDEX fx_upper ON fx (UPPER(name)) INCLUDE (amt)")
+    q = "SELECT k, amt FROM fx WHERE UPPER(name) = 'BOB'"
+    df = engine.sql(q)
+    assert any("/fx_upper/segments/" in f for f in df.inputFiles())
+    assert [(r.k, r.amt) for r in df.collect()] == [(2, 2.0)]
+    # maintenance: update flows through the expression
+    engine.sql("UPSERT INTO fx VALUES (2, 'bobby', 2.5)")
+    assert engine.sql(q).collect() == []
+    got = engine.sql("SELECT k FROM fx WHERE UPPER(name) = 'BOBBY'").collect()
+    assert [r.k for r in got] == [2]
+    # raw-column query is NOT covered (name itself is not stored)
+    raw = engine.sql("SELECT k FROM fx WHERE name = 'alice'")
+    assert not any("/fx_upper/segments/" in f for f in raw.inputFiles())
+    assert [r.k for r in raw.collect()] == [1]
