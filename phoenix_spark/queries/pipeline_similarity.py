@@ -164,15 +164,17 @@ REG.add(
 # path — fully oracle-paired: the hyperplanes are deterministic integer
 # mixes, so DuckDB computes the SAME band buckets and the hash compare pins
 # bucketing + banding + exact-cosine verify end to end) ------------------------
-_NPLANES = 64
-_SIM_BANDS = 8  # 8 bands x 8 planes: P(candidate) = 1-(1-p^8)^8, p = 1-θ/π.
-# Random (cosine≈0) pairs collide at ~3%; cosine≥0.4 pairs at ~20-40%.  The
-# banded recall curve sharpens with more planes per band — the band-key
-# space is 2^(planes/band), so planes/band must grow like log2(N) to keep
-# random-collision candidate volume (bands * N^2 / 2^(planes/band))
-# near-linear.  ``sign_lsh_params`` picks the config by corpus size; the
-# registry entry pins the fixture config (8x8) and scale_smoke.py measures
-# the candidate-volume curve for wider keys at 10x data.
+# The banded recall curve: P(candidate) = 1-(1-p^R)^B, p = 1-θ/π.  The
+# band-key space is 2^R (R = planes/band), so R must grow like log2(N) to
+# keep random-collision candidate volume (B * N^2 / 2^R) near-linear.
+# ``sign_lsh_params`` picks (planes, bands) by corpus size; the REGISTERED
+# entry uses its prescription for the bench corpus (2000 vectors at sf0.1 →
+# 11 planes/band x 8 bands) — measured on that corpus, the fixture-era 8x8
+# config admitted 243k candidate pairs (12% of ALL pairs: clustered vectors
+# over-collide in 8-bit buckets) vs 143k at 11 bits, and the narrower keys
+# cut the verify stage proportionally.  scale_smoke.py measures the
+# candidate-volume curve for both configs at 1x and 10x data.
+_BENCH_CORPUS_ROWS = 2000  # embeddings rows at the bench SF (sf0.1)
 _SIM_THRESHOLD = 0.4  # the fixture's similarity range tops out at ~0.6
 
 
@@ -189,6 +191,9 @@ def sign_lsh_params(n_rows: int) -> tuple[int, int]:
     rows_per_band = max(8, math.ceil(math.log2(max(n_rows, 2))))
     n_bands = 8
     return (n_bands * rows_per_band, n_bands)
+
+
+_NPLANES, _SIM_BANDS = sign_lsh_params(_BENCH_CORPUS_ROWS)  # (88, 8)
 
 
 # Hyperplane weights w[p][d] ∈ {+1,-1}: parity of a Knuth-style integer mix
