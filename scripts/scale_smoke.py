@@ -141,7 +141,9 @@ probes = [
      lambda s, d: _simhash(s, d, 128, 8, candidates_only=True)),
     ("simhash 128/4 (32-bit buckets)",
      lambda s, d: _simhash(s, d, 128, 4, candidates_only=True)),
-    ("sign-LSH 8x8 (fixture)",
+    ("sign-LSH 8x8 (fixture-era config)",
+     lambda s, d: _lsh_pairs(s, d, 64, 8, candidates_only=True)),
+    ("sign-LSH 8x11 (registered: sign_lsh_params(2000))",
      lambda s, d: _lsh_pairs(s, d, candidates_only=True)),
     (f"sign-LSH {wide_bands}x{wide_planes // wide_bands}"
      f" (sign_lsh_params(N={N_EMB_10X}))",
