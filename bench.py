@@ -53,6 +53,15 @@ HEADLINE = [
     "text_stats",
     "text_tfidf",
     "q9_product_profit",
+    # round 3: one representative per remaining family, so the bench surface
+    # mirrors the registry's breadth (window, grouping-set agg, correlated
+    # subquery, ANN probe, fused curation, Pandas-UDF multimodal).
+    "window_rank_topn",
+    "agg_rollup",
+    "subq_exists_correlated",
+    "similarity_ivf_probe",
+    "pipeline_curate_e2e",
+    "mm_frame_sample",
 ]
 
 
