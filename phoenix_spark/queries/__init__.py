@@ -40,6 +40,7 @@ def build_registry() -> Registry:
         "pipeline_dedup",
         "pipeline_similarity",
         "pipeline_multimodal",
+        "pipeline_sampling",
     ):
         try:
             mod = __import__(f"phoenix_spark.queries.{name}", fromlist=[name])

@@ -1,0 +1,201 @@
+"""Dataset-assembly operators for LLM training pipelines (SURVEY.md §7 M8):
+stratified sampling / domain mixing, shard-local sequence packing, and
+benchmark decontamination.
+
+Beyond-reference surface (Phoenix has nothing comparable) — these are the
+steps between "curated documents" and "training batches" in a production
+pipeline, and each is built scale-first:
+
+  * sample_stratified — per-domain keep-rates as a pure deterministic filter
+    (md5-bucket of the PK vs a per-source rate).  Zero shuffles: at 100 TB
+    this is a predicate on the scan, and the md5 bucket makes the sample
+    reproducible run-to-run and engine-to-engine (no RNG state, unlike
+    rand()-based sampling which can't be oracle-paired).
+  * text_seq_pack — greedy token packing into fixed-budget training
+    sequences.  A GLOBAL greedy pack is a single-partition window — the
+    classic scale trap — so packing is SHARD-LOCAL: documents are md5-hashed
+    into shards, each shard packs independently with one window pass, and
+    pack ids are (shard, seq) pairs.  One shuffle on shard; shard count
+    scales with the cluster, and the only cross-shard effect is <= one
+    under-filled tail pack per shard — exactly the trade distributed
+    training-data builders make.
+  * text_decontaminate — n-gram overlap against a held-out benchmark/eval
+    set.  The benchmark's distinct shingle set is small by construction
+    (eval sets are ~10^3-10^6 docs), so the plan is: broadcast the hashed
+    benchmark shingles, inner-join the corpus' exploded shingles against it,
+    and count distinct overlaps per doc — a broadcast join plus one
+    map-side-combined groupBy; the corpus is never shuffled by shingle.
+    Shingles are md5-hashed to 8-byte ints (same trick as dedup_minhash_lsh)
+    so the broadcast and the join keys stay narrow.
+
+All three are fully oracle-paired: the md5-derived buckets/hashes are
+bit-identical in DuckDB, so sampling decisions, pack assignments, and
+overlap counts hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from phoenix_spark.queries._util import Registry, t
+from phoenix_spark.queries.pipeline_dedup import _docs_wide, _shingles_col
+
+REG = Registry()
+
+# Deterministic 0..99 bucket from the PK: top-60-bits-of-md5 mod 100.
+_BUCKET = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+    " as bigint) % 100"
+)
+_DUCK_BUCKET = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+)
+
+# Per-domain keep-rates (percent).  A production run feeds this from a
+# mixing-weights config; the shape — CASE over the source column — is the
+# same at any number of domains.
+_RATES = {"src0": 100, "src1": 80, "src2": 50, "src3": 20}
+_DEFAULT_RATE = 10
+
+_RATE_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+# --- stratified / domain-mix sampling ----------------------------------------
+def _sample_stratified(spark, sf):
+    return (
+        t(spark, sf, "documents")
+        .withColumn("bucket", F.expr(_BUCKET).cast("int"))
+        .filter(F.expr(f"{_BUCKET} < {_RATE_CASE}"))
+        .select("doc_id", "source", "lang", "bucket")
+    )
+
+
+REG.add(
+    "sample_stratified",
+    _sample_stratified,
+    f"""
+    SELECT doc_id, source, lang,
+           CAST({_DUCK_BUCKET} AS INT) AS bucket
+    FROM documents
+    WHERE {_DUCK_BUCKET} < {_RATE_CASE.replace("CASE source", "CASE source")}
+    """,
+)
+
+# --- shard-local greedy sequence packing -------------------------------------
+_N_SHARDS = 8
+_PACK_BUDGET = 256  # tokens per training sequence (fixture docs are short)
+
+_NTOK = "size(split(trim(text), '\\\\s+'))"
+_DUCK_NTOK = "len(string_split_regex(trim(text), '\\s+'))"
+_SHARD = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+    f" as bigint) % {_N_SHARDS}"
+)
+_DUCK_SHARD = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {_N_SHARDS}"
+)
+
+
+def _seq_pack(spark, sf):
+    from pyspark.sql.window import Window
+
+    base = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(_SHARD).cast("int").alias("shard"),
+        F.expr(_NTOK).cast("int").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # A doc goes into the pack where its tokens START (greedy, packs may
+    # overflow by < one doc — the standard streaming-pack contract).
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("int")
+        .alias("seq_in_shard"),
+    )
+
+
+REG.add(
+    "text_seq_pack",
+    _seq_pack,
+    f"""
+    SELECT doc_id,
+           CAST({_DUCK_SHARD} AS INT) AS shard,
+           CAST({_DUCK_NTOK} AS INT)  AS n_tokens,
+           CAST(floor((SUM({_DUCK_NTOK}) OVER (
+                         PARTITION BY {_DUCK_SHARD} ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
+                       - {_DUCK_NTOK}) / {_PACK_BUDGET}) AS INT) AS seq_in_shard
+    FROM documents
+    """,
+)
+
+# --- benchmark decontamination -----------------------------------------------
+# Stand-in eval set: every 97th doc (a production run joins a real benchmark
+# table; the plan shape is identical).
+_BENCH_PRED = "doc_id % 97 = 0"
+
+# 8-byte hashed shingle (same derivation as dedup_minhash_lsh's base hash).
+_HASH_SH = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
+    "bigint"
+)
+
+
+def _decontaminate(spark, sf):
+    docs = _docs_wide(spark, sf).select(
+        "doc_id", _shingles_col().alias("sh")
+    )
+    hashed = docs.select(
+        "doc_id", F.explode(F.transform("sh", _HASH_SH)).alias("h")
+    )
+    bench = (
+        hashed.filter(F.expr(_BENCH_PRED)).select("h").distinct()
+    )
+    return (
+        hashed.filter(~F.expr(_BENCH_PRED))
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").cast("long").alias("n_overlap"))
+    )
+
+
+_DUCK_SHINGLES = """
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) x
+"""
+
+REG.add(
+    "text_decontaminate",
+    _decontaminate,
+    f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    hashed AS (
+      SELECT doc_id,
+             unnest(list_transform(sh, s ->
+               ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS h
+      FROM sh
+    ),
+    bench AS (
+      SELECT DISTINCT h FROM hashed WHERE {_BENCH_PRED}
+    )
+    SELECT hashed.doc_id, CAST(COUNT(DISTINCT hashed.h) AS BIGINT) AS n_overlap
+    FROM hashed JOIN bench ON hashed.h = bench.h
+    WHERE NOT ({_BENCH_PRED.replace('doc_id', 'hashed.doc_id')})
+    GROUP BY hashed.doc_id
+    """,
+)

@@ -347,3 +347,19 @@ def test_covered_index_probe_plan(spark, tmp_path):
     # narrow projection: the uncovered column c never appears in the scan
     read_schema = formatted.split("ReadSchema", 1)[1].split("\n", 1)[0]
     assert "c:" not in read_schema
+
+
+def test_sampling_family_plan_shapes(spark):
+    # stratified sample: a pure scan-side filter — zero exchanges
+    plan = plan_of(spark, "sample_stratified")
+    assert "Exchange" not in plan
+    # shard-local packing: exactly one shuffle (the shard window), never a
+    # single-partition global window
+    plan = plan_of(spark, "text_seq_pack")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+    # decontamination: benchmark shingle set broadcast, corpus never
+    # shuffled by shingle; no cartesian product
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
