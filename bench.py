@@ -62,6 +62,7 @@ HEADLINE = [
     "similarity_ivf_probe",
     "pipeline_curate_e2e",
     "mm_frame_sample",
+    "pipeline_assemble_e2e",
 ]
 
 

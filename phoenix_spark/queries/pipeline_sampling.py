@@ -199,3 +199,124 @@ REG.add(
     GROUP BY hashed.doc_id
     """,
 )
+
+# --- fused end-to-end assembly: documents -> training batches -----------------
+# The full "curated corpus to training sequences" chain as ONE declarative
+# plan: quality gate -> stratified domain mix -> benchmark decontamination ->
+# shard-local sequence packing.  Stage order is chosen for scale: the cheap
+# per-row predicates (quality heuristics, md5 sample bucket, benchmark
+# exclusion) run FIRST so the expensive shingle explode only touches
+# surviving documents; the benchmark shingle set is built from the FULL
+# corpus (a benchmark doc that fails the quality gate still contaminates).
+# Shuffle inventory: broadcast-anti join on doc_id (decontamination) + one
+# shard window — everything else is scan-side maps.
+_QUALITY = (
+    f"size({{toks}}) BETWEEN 50 AND 100000"
+    " AND size(filter({toks}, x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+    " / size({toks}) >= 0.01"
+    " AND size(array_distinct({toks})) / size({toks}) >= 0.05"
+).format(toks="split(trim(text), '\\\\s+')")
+
+
+def _assemble_e2e(spark, sf):
+    from pyspark.sql.window import Window
+
+    docs = _docs_wide(spark, sf)
+    gated = docs.filter(
+        F.expr(_QUALITY)
+        & F.expr(f"{_BUCKET} < {_RATE_CASE}")
+        & ~F.expr(_BENCH_PRED)
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(_NTOK).cast("int").alias("n_tokens"),
+    )
+    bench = (
+        docs.filter(F.expr(_BENCH_PRED))
+        .select(F.explode(F.transform(_shingles_col(), _HASH_SH)).alias("h"))
+        .distinct()
+    )
+    dirty = (
+        gated.select("doc_id", F.explode(F.transform(_shingles_col(), _HASH_SH)).alias("h"))
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+    )
+    clean = gated.join(dirty, "doc_id", "left_anti")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        clean.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(_SHARD).cast("int").alias("shard"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "shard",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / _PACK_BUDGET)
+            .cast("int")
+            .alias("seq_in_shard"),
+        )
+    )
+
+
+_DUCK_QUALITY = (
+    "len(toks) BETWEEN 50 AND 100000"
+    " AND len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+    "   / CAST(len(toks) AS DOUBLE) >= 0.01"
+    " AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.05"
+)
+
+REG.add(
+    "pipeline_assemble_e2e",
+    _assemble_e2e,
+    f"""
+    WITH toked AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, source, text, CAST(len(toks) AS INT) AS n_tokens
+      FROM toked
+      WHERE {_DUCK_QUALITY}
+        AND {_DUCK_BUCKET} < {_RATE_CASE}
+        AND NOT ({_BENCH_PRED})
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(list_transform(sh, s ->
+               ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS h
+      FROM ({_DUCK_SHINGLES}) bs
+      WHERE {_BENCH_PRED}
+    ),
+    dirty AS (
+      SELECT DISTINCT g.doc_id
+      FROM (SELECT doc_id,
+                   unnest(list_transform(sh, s ->
+                     ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS h
+            FROM ({_DUCK_SHINGLES}) gs
+            WHERE doc_id IN (SELECT doc_id FROM gated)) g
+      JOIN bench ON g.h = bench.h
+    ),
+    clean AS (
+      SELECT g.doc_id, g.source, g.n_tokens,
+             CAST({_DUCK_SHARD} AS INT) AS shard
+      FROM gated g
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM dirty)
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / {_PACK_BUDGET}) AS INT) AS seq_in_shard
+    FROM clean
+    """,
+)

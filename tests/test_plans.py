@@ -363,3 +363,10 @@ def test_sampling_family_plan_shapes(spark):
     plan = plan_of(spark, "text_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_assemble_e2e_plan_shape(spark):
+    plan = plan_of(spark, "pipeline_assemble_e2e")
+    assert "BroadcastHashJoin" in plan  # benchmark shingles broadcast
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan  # packing stays shard-local
