@@ -32,6 +32,12 @@ class CreateTable:
     row_timestamp: str | None
     props: dict
     if_not_exists: bool
+    # Phoenix column families (grammar: `FAMILY.col TYPE`, e.g. the shipped
+    # examples/WEB_STAT.sql's USAGE.CORE).  Families are an HBase storage
+    # concern — columnar parquet already gives per-column locality — so the
+    # engine records the mapping for catalog fidelity and addresses columns
+    # by their unqualified name, exactly how Phoenix queries reference them.
+    families: dict = None  # col -> family
 
 
 @dataclass
@@ -142,7 +148,21 @@ def parse_create_table(sql: str) -> CreateTable:
     pk: list[str] = []
     sort_orders: dict[str, str] = {}
     row_timestamp: str | None = None
+    families: dict[str, str] = {}
+    items = []
     for item in _split_top(body):
+        # Phoenix's grammar accepts the CONSTRAINT clause without a
+        # preceding comma (see the shipped examples/WEB_STAT.sql) — split a
+        # trailing constraint off the last column def.
+        mm_c = re.search(
+            r"\bCONSTRAINT\s+\w+\s+PRIMARY\s+KEY\s*\(", item, re.IGNORECASE
+        )
+        if mm_c and mm_c.start() > 0:
+            items.append(item[: mm_c.start()].strip())
+            items.append(item[mm_c.start() :].strip())
+        else:
+            items.append(item.strip())
+    for item in items:
         cm = _PK_CONSTRAINT_RE.match(item.strip())
         if cm:
             for colspec in _split_top(cm.group("cols")):
@@ -159,6 +179,9 @@ def parse_create_table(sql: str) -> CreateTable:
             continue
         toks = item.split(None, 1)
         col = toks[0].strip('"').lower()
+        if "." in col:  # FAMILY.col — see CreateTable.families
+            fam, col = col.split(".", 1)
+            families[col] = fam
         rest = toks[1] if len(toks) > 1 else ""
         up = rest.upper()
         inline_pk = "PRIMARY KEY" in up
@@ -189,6 +212,7 @@ def parse_create_table(sql: str) -> CreateTable:
         row_timestamp=row_timestamp,
         props=props,
         if_not_exists=bool(m.group("ine")),
+        families=families,
     )
 
 

@@ -345,3 +345,86 @@ def ntz_epoch_micros_sql(col: str) -> str:
         f" + cast(minute({c}) as bigint) * 60000000"
         f" + cast(date_part('SECOND', {c}) * 1000000 as bigint))"
     )
+
+
+# Phoenix date ROUND/FLOOR/CEIL/TRUNC time units (TimeUnit.java: day, hour,
+# minute, second, millisecond, week, month, year) with fixed microsecond
+# widths where the unit is uniform.  WEEK floors to MONDAY (java.time ISO
+# week), which epoch arithmetic reaches via the Monday-aligned offset
+# (1969-12-29 was a Monday = -3 days epoch).
+_UNIT_MICROS = {
+    "MILLISECOND": 1_000,
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+    "WEEK": 7 * 86_400_000_000,
+}
+_WEEK_OFFSET = -3 * 86_400_000_000  # Monday 1969-12-29 00:00 in epoch µs
+DATE_ROUND_UNITS = frozenset(_UNIT_MICROS) | {"MONTH", "YEAR"}
+
+
+def ntz_date_round_sql(mode: str, col: str, unit: str, multiplier: int = 1) -> str:
+    """Timezone-independent SQL for Phoenix ROUND/FLOOR/CEIL/TRUNC on a
+    DATE/TIMESTAMP_NTZ column (RoundDateExpression.java / FloorDateExpression
+    / CeilDateExpression; TRUNC is an alias of FLOOR — TruncFunction.java).
+
+    Fixed-width units use pure epoch-µs arithmetic (floor division via
+    ``e - pmod(e, U)``, sign-correct) and rebuild through ``timestampadd`` on
+    an NTZ literal — field arithmetic, never the session zone.  MONTH/YEAR
+    floor via field extraction; MONTH/YEAR ROUND/CEIL (non-uniform widths)
+    follow the reference's day-of-month / month-of-year midpoint rule.
+    """
+    mode = mode.upper()
+    unit = unit.upper()
+    if unit not in DATE_ROUND_UNITS:
+        raise ValueError(f"unknown date unit {unit!r}")
+    if multiplier != 1 and unit in ("MONTH", "YEAR"):
+        raise ValueError(f"multiplier on {unit} is not uniform; unsupported")
+    c = f"cast({col} as timestamp_ntz)"
+    if unit in _UNIT_MICROS:
+        u = _UNIT_MICROS[unit] * multiplier
+        e = ntz_epoch_micros_sql(col)
+        off = _WEEK_OFFSET if unit == "WEEK" else 0
+        base = f"({e} - {off})" if off else e
+        if mode in ("FLOOR", "TRUNC"):
+            fe = f"({base} - pmod({base}, {u}))"
+        elif mode == "CEIL":
+            fe = f"({base} + pmod(- {base}, {u}))"
+        elif mode == "ROUND":  # half-up (HALF_UP in RoundDateExpression)
+            fe = f"(({base} + {u // 2}) - pmod(({base} + {u // 2}), {u}))"
+        else:
+            raise ValueError(f"unknown round mode {mode!r}")
+        if off:
+            fe = f"({fe} + {off})"
+        return (
+            f"timestampadd(MICROSECOND, {fe},"
+            f" TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        )
+    # MONTH / YEAR: non-uniform widths -> field arithmetic
+    if unit == "MONTH":
+        fl = f"make_timestamp_ntz(year({c}), month({c}), 1, 0, 0, 0)"
+        nxt = f"timestampadd(MONTH, 1, {fl})"
+        mid = f"day(last_day({c})) / 2.0"  # HALF_UP on the day fraction
+        up_pred = f"(day({c}) - 1 + {_frac_of_day(c)}) >= {mid}"
+    else:  # YEAR
+        fl = f"make_timestamp_ntz(year({c}), 1, 1, 0, 0, 0)"
+        nxt = f"timestampadd(YEAR, 1, {fl})"
+        mid = f"(CASE WHEN (year({c}) % 4 = 0 AND year({c}) % 100 != 0)"
+        mid += f" OR year({c}) % 400 = 0 THEN 366 ELSE 365 END) / 2.0"
+        up_pred = f"(dayofyear({c}) - 1 + {_frac_of_day(c)}) >= {mid}"
+    if mode in ("FLOOR", "TRUNC"):
+        return fl
+    if mode == "CEIL":
+        return f"(CASE WHEN {c} = {fl} THEN {fl} ELSE {nxt} END)"
+    if mode == "ROUND":
+        return f"(CASE WHEN {up_pred} THEN {nxt} ELSE {fl} END)"
+    raise ValueError(f"unknown round mode {mode!r}")
+
+
+def _frac_of_day(c: str) -> str:
+    """Fraction of the current day elapsed, from pure field extractions."""
+    return (
+        f"((cast(hour({c}) as double) * 3600 + minute({c}) * 60"
+        f" + date_part('SECOND', {c})) / 86400.0)"
+    )

@@ -73,6 +73,10 @@ RENAME = {
 
 # Functions that need argument-shape rewrites (paren-matched below).
 _SHAPE_FNS = (
+    "TRUNC",
+    "ROUND",
+    "FLOOR",
+    "CEIL",
     "REGEXP_SUBSTR",
     "STRING_TO_ARRAY",
     "TO_NUMBER",
@@ -393,6 +397,42 @@ def _regex_escape_literal(lit: str) -> str:
 
 def _rewrite_call(name: str, args: list[str]) -> str:
     up = name.upper()
+    if up in ("TRUNC", "ROUND", "FLOOR", "CEIL"):
+        from phoenix_spark.functions import DATE_ROUND_UNITS, ntz_date_round_sql
+
+        # Date form: second arg is a time-unit string literal (the two
+        # Phoenix overloads are distinguished by argument TYPE — a textual
+        # front-end distinguishes by the unit literal, which never collides
+        # with the numeric scale arg).  TimeUnit.java names; optional
+        # integer multiplier (RoundDateExpression).
+        lit = _literal_text(args[1]) if len(args) >= 2 else None
+        if lit is not None and lit.upper() in DATE_ROUND_UNITS and len(args) <= 3:
+            mult = 1
+            if len(args) == 3:
+                try:
+                    mult = int(args[2])
+                except ValueError:
+                    raise PhoenixTranslationError(
+                        f"{up} multiplier must be an integer literal"
+                    )
+            try:
+                return ntz_date_round_sql(
+                    "FLOOR" if up == "TRUNC" else up, args[0], lit, mult
+                )
+            except ValueError as exc:
+                raise PhoenixTranslationError(str(exc)) from None
+        if up == "TRUNC":
+            # numeric TRUNC is an ALIAS of FLOOR (TruncFunction.java
+            # derives FloorParseNode); 2-arg form floors at decimal scale
+            if len(args) == 1:
+                return f"floor({args[0]})"
+            if len(args) == 2:
+                return (
+                    f"(floor(({args[0]}) * pow(10, {args[1]}))"
+                    f" / pow(10, {args[1]}))"
+                )
+            raise PhoenixTranslationError(f"TRUNC with {len(args)} args")
+        return f"{up.lower()}({', '.join(args)})"
     if up == "REGEXP_SUBSTR":
         if len(args) == 2:
             return f"regexp_extract({args[0]}, {args[1]}, 0)"
