@@ -248,10 +248,69 @@ class Engine:
 
     # -- per-statement executors -------------------------------------------
 
+    _NEXT_VAL_RE = re.compile(r"NEXT\s+VALUE\s+FOR\s+([\w.]+)", re.I)
+    _CURR_VAL_RE = re.compile(r"CURRENT\s+VALUE\s+FOR\s+([\w.]+)", re.I)
+
     def _exec_select(self, text: str) -> DataFrame:
         text = self._maybe_use_index(text)
+        text = self._rewrite_sequence_refs(text)
         return self.spark.sql(
             translate_phoenix_sql(text, ts_columns=self._ts_columns_for(text))
+        )
+
+    def _rewrite_sequence_refs(self, text: str) -> str:
+        """Per-row sequence values in a SELECT (SequenceValueExpression;
+        grammar :1203-1208) — the UPSERT SELECT id-assignment idiom.
+
+        SURVEY §7 M6 design: reserve one block, assign ``base + row_number``.
+        Phoenix evaluates NEXT VALUE FOR per row DURING the scan (server-side
+        SequenceRegionObserver), so the values follow evaluation order, not
+        output order — under ORDER BY/LIMIT the returned values can be
+        non-contiguous, exactly as in the reference.  The reservation must
+        therefore cover the pre-pagination row count (probe query with
+        trailing LIMIT/OFFSET/FETCH stripped — otherwise assigned values
+        could exceed the reserved block and collide with later statements).
+        The query runs twice (probe count, then the real read) — the
+        analogue of the reference's sequence RPC round-trip.  The row_number
+        window is deliberately single-partition: a global sequence is
+        inherently a serialization point (Phoenix serializes on the
+        SYSTEM.SEQUENCE row); allocate id blocks per-partition yourself if
+        you need parallel scale.
+        """
+        curr = {
+            m.group(1).lower() for m in self._CURR_VAL_RE.finditer(text)
+        }
+        for name in curr:
+            text = re.sub(
+                rf"CURRENT\s+VALUE\s+FOR\s+{re.escape(name)}",
+                str(self.current_value(name)),
+                text,
+                flags=re.I,
+            )
+        names = {m.group(1).lower() for m in self._NEXT_VAL_RE.finditer(text)}
+        if not names:
+            return text
+        if len(names) > 1:
+            raise ValueError(
+                f"multiple sequences in one statement unsupported: {names}"
+            )
+        (name,) = names
+        probe = self._NEXT_VAL_RE.sub("0", text)
+        probe = re.sub(
+            r"(?:\s+(?:LIMIT\s+\d+|OFFSET\s+\d+(?:\s+ROWS?)?"
+            r"|FETCH\s+(?:FIRST|NEXT)\s+\d+\s+ROWS?\s+ONLY))+\s*;?\s*$",
+            "",
+            probe,
+            flags=re.IGNORECASE,
+        )
+        n = self.spark.sql(
+            translate_phoenix_sql(probe, ts_columns=self._ts_columns_for(probe))
+        ).count()
+        if n == 0:
+            return self._NEXT_VAL_RE.sub("0", text)
+        base = self.next_value_block(name, n)
+        return self._NEXT_VAL_RE.sub(
+            f"(row_number() OVER (ORDER BY 1) + {base - 1})", text
         )
 
     def _maybe_use_index(self, text: str) -> str:

@@ -683,6 +683,24 @@ def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:
     def _unmask(s: str) -> str:
         return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], s)
 
+    # ANSI pagination (grammar :1026-1036): Phoenix accepts `OFFSET m ROWS
+    # FETCH FIRST|NEXT n ROWS ONLY`; Spark's grammar wants `LIMIT n OFFSET m`
+    # (in that order) and takes no ROW/ROWS noise words.
+    masked = re.sub(
+        r"OFFSET\s+(\d+)(?:\s+ROWS?)?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY",
+        r"LIMIT \2 OFFSET \1",
+        masked,
+        flags=re.IGNORECASE,
+    )
+    masked = re.sub(
+        r"FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY",
+        r"LIMIT \1",
+        masked,
+        flags=re.IGNORECASE,
+    )
+    masked = re.sub(
+        r"OFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", masked, flags=re.IGNORECASE
+    )
     if ts_columns:
         masked = _rewrite_date_arith(masked, ts_columns)
     # Rewrites need literal args visible (STRING_TO_ARRAY escapes them), so

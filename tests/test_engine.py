@@ -740,3 +740,68 @@ def test_functional_index_expression_key(engine):
     raw = engine.sql("SELECT k FROM fx WHERE name = 'alice'")
     assert not any("/fx_upper/segments/" in f for f in raw.inputFiles())
     assert [r.k for r in raw.collect()] == [1]
+
+
+def test_sequence_in_select_and_upsert_select(engine):
+    """NEXT/CURRENT VALUE FOR inside SELECT (SequenceValueExpression) — the
+    UPSERT SELECT id-assignment idiom.  Values follow evaluation (scan)
+    order as in the reference, so the reservation covers the pre-pagination
+    row count and values never escape the reserved block."""
+    engine.sql("CREATE SEQUENCE sel_seq START WITH 100 INCREMENT BY 1")
+    engine.sql(
+        "CREATE TABLE seq_src (k BIGINT NOT NULL, nm VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO seq_src VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')"
+    )
+    ids = [
+        r.id
+        for r in engine.sql(
+            "SELECT NEXT VALUE FOR sel_seq AS id FROM seq_src"
+        ).collect()
+    ]
+    assert sorted(ids) == [100, 101, 102, 103]
+    assert engine.current_value("sel_seq") == 103
+    # LIMIT: evaluation order semantics — 4 evaluated (reserved), 2 returned,
+    # returned values stay inside the reserved block
+    ids = [
+        r.id
+        for r in engine.sql(
+            "SELECT NEXT VALUE FOR sel_seq AS id FROM seq_src "
+            "ORDER BY nm LIMIT 2"
+        ).collect()
+    ]
+    assert all(104 <= i <= 107 for i in ids) and len(set(ids)) == 2
+    assert engine.current_value("sel_seq") == 107
+    # CURRENT VALUE is a statement-stable scalar
+    got = engine.sql(
+        "SELECT CURRENT VALUE FOR sel_seq AS c FROM seq_src LIMIT 1"
+    ).collect()[0]
+    assert got.c == 107
+    # UPSERT SELECT assigning fresh ids
+    engine.sql(
+        "CREATE TABLE seq_dst (id BIGINT NOT NULL, nm VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (id))"
+    )
+    engine.sql(
+        "UPSERT INTO seq_dst SELECT NEXT VALUE FOR sel_seq, nm FROM seq_src"
+    )
+    rows = engine.sql("SELECT id, nm FROM seq_dst").collect()
+    assert len(rows) == 4 and len({r.id for r in rows}) == 4
+    assert all(108 <= r.id <= 111 for r in rows)
+
+
+def test_fetch_first_and_offset_rows(engine):
+    engine.sql(
+        "CREATE TABLE pg (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO pg VALUES (1), (2), (3), (4), (5), (6)")
+    q = "SELECT k FROM pg ORDER BY k FETCH FIRST 3 ROWS ONLY"
+    assert [r.k for r in engine.sql(q).collect()] == [1, 2, 3]
+    q = "SELECT k FROM pg ORDER BY k OFFSET 2 ROWS FETCH NEXT 2 ROWS ONLY"
+    assert [r.k for r in engine.sql(q).collect()] == [3, 4]
+    q = "SELECT k FROM pg ORDER BY k OFFSET 4 ROWS"
+    assert [r.k for r in engine.sql(q).collect()] == [5, 6]
+    q = "SELECT k FROM pg ORDER BY k FETCH NEXT 1 ROW ONLY"
+    assert [r.k for r in engine.sql(q).collect()] == [1]
