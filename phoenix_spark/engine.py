@@ -253,10 +253,52 @@ class Engine:
 
     def _exec_select(self, text: str) -> DataFrame:
         text = self._maybe_use_index(text)
+        text = self._rewrite_tablesample(text)
         text = self._rewrite_sequence_refs(text)
         return self.spark.sql(
             translate_phoenix_sql(text, ts_columns=self._ts_columns_for(text))
         )
+
+    _TABLESAMPLE_RE = re.compile(
+        r"\b(FROM|JOIN)\s+([\w.]+)(\s+(?:AS\s+)?(\w+))?\s+TABLESAMPLE\s*\(\s*(\d+)\s*\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_tablesample(self, text: str) -> str:
+        """``t TABLESAMPLE(n)`` (grammar :1039) -> deterministic hash-mod
+        predicate on the table's PK, the TableSamplerPredicate analogue
+        (FNV1a over the rowkey).  NOT Spark's ``TABLESAMPLE (n PERCENT)``,
+        which is seed/partition-dependent — Phoenix's contract is that the
+        same rows are sampled on every execution.  Murmur3 ``hash()`` over
+        the PK columns is value-deterministic and layout-independent; the
+        mod-2^31 pre-reduction keeps the Knuth multiply inside int64
+        (same overflow-safe shape as the scan_tablesample query entry)."""
+
+        def _sub(m: re.Match) -> str:
+            table = m.group(2)
+            alias = m.group(4) or table.split(".")[-1]
+            rate = int(m.group(5))
+            key = table.split(".")[-1].lower()
+            pk: tuple[str, ...] | None = None
+            try:
+                pk = tuple(self.managed(key).pk)
+            except ValueError:
+                if self.catalog is not None and key in self.catalog.tables:
+                    pk = tuple(self.catalog.tables[key].pk)
+            if not pk:
+                raise ValueError(
+                    f"TABLESAMPLE on {table}: primary key unknown — register "
+                    "the table or sample explicitly with a hash predicate"
+                )
+            pred = (
+                f"pmod(pmod(pmod(abs(hash({', '.join(pk)})), 2147483648)"
+                f" * 2654435761, 4294967296), 100) < {rate}"
+            )
+            return (
+                f"{m.group(1)} (SELECT * FROM {table} WHERE {pred}) {alias}"
+            )
+
+        return self._TABLESAMPLE_RE.sub(_sub, text)
 
     def _rewrite_sequence_refs(self, text: str) -> str:
         """Per-row sequence values in a SELECT (SequenceValueExpression;

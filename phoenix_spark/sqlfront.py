@@ -701,12 +701,68 @@ def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:
     masked = re.sub(
         r"OFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", masked, flags=re.IGNORECASE
     )
+    # ARRAY[...] constructor (grammar :1166-1170) -> array(...); Phoenix
+    # arrays are 1-D, but the scan balances brackets anyway (an element
+    # expression could index another array).
+    masked = _rewrite_array_ctor(masked)
+    # CAST target types Phoenix spells differently from Spark: bare VARCHAR
+    # (no length -> STRING), and the UNSIGNED_* family (PUnsignedInt & co
+    # fold to their signed Spark type — same value domain on the read path,
+    # matching types.py's DDL mapping).
+    masked = re.sub(
+        r"\bAS\s+VARCHAR\s*(?=[,)])", "AS STRING", masked, flags=re.IGNORECASE
+    )
+    _UNSIGNED = {
+        "UNSIGNED_INT": "INT",
+        "UNSIGNED_LONG": "BIGINT",
+        "UNSIGNED_SMALLINT": "SMALLINT",
+        "UNSIGNED_TINYINT": "TINYINT",
+        "UNSIGNED_FLOAT": "FLOAT",
+        "UNSIGNED_DOUBLE": "DOUBLE",
+        "UNSIGNED_DATE": "TIMESTAMP_NTZ",
+        "UNSIGNED_TIME": "TIMESTAMP_NTZ",
+        "UNSIGNED_TIMESTAMP": "TIMESTAMP_NTZ",
+    }
+    masked = re.sub(
+        r"\bAS\s+(UNSIGNED_\w+)\s*(?=[,)])",
+        lambda m: "AS " + _UNSIGNED.get(m.group(1).upper(), m.group(1)),
+        masked,
+        flags=re.IGNORECASE,
+    )
     if ts_columns:
         masked = _rewrite_date_arith(masked, ts_columns)
     # Rewrites need literal args visible (STRING_TO_ARRAY escapes them), so
     # unmask per-argument inside the rewriter via a wrapper.
     rewritten = _rewrite_code_masked(masked, _unmask)
     return _unmask(rewritten)
+
+
+def _rewrite_array_ctor(masked: str) -> str:
+    """``ARRAY[a, b, c]`` -> ``array(a, b, c)`` with balanced brackets."""
+    out: list[str] = []
+    pos = 0
+    pat = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            out.append(masked[pos:])
+            return "".join(out)
+        out.append(masked[pos : m.start()])
+        out.append("array(")
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            c = masked[i]
+            if c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        inner = _rewrite_array_ctor(masked[m.end() : i])
+        out.append(inner)
+        out.append(")")
+        pos = i + 1
 
 
 def _rewrite_code_masked(masked: str, unmask) -> str:

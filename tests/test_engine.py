@@ -805,3 +805,27 @@ def test_fetch_first_and_offset_rows(engine):
     assert [r.k for r in engine.sql(q).collect()] == [5, 6]
     q = "SELECT k FROM pg ORDER BY k FETCH NEXT 1 ROW ONLY"
     assert [r.k for r in engine.sql(q).collect()] == [1]
+
+
+def test_array_ctor_tablesample_and_cast_aliases(engine):
+    # ARRAY[...] constructor (grammar :1166-1170)
+    row = engine.sql("SELECT ARRAY[1,2,3] AS a FROM region LIMIT 1").collect()[0]
+    assert list(row.a) == [1, 2, 3]
+    # bare-VARCHAR / UNSIGNED_* CAST targets
+    row = engine.sql(
+        "SELECT CAST(r_regionkey AS VARCHAR) AS s, "
+        "CAST(r_regionkey AS UNSIGNED_LONG) AS u FROM region LIMIT 1"
+    ).collect()[0]
+    assert isinstance(row.s, str) and isinstance(row.u, int)
+    # TABLESAMPLE: deterministic (same rows every execution), PK-hash based
+    a = sorted(
+        r.r_name
+        for r in engine.sql("SELECT r_name FROM region TABLESAMPLE(60)").collect()
+    )
+    b = sorted(
+        r.r_name
+        for r in engine.sql("SELECT r_name FROM region TABLESAMPLE(60)").collect()
+    )
+    assert a == b
+    full = engine.sql("SELECT r_name FROM region TABLESAMPLE(100)").count()
+    assert full == 5  # rate 100 keeps everything
