@@ -821,6 +821,12 @@ class Engine:
         prev_ts = mt._next_ts() - 1  # for index maintenance pre-images
         if up.select is not None:
             df = self._exec_select(up.select).toDF(*cols)
+            # partial column list: NULL-fill the unlisted columns (same
+            # change-log row-overwrite semantics as the VALUES path)
+            for f in mt.schema.fields:
+                if f.name not in cols:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(*mt.schema.fieldNames())
             n = df.count()
             mt.upsert_df(df, on_duplicate=up.on_duplicate)
             written = df

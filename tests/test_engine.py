@@ -829,3 +829,18 @@ def test_array_ctor_tablesample_and_cast_aliases(engine):
     assert a == b
     full = engine.sql("SELECT r_name FROM region TABLESAMPLE(100)").count()
     assert full == 5  # rate 100 keeps everything
+
+
+def test_upsert_select_with_column_list(engine):
+    engine.sql(
+        "CREATE TABLE ucl (k BIGINT NOT NULL, v VARCHAR, d DATE, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO ucl (k, d) SELECT r_regionkey + 10, "
+        "TO_DATE('2021-03-04') FROM region WHERE r_regionkey < 2"
+    )
+    rows = engine.sql("SELECT k, v, d FROM ucl ORDER BY k").collect()
+    assert [r.k for r in rows] == [10, 11]
+    assert all(r.v is None for r in rows)  # unlisted column NULL-filled
+    assert all(r.d is not None for r in rows)
