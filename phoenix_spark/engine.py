@@ -372,7 +372,12 @@ class Engine:
         def base_pk_of(table: str):
             return self.managed(table).pk
 
-        choice = IX.choose_index(text, self._indexes, base_cols_of, base_pk_of)
+        active = {
+            k: d for k, d in self._indexes.items() if d.state == "ACTIVE"
+        }
+        if not active:
+            return text
+        choice = IX.choose_index(text, active, base_cols_of, base_pk_of)
         if choice is None:
             return text
         table_ref, d, eff_text = choice
@@ -614,7 +619,11 @@ class Engine:
         upsert their post-state projections.  Both sides are broadcast
         semi-joins of the touched-PK set — never a full index rewrite."""
         table = table.split(".")[-1].lower()
-        cands = [d for d in self._indexes.values() if d.table == table]
+        cands = [
+            d
+            for d in self._indexes.values()
+            if d.table == table and d.state != "DISABLED"
+        ]
         if not cands:
             return
         base = self.managed(table)
@@ -713,12 +722,54 @@ class Engine:
                 self._drop_index(ix)
         return 0
 
+    _ALTER_INDEX_RE = re.compile(
+        r"^\s*ALTER\s+INDEX\s+(?:IF\s+(EXISTS)\s+)?([\w.]+)\s+ON\s+([\w.]+)"
+        r"\s+(USABLE|UNUSABLE|REBUILD|DISABLE|ACTIVE)(\s+ALL)?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
     def _exec_alter(self, text: str) -> int:
         """ALTER TABLE t ADD|DROP COLUMN ... — metadata-only, like the
         reference (grammar PhoenixSQL.g:774-778; MetaDataClient.addColumn):
         existing segments are untouched; reads project the evolved schema
         (missing columns read as NULL via the cast-projection in
-        ManagedTable.read)."""
+        ManagedTable.read).  ALTER INDEX i ON t <state> (grammar :725,
+        PIndexState) drives the index lifecycle: DISABLE stops maintenance
+        and substitution, UNUSABLE stops substitution only, REBUILD
+        re-materializes from the current base state and reactivates."""
+        am = self._ALTER_INDEX_RE.match(text)
+        if am:
+            if_exists, iname, _table, verb = (
+                am.group(1),
+                am.group(2).split(".")[-1].lower(),
+                am.group(3),
+                am.group(4).upper(),
+            )
+            d = self._indexes.get(iname)
+            if d is None:
+                if if_exists:
+                    return 0
+                raise ValueError(f"no such index {iname}")
+            if verb in ("USABLE", "ACTIVE"):
+                d.state = "ACTIVE"
+            elif verb == "UNUSABLE":
+                d.state = "UNUSABLE"
+            elif verb == "DISABLE":
+                d.state = "DISABLED"
+            else:  # REBUILD: full re-materialization from the base table
+                base = self.managed(d.table)
+                imt = self.managed(d.name)
+                cols = d.covered(base.pk)
+                imt.delete_where(None)
+                build = self._with_index_exprs(base.read(), d)
+                if d.where is not None:
+                    build = build.filter(self._translate_pred(d.where, d.table))
+                imt.upsert_df(build.select(*cols))
+                imt.compact()
+                self._register(d.name)
+                d.state = "ACTIVE"
+            self._save_indexes()
+            return 0
         m = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(?:COLUMN\s+)?(.+?)\s*;?\s*$",
             text,

@@ -68,6 +68,11 @@ class IndexDef:
     # occurrences of the expression in a query with the generated column
     # before coverage analysis (see choose_index).
     exprs: dict[str, str] = field(default_factory=dict)
+    # PIndexState analogue (ALTER INDEX ... USABLE|UNUSABLE|DISABLE|REBUILD,
+    # grammar :725): ACTIVE = substituted + maintained; UNUSABLE = maintained
+    # but never substituted; DISABLED = neither (REBUILD required to
+    # reactivate, as in the reference).
+    state: str = "ACTIVE"
 
     def covered(self, base_pk: list[str]) -> list[str]:
         """All columns present in the index table, in storage order."""
@@ -87,6 +92,7 @@ class IndexDef:
             "uncovered": self.uncovered,
             "where": self.where,
             "exprs": self.exprs,
+            "state": self.state,
         }
 
     @classmethod

@@ -844,3 +844,43 @@ def test_upsert_select_with_column_list(engine):
     assert [r.k for r in rows] == [10, 11]
     assert all(r.v is None for r in rows)  # unlisted column NULL-filled
     assert all(r.d is not None for r in rows)
+
+
+def test_alter_index_lifecycle(engine):
+    """ALTER INDEX ... UNUSABLE/DISABLE/REBUILD/USABLE (grammar :725,
+    PIndexState): UNUSABLE = maintained but not substituted; DISABLE =
+    neither (stale until REBUILD); REBUILD = re-materialize + reactivate."""
+    engine.sql(
+        "CREATE TABLE ali (k BIGINT NOT NULL, name VARCHAR, x BIGINT, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO ali VALUES (1, 'a', 10), (2, 'b', 20)")
+    engine.sql("CREATE INDEX ali_ix ON ali (name) INCLUDE (x)")
+
+    def uses_index(q="SELECT name, x FROM ali WHERE name = 'a'"):
+        return any("/ali_ix/segments/" in f for f in engine.sql(q).inputFiles())
+
+    assert uses_index()
+    # UNUSABLE: no substitution, but maintenance continues
+    engine.sql("ALTER INDEX ali_ix ON ali UNUSABLE")
+    assert not uses_index()
+    engine.sql("UPSERT INTO ali VALUES (3, 'c', 30)")
+    engine.sql("ALTER INDEX ali_ix ON ali USABLE")
+    assert uses_index()
+    got = engine.sql("SELECT x FROM ali WHERE name = 'c'").collect()
+    assert [r.x for r in got] == [30]  # maintained while unusable
+    # DISABLE: maintenance stops — index goes stale
+    engine.sql("ALTER INDEX ali_ix ON ali DISABLE")
+    engine.sql("UPSERT INTO ali VALUES (4, 'd', 40)")
+    assert not uses_index()
+    # REBUILD: re-materialized from current base, active again
+    engine.sql("ALTER INDEX ali_ix ON ali REBUILD")
+    assert uses_index()
+    got = engine.sql("SELECT x FROM ali WHERE name = 'd'").collect()
+    assert [r.x for r in got] == [40]
+    # IF EXISTS on a missing index is a no-op; without it, loud
+    assert engine.sql("ALTER INDEX IF EXISTS nope ON ali DISABLE") == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.sql("ALTER INDEX nope ON ali DISABLE")
