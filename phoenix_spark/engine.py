@@ -65,6 +65,12 @@ class Engine:
                     k: IX.IndexDef.from_json(v) for k, v in json.load(f).items()
                 }
         self._cursors: dict[str, dict] = {}
+        # CDC objects (CREATE CDC, grammar :593-616): name -> (table, scope)
+        self._cdcs_path = os.path.join(self.warehouse, "_cdcs.json")
+        self._cdcs: dict[str, tuple[str, str]] = {}
+        if os.path.exists(self._cdcs_path):
+            with open(self._cdcs_path) as f:
+                self._cdcs = {k: tuple(v) for k, v in json.load(f).items()}
         self.default_schema: str | None = None
         # Tenant-specific connection (PTable.isMultiTenant, PTable.java:915):
         # the first PK column of a MULTI_TENANT table is the tenant id; a
@@ -252,6 +258,8 @@ class Engine:
     _CURR_VAL_RE = re.compile(r"CURRENT\s+VALUE\s+FOR\s+([\w.]+)", re.I)
 
     def _exec_select(self, text: str) -> DataFrame:
+        if self._cdcs:
+            self._register_cdc_views(text)
         text = self._maybe_use_index(text)
         text = self._rewrite_tablesample(text)
         text = self._rewrite_sequence_refs(text)
@@ -548,6 +556,60 @@ class Engine:
         self._register(table)
         return obs.get["n"]
 
+    _CREATE_CDC_RE = re.compile(
+        r"^\s*CREATE\s+CDC\s+(?:IF\s+NOT\s+(EXISTS)\s+)?([\w.]+)\s+ON\s+"
+        r"([\w.]+)(?:\s+INCLUDE\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _exec_create_cdc(self, text: str) -> int:
+        """CREATE CDC name ON table [INCLUDE (pre|post|change)] (grammar
+        :593-616; CDCGlobalIndexRegionScanner analogue).  The CDC object is
+        queried like a table: one row per mutation with change_ts /
+        change_op plus the pre/post images the scope selects — backed by
+        ``ManagedTable.changes``, re-registered per SELECT so new committed
+        segments are always visible."""
+        m = self._CREATE_CDC_RE.match(text)
+        if not m:
+            raise ValueError(f"unparseable CREATE CDC: {text[:100]!r}")
+        if_not_exists, name, table = m.group(1), m.group(2).lower(), m.group(3).lower()
+        scopes = {
+            s.strip().upper()
+            for s in (m.group(4) or "CHANGE").split(",")
+            if s.strip()
+        }
+        bad = scopes - {"PRE", "POST", "CHANGE"}
+        if bad:
+            raise ValueError(
+                f"unsupported CDC change scope(s) {sorted(bad)}; this engine "
+                "implements PRE/POST/CHANGE (IDX_MUTATIONS/DATA_ROW_STATE "
+                "are HBase-internal image forms)"
+            )
+        # CHANGE is the superset row shape; PRE/POST narrow the image columns
+        scope = "CHANGE" if "CHANGE" in scopes or len(scopes) == 2 else next(iter(scopes))
+        if name in self._cdcs:
+            if if_not_exists:
+                return 0
+            raise ValueError(f"CDC {name} already exists")
+        self.managed(table)  # validate target now, loudly
+        self._cdcs[name] = (table, scope)
+        self._save_cdcs()
+        return 0
+
+    def _save_cdcs(self) -> None:
+        with open(self._cdcs_path, "w") as f:
+            json.dump(self._cdcs, f, indent=1)
+
+    def _register_cdc_views(self, text: str) -> None:
+        """Re-register any CDC objects referenced by ``text`` as temp views
+        over the CURRENT change log (a cached DataFrame would pin the file
+        listing of segments that existed at registration time)."""
+        for name, (table, scope) in self._cdcs.items():
+            if re.search(rf"\b{re.escape(name)}\b", text, re.IGNORECASE):
+                self.managed(table).changes(scope=scope).createOrReplaceTempView(
+                    name
+                )
+
     def _exec_create_index(self, text: str) -> int:
         """CREATE INDEX → materialized covered projection (see indexes.py:
         CreateIndexCompiler.java / IndexMaintainer.java:143 analogue).
@@ -675,6 +737,17 @@ class Engine:
         return translate_phoenix_sql(pred, ts)
 
     def _exec_drop(self, text: str) -> int:
+        dm = re.match(
+            r"^\s*DROP\s+CDC\s+(?:IF\s+(EXISTS)\s+)?([\w.]+)\s+ON\s+[\w.]+\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if dm:
+            name = dm.group(2).lower()
+            if self._cdcs.pop(name, None) is None and not dm.group(1):
+                raise ValueError(f"no CDC {name}")
+            self._save_cdcs()
+            return 0
         di = IX.parse_drop_index(text)
         if di is not None:
             name, _table, if_exists = di

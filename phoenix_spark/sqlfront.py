@@ -812,6 +812,7 @@ _KIND_RE = [
     ("use_schema", re.compile(r"^\s*USE\b", re.I)),
     ("create_function", re.compile(r"^\s*CREATE\s+(TEMPORARY\s+)?FUNCTION\b", re.I)),
     ("create_index", re.compile(r"^\s*CREATE\s+(LOCAL\s+|UNCOVERED\s+)?INDEX\b", re.I)),
+    ("create_cdc", re.compile(r"^\s*CREATE\s+CDC\b", re.I)),
     ("drop", re.compile(r"^\s*(DROP|TRUNCATE)\b", re.I)),
     ("explain", re.compile(r"^\s*EXPLAIN\b", re.I)),
     ("show", re.compile(r"^\s*SHOW\b", re.I)),

@@ -884,3 +884,43 @@ def test_alter_index_lifecycle(engine):
 
     with _pytest.raises(ValueError):
         engine.sql("ALTER INDEX nope ON ali DISABLE")
+
+
+def test_create_cdc_ddl(engine):
+    """CREATE CDC name ON t [INCLUDE (scope)] (grammar :593-616): the CDC
+    object queries like a table over the live change feed."""
+    engine.sql(
+        "CREATE TABLE cdt (k BIGINT NOT NULL, v VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("CREATE CDC cdt_feed ON cdt")
+    engine.sql("CREATE CDC cdt_pre ON cdt INCLUDE (PRE)")
+    engine.sql("UPSERT INTO cdt VALUES (1, 'a')")
+    engine.sql("UPSERT INTO cdt VALUES (1, 'b'), (2, 'x')")
+    engine.sql("DELETE FROM cdt WHERE k = 2")
+    rows = engine.sql(
+        "SELECT k, change_op, pre_image, post_image FROM cdt_feed "
+        "ORDER BY change_ts, k"
+    ).collect()
+    assert [(r.k, r.change_op) for r in rows] == [
+        (1, "UPSERT"), (1, "UPSERT"), (2, "UPSERT"), (2, "DELETE"),
+    ]
+    assert rows[0].pre_image is None and rows[0].post_image.v == "a"
+    assert rows[1].pre_image.v == "a" and rows[1].post_image.v == "b"
+    assert rows[3].post_image is None  # delete has no post image
+    # the feed is LIVE: a later mutation appears without re-creating the CDC
+    engine.sql("UPSERT INTO cdt VALUES (3, 'z')")
+    assert engine.sql("SELECT COUNT(*) AS n FROM cdt_feed").collect()[0].n == 5
+    # PRE scope narrows the image columns
+    cols = engine.sql("SELECT * FROM cdt_pre").columns
+    assert "pre_image" in cols and "post_image" not in cols
+    # lifecycle: IF NOT EXISTS no-op, duplicate loud, DROP removes
+    assert engine.sql("CREATE CDC IF NOT EXISTS cdt_feed ON cdt") == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.sql("CREATE CDC cdt_feed ON cdt")
+    engine.sql("DROP CDC cdt_pre ON cdt")
+    with _pytest.raises(ValueError):
+        engine.sql("DROP CDC cdt_pre ON cdt")
+    assert engine.sql("DROP CDC IF EXISTS cdt_pre ON cdt") == 0
