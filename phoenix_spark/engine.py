@@ -393,8 +393,18 @@ class Engine:
         return IX.substitute_table(eff_text, table_ref, d.name)
 
     def _exec_explain(self, text: str) -> DataFrame:
-        plan = self.explain(re.sub(r"^\s*EXPLAIN\s+", "", text, flags=re.I))
-        return self.spark.createDataFrame([(line,) for line in plan.splitlines()], "plan: string")
+        """EXPLAIN [WITH REGIONS] (grammar :479-488).  WITH REGIONS appends
+        the scan's input splits — the analogue of Phoenix printing the HBase
+        region boundaries the scan touches."""
+        m = re.match(r"^\s*EXPLAIN\s+(WITH\s+REGIONS\s+)?", text, flags=re.I)
+        body = text[m.end() :]
+        plan = self.explain(body)
+        lines = [(line,) for line in plan.splitlines()]
+        if m.group(1):
+            df = self._exec_select(body)
+            lines.append(("-- input splits (region analogue):",))
+            lines.extend((f"--   {f}",) for f in sorted(df.inputFiles()))
+        return self.spark.createDataFrame(lines, "plan: string")
 
     def _exec_create_table(self, text: str) -> int:
         ct = D.parse_create_table(text)
@@ -874,8 +884,18 @@ class Engine:
         return 0
 
     def _exec_show(self, text: str) -> DataFrame:
-        """SHOW TABLES / SHOW SEQUENCES over the combined catalog."""
+        """SHOW TABLES / SHOW SEQUENCES / SHOW CREATE TABLE over the
+        combined catalog (grammar :546-554)."""
         up = text.upper()
+        m = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.\"]+)\s*;?\s*$", text, re.I
+        )
+        if m:
+            name = m.group(1).strip('"').split(".")[-1].lower()
+            ddl = self._render_create_table(name)
+            return self.spark.createDataFrame(
+                [(name, ddl)], "table: string, create_statement: string"
+            )
         if "SEQUENCE" in up:
             rows = [(k,) for k in sorted(self._sequences())]
             return self.spark.createDataFrame(rows or [("",)], "sequence_name: string")
@@ -889,6 +909,61 @@ class Engine:
         names |= set(self._views)
         return self.spark.createDataFrame(
             [(n,) for n in sorted(names)], "table_name: string"
+        )
+
+    def _render_create_table(self, name: str) -> str:
+        """Reconstruct a canonical CREATE TABLE from catalog metadata
+        (MetaDataClient reads SYSTEM.CATALOG; Phoenix prints types in their
+        canonical form, so DATE round-trips as TIMESTAMP here — both carry
+        full time in this engine, see types.py)."""
+        from pyspark.sql import types as T
+
+        def phx_type(dt: T.DataType) -> str:
+            if isinstance(dt, T.ArrayType):
+                return f"{phx_type(dt.elementType)} ARRAY"
+            if isinstance(dt, T.DecimalType):
+                return f"DECIMAL({dt.precision},{dt.scale})"
+            return {
+                T.LongType(): "BIGINT",
+                T.IntegerType(): "INTEGER",
+                T.ShortType(): "SMALLINT",
+                T.ByteType(): "TINYINT",
+                T.StringType(): "VARCHAR",
+                T.DoubleType(): "DOUBLE",
+                T.FloatType(): "FLOAT",
+                T.BooleanType(): "BOOLEAN",
+                T.BinaryType(): "VARBINARY",
+                T.TimestampNTZType(): "TIMESTAMP",
+                T.TimestampType(): "TIMESTAMP",
+                T.DateType(): "DATE",
+            }.get(dt, dt.simpleString().upper())
+
+        try:
+            mt = self.managed(name)
+            schema, pk = mt.schema, list(mt.pk)
+            sort_orders = mt.meta.get("sort_orders", {})
+            props = mt.meta.get("props", {})
+        except ValueError:
+            if self.catalog is None or name not in self.catalog.tables:
+                raise ValueError(f"no such table {name}")
+            meta = self.catalog.tables[name]
+            schema = self.catalog.df(name).schema
+            pk, sort_orders, props = list(meta.pk), {}, {}
+        cols = ",\n  ".join(
+            f"{f.name.upper()} {phx_type(f.dataType)}"
+            + (" NOT NULL" if f.name in pk else "")
+            for f in schema.fields
+        )
+        pk_parts = ", ".join(
+            c.upper() + (f" {sort_orders[c]}" if c in sort_orders else "")
+            for c in pk
+        )
+        tail = "".join(
+            f" {k}={v}" for k, v in props.items() if k not in ("INDEX_OF", "WRITE_SORT")
+        )
+        return (
+            f"CREATE TABLE {name.upper()} (\n  {cols},\n"
+            f"  CONSTRAINT PK PRIMARY KEY ({pk_parts})\n){tail}".rstrip()
         )
 
     def update_statistics(self, name: str) -> dict:

@@ -924,3 +924,26 @@ def test_create_cdc_ddl(engine):
     with _pytest.raises(ValueError):
         engine.sql("DROP CDC cdt_pre ON cdt")
     assert engine.sql("DROP CDC IF EXISTS cdt_pre ON cdt") == 0
+
+
+def test_show_create_table_and_explain_with_regions(engine):
+    engine.sql(
+        "CREATE TABLE sct (k BIGINT NOT NULL, v VARCHAR, p DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (k DESC)) SALT_BUCKETS=4"
+    )
+    row = engine.sql("SHOW CREATE TABLE sct").collect()[0]
+    ddl = row.create_statement
+    assert "K BIGINT NOT NULL" in ddl and "PRIMARY KEY (K DESC)" in ddl
+    assert "SALT_BUCKETS=4" in ddl
+    # the rendered DDL round-trips through the parser
+    from phoenix_spark import ddl as D
+
+    ct = D.parse_create_table(ddl)
+    assert ct.pk == ["k"] and ct.sort_orders == {"k": "DESC"}
+    # EXPLAIN WITH REGIONS appends the scan's input splits
+    engine.sql("UPSERT INTO sct VALUES (1, 'a', 1.5)")
+    lines = [r.plan for r in engine.sql(
+        "EXPLAIN WITH REGIONS SELECT * FROM sct"
+    ).collect()]
+    assert any("input splits" in line for line in lines)
+    assert any(".parquet" in line for line in lines if line.startswith("--   "))
