@@ -260,12 +260,52 @@ class Engine:
     def _exec_select(self, text: str) -> DataFrame:
         if self._cdcs:
             self._register_cdc_views(text)
+        text = self._rewrite_dynamic_cols(text)
         text = self._maybe_use_index(text)
         text = self._rewrite_tablesample(text)
         text = self._rewrite_sequence_refs(text)
         return self.spark.sql(
             translate_phoenix_sql(text, ts_columns=self._ts_columns_for(text))
         )
+
+    # FROM t (col TYPE, ...) — dynamic columns (grammar :832-855).  The
+    # col-TYPE pair shape distinguishes it from a derived table `FROM (SELECT
+    # ...)`, whose first token is SELECT.
+    _DYN_COLS_RE = re.compile(
+        r"\b(FROM|JOIN)\s+([\w.]+)\s*\(\s*"
+        r"([A-Za-z_]\w*\s+[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+        r"(?:\s*,\s*[A-Za-z_]\w*\s+[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)*)"
+        r"\s*\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_dynamic_cols(self, text: str) -> str:
+        """``SELECT * FROM t (mycol VARCHAR)`` → temp view with the dynamic
+        columns resolved from the table's JSON overflow column, substituted
+        for the table reference (the Engine.table(dyn_cols=...) surface,
+        reachable from plain SQL)."""
+
+        def _sub(m: re.Match) -> str:
+            table = m.group(2)
+            key = table.split(".")[-1].lower()
+            dyn: dict[str, str] = {}
+            for item in m.group(3).split(","):
+                parts = item.strip().split(None, 1)
+                if len(parts) != 2:
+                    return m.group(0)
+                dyn[parts[0].lower()] = parts[1]
+            view = f"{key}__dyn{abs(hash(tuple(sorted(dyn.items())))) % 10**6}"
+            self.table(key, dyn_cols=dyn).createOrReplaceTempView(view)
+            # keep qualified references (t.col) resolving: alias the view as
+            # the table name unless the query supplies its own alias next
+            nxt = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", m.string[m.end() :])
+            _KW = {"WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "FETCH",
+                   "HAVING", "UNION", "JOIN", "LEFT", "RIGHT", "INNER",
+                   "FULL", "CROSS", "ON", "TABLESAMPLE"}
+            has_alias = nxt and nxt.group(1).upper() not in _KW
+            return f"{m.group(1)} {view}" + ("" if has_alias else f" {key}")
+
+        return self._DYN_COLS_RE.sub(_sub, text)
 
     _TABLESAMPLE_RE = re.compile(
         r"\b(FROM|JOIN)\s+([\w.]+)(\s+(?:AS\s+)?(\w+))?\s+TABLESAMPLE\s*\(\s*(\d+)\s*\)",

@@ -947,3 +947,28 @@ def test_show_create_table_and_explain_with_regions(engine):
     ).collect()]
     assert any("input splits" in line for line in lines)
     assert any(".parquet" in line for line in lines if line.startswith("--   "))
+
+
+def test_dynamic_columns_in_sql(engine):
+    """SELECT ... FROM t (col TYPE, ...) (grammar :832-855): dynamic typed
+    columns resolved from the JSON overflow column, straight from SQL."""
+    engine.sql(
+        "CREATE TABLE dyn (k BIGINT NOT NULL, props VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO dyn VALUES "
+        "(1, '{\"score\": 7, \"tag\": \"x\"}'), "
+        "(2, '{\"score\": 3, \"tag\": \"y\"}')"
+    )
+    got = engine.sql(
+        "SELECT k, score FROM dyn (score INTEGER) WHERE score > 5"
+    ).collect()
+    assert [(r.k, r.score) for r in got] == [(1, 7)]
+    # qualified references and explicit aliases both resolve
+    got = engine.sql(
+        "SELECT d.k, d.tag FROM dyn (tag VARCHAR) d ORDER BY d.k"
+    ).collect()
+    assert [(r.k, r.tag) for r in got] == [(1, "x"), (2, "y")]
+    # derived tables are untouched by the rewrite
+    assert engine.sql("SELECT COUNT(*) AS n FROM (SELECT k FROM dyn) q").collect()[0].n == 2
