@@ -245,7 +245,9 @@ class Engine:
         return [self.sql(stmt) for stmt in _split_top(text, ";") if stmt.strip()]
 
     def explain(self, text: str) -> str:
-        df = self._exec_select(text)
+        # consume_sequences=False: explaining a query must not advance
+        # sequences (the reference compiles without running the sequence RPC)
+        df = self._exec_select(text, consume_sequences=False)
         return df._jdf.queryExecution().explainString(  # noqa: SLF001
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
                 "formatted"
@@ -257,13 +259,41 @@ class Engine:
     _NEXT_VAL_RE = re.compile(r"NEXT\s+VALUE\s+FOR\s+([\w.]+)", re.I)
     _CURR_VAL_RE = re.compile(r"CURRENT\s+VALUE\s+FOR\s+([\w.]+)", re.I)
 
-    def _exec_select(self, text: str) -> DataFrame:
+    @staticmethod
+    def _mask_literals(text: str):
+        """Stash string/quoted-identifier literals behind \\x00N\\x00 markers
+        so the engine-level regex rewrites (sequences, TABLESAMPLE, dynamic
+        columns) can never fire inside a literal — e.g. a VARCHAR value
+        containing the words 'NEXT VALUE FOR s'.  Returns (masked, unmask)."""
+        from phoenix_spark.sqlfront import segments
+
+        stash: list[str] = []
+        parts: list[str] = []
+        for kind, seg in segments(text):
+            if kind in ("string", "ident"):
+                parts.append(f"\x00{len(stash)}\x00")
+                stash.append(seg)
+            else:
+                parts.append(seg)
+
+        def unmask(s: str) -> str:
+            return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], s)
+
+        return "".join(parts), unmask
+
+    def _exec_select(self, text: str, consume_sequences: bool = True) -> DataFrame:
         if self._cdcs:
             self._register_cdc_views(text)
-        text = self._rewrite_dynamic_cols(text)
+        masked, unmask = self._mask_literals(text)
+        masked = self._rewrite_dynamic_cols(masked)
+        masked = self._rewrite_tablesample(masked)
+        masked = self._rewrite_sequence_refs(
+            masked, unmask, consume=consume_sequences
+        )
+        text = unmask(masked)
+        # index substitution runs on the UNMASKED text: partial-index
+        # predicate matching compares literal-containing conjuncts
         text = self._maybe_use_index(text)
-        text = self._rewrite_tablesample(text)
-        text = self._rewrite_sequence_refs(text)
         return self.spark.sql(
             translate_phoenix_sql(text, ts_columns=self._ts_columns_for(text))
         )
@@ -294,7 +324,12 @@ class Engine:
                 if len(parts) != 2:
                     return m.group(0)
                 dyn[parts[0].lower()] = parts[1]
-            view = f"{key}__dyn{abs(hash(tuple(sorted(dyn.items())))) % 10**6}"
+            # md5 of the column spec: deterministic across processes, so
+            # EXPLAIN output and temp-view reuse are stable run-to-run
+            import hashlib
+
+            spec = ",".join(f"{k}:{v}" for k, v in sorted(dyn.items()))
+            view = f"{key}__dyn{hashlib.md5(spec.encode()).hexdigest()[:8]}"
             self.table(key, dyn_cols=dyn).createOrReplaceTempView(view)
             # keep qualified references (t.col) resolving: alias the view as
             # the table name unless the query supplies its own alias next
@@ -308,7 +343,8 @@ class Engine:
         return self._DYN_COLS_RE.sub(_sub, text)
 
     _TABLESAMPLE_RE = re.compile(
-        r"\b(FROM|JOIN)\s+([\w.]+)(\s+(?:AS\s+)?(\w+))?\s+TABLESAMPLE\s*\(\s*(\d+)\s*\)",
+        r"\b(FROM|JOIN)\s+([\w.]+)(\s+(?:AS\s+)?(\w+))?\s+TABLESAMPLE\s*\(\s*"
+        r"(\d+(?:\.\d+)?)\s*\)",
         re.IGNORECASE,
     )
 
@@ -325,7 +361,12 @@ class Engine:
         def _sub(m: re.Match) -> str:
             table = m.group(2)
             alias = m.group(4) or table.split(".")[-1]
-            rate = int(m.group(5))
+            # decimal rates (grammar accepts e.g. TABLESAMPLE(0.5)): scale
+            # both sides so the threshold compare stays in exact integers
+            rate = float(m.group(5))
+            scale = 10 ** max(
+                len(m.group(5).partition(".")[2]), 0
+            )
             key = table.split(".")[-1].lower()
             pk: tuple[str, ...] | None = None
             try:
@@ -340,7 +381,7 @@ class Engine:
                 )
             pred = (
                 f"pmod(pmod(pmod(abs(hash({', '.join(pk)})), 2147483648)"
-                f" * 2654435761, 4294967296), 100) < {rate}"
+                f" * 2654435761, 4294967296), {100 * scale}) < {int(rate * scale)}"
             )
             return (
                 f"{m.group(1)} (SELECT * FROM {table} WHERE {pred}) {alias}"
@@ -348,31 +389,47 @@ class Engine:
 
         return self._TABLESAMPLE_RE.sub(_sub, text)
 
-    def _rewrite_sequence_refs(self, text: str) -> str:
+    def _rewrite_sequence_refs(
+        self, text: str, unmask=None, consume: bool = True
+    ) -> str:
         """Per-row sequence values in a SELECT (SequenceValueExpression;
         grammar :1203-1208) — the UPSERT SELECT id-assignment idiom.
 
-        SURVEY §7 M6 design: reserve one block, assign ``base + row_number``.
-        Phoenix evaluates NEXT VALUE FOR per row DURING the scan (server-side
-        SequenceRegionObserver), so the values follow evaluation order, not
-        output order — under ORDER BY/LIMIT the returned values can be
-        non-contiguous, exactly as in the reference.  The reservation must
-        therefore cover the pre-pagination row count (probe query with
-        trailing LIMIT/OFFSET/FETCH stripped — otherwise assigned values
-        could exceed the reserved block and collide with later statements).
-        The query runs twice (probe count, then the real read) — the
-        analogue of the reference's sequence RPC round-trip.  The row_number
-        window is deliberately single-partition: a global sequence is
-        inherently a serialization point (Phoenix serializes on the
-        SYSTEM.SEQUENCE row); allocate id blocks per-partition yourself if
-        you need parallel scale.
+        SURVEY §7 M6 design, scale-correct shape: reserve ONE block sized by
+        a probe run, then assign values PER PARTITION — each scan partition
+        p gets the contiguous sub-range [base_p, base_p + count_p), and a
+        row's value is ``base_p + partition-local row index``.  The local
+        index comes from the low 33 bits of ``monotonically_increasing_id()``
+        (partition id in the high bits, a dense 0-based counter in the low
+        bits), so the assignment is a narrow per-row expression with NO
+        global window — the previous shape funnelled every row through one
+        partition, which single-threads a 100 TB SELECT.
+
+        Phoenix evaluates NEXT VALUE FOR per row DURING the scan
+        (server-side SequenceRegionObserver), so values follow evaluation
+        order, not output order — under ORDER BY/LIMIT the returned values
+        can be non-contiguous, exactly as in the reference.  The reservation
+        covers the pre-pagination row count (probe with trailing
+        LIMIT/OFFSET/FETCH stripped), so assigned values never escape the
+        reserved block.  The probe run is the analogue of the reference's
+        sequence RPC round-trip; determinism of the probe→final partition
+        layout follows from Spark's deterministic file splitting (same
+        input, same conf ⇒ same partitions).
+
+        ``text`` is literal-masked by the caller; ``unmask`` restores
+        literals for the probe execution.  ``consume=False`` (the EXPLAIN
+        path) substitutes the would-be next value WITHOUT reserving —
+        explaining a query must not consume sequence values.
         """
+        unmask = unmask or (lambda s: s)
         curr = {
             m.group(1).lower() for m in self._CURR_VAL_RE.finditer(text)
         }
         for name in curr:
+            # \b guard: a sequence named as a prefix of another referenced
+            # sequence must not corrupt the longer reference
             text = re.sub(
-                rf"CURRENT\s+VALUE\s+FOR\s+{re.escape(name)}",
+                rf"CURRENT\s+VALUE\s+FOR\s+{re.escape(name)}\b",
                 str(self.current_value(name)),
                 text,
                 flags=re.I,
@@ -385,7 +442,32 @@ class Engine:
                 f"multiple sequences in one statement unsupported: {names}"
             )
         (name,) = names
+        seqs = self._sequences()
+        if name not in seqs:
+            raise ValueError(f"no sequence {name}")
+        if not consume:
+            return self._NEXT_VAL_RE.sub(str(seqs[name]["next"]), text)
         probe = self._NEXT_VAL_RE.sub("0", text)
+        # The probe must measure the partition layout at the PLAN POSITION
+        # where the final query evaluates the assignment expression: the
+        # select-list projection, which sits BELOW any top-level ORDER BY
+        # (Catalyst evaluates nondeterministic select items before the sort).
+        # So strip the trailing top-level ORDER BY (and pagination) — the
+        # probe's own count aggregate then runs directly on that projection's
+        # partitions.  ``probe`` is literal-masked, so paren-depth scanning
+        # is safe.
+        cut = None
+        depth = 0
+        for m in re.finditer(r"[()]|\bORDER\s+BY\b", probe, re.IGNORECASE):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                cut = m.start()
+        if cut is not None:
+            probe = probe[:cut]
         probe = re.sub(
             r"(?:\s+(?:LIMIT\s+\d+|OFFSET\s+\d+(?:\s+ROWS?)?"
             r"|FETCH\s+(?:FIRST|NEXT)\s+\d+\s+ROWS?\s+ONLY))+\s*;?\s*$",
@@ -393,22 +475,59 @@ class Engine:
             probe,
             flags=re.IGNORECASE,
         )
-        n = self.spark.sql(
-            translate_phoenix_sql(probe, ts_columns=self._ts_columns_for(probe))
-        ).count()
+        probe_sql = unmask(probe)
+        pdf = self.spark.sql(
+            translate_phoenix_sql(
+                probe_sql, ts_columns=self._ts_columns_for(probe_sql)
+            )
+        )
+        # per-partition row counts: one tiny aggregate (num-partitions rows)
+        counts = sorted(
+            (int(r["__pid"]), int(r["cnt"]))
+            for r in pdf.groupBy(
+                F.shiftright(F.monotonically_increasing_id(), 33).alias("__pid")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        n = sum(c for _, c in counts)
         if n == 0:
             return self._NEXT_VAL_RE.sub("0", text)
+        inc = seqs[name]["increment"]
         base = self.next_value_block(name, n)
-        return self._NEXT_VAL_RE.sub(
-            f"(row_number() OVER (ORDER BY 1) + {base - 1})", text
+        pids, bases = [], []
+        run = base
+        for pid, cnt in counts:
+            pids.append(pid)
+            bases.append(run)
+            run += cnt * inc
+        # transform-over-singleton binds monotonically_increasing_id() ONCE
+        # (two independent instances could in principle be split into
+        # different Projects by the optimizer; one bound variable cannot)
+        offsets = (
+            f"map_from_arrays(array({', '.join(f'{p}L' for p in pids)}), "
+            f"array({', '.join(f'{b}L' for b in bases)}))"
         )
+        assign = (
+            "element_at(transform(array(monotonically_increasing_id()), "
+            f"__m -> element_at({offsets}, shiftright(__m, 33))"
+            f" + (__m & 8589934591) * {inc}L), 1)"
+        )
+        return self._NEXT_VAL_RE.sub(assign, text)
 
     def _maybe_use_index(self, text: str) -> str:
-        """QueryOptimizer.java:230-236 analogue: substitute a covered index
+        """QueryOptimizer.java:225-353 analogue: substitute a covered index
         for the base table when the index covers every referenced column and
-        its leading key appears in the WHERE clause.  Tenant connections
-        never substitute (the tenant filter lives on the base read path)."""
+        its leading key appears in the WHERE clause; otherwise try the
+        uncovered probe → broadcast-join-back-to-base plan (UNCOVERED
+        indexes automatically, others only when the INDEX(...) hint names
+        them).  /*+ NO_INDEX */ vetoes both (HintNode.java:50-128).  Tenant
+        connections never substitute (the tenant filter lives on the base
+        read path)."""
         if not self._indexes or self.tenant_id is not None:
+            return text
+        no_index, forced = IX.parse_index_hint(text)
+        if no_index:
             return text
 
         def base_cols_of(table: str):
@@ -423,14 +542,44 @@ class Engine:
         active = {
             k: d for k, d in self._indexes.items() if d.state == "ACTIVE"
         }
+        if forced:
+            # INDEX(t ix...) restricts each hinted table to the named indexes
+            active = {
+                k: d
+                for k, d in active.items()
+                if d.table not in forced or k in forced[d.table]
+            }
         if not active:
             return text
         choice = IX.choose_index(text, active, base_cols_of, base_pk_of)
-        if choice is None:
+        if choice is not None:
+            table_ref, d, eff_text = choice
+            self._register(d.name)  # index temp view must resolve
+            return IX.substitute_table(eff_text, table_ref, d.name)
+        jb = IX.choose_join_back(
+            text, active, base_cols_of, base_pk_of, forced=forced
+        )
+        if jb is None:
             return text
-        table_ref, d, eff_text = choice
-        self._register(d.name)  # index temp view must resolve
-        return IX.substitute_table(eff_text, table_ref, d.name)
+        table_ref, d, probe_pred = jb
+        table = table_ref.split(".")[-1].lower()
+        base = self.managed(table)
+        # the _sync_indexes shape: narrow index scan answers the probe, the
+        # (small) matching-PK set broadcasts into a semi-join against the
+        # base — the base is filtered by the join, never re-scanned per key
+        probe = self.table(d.name).filter(
+            F.expr(self._translate_pred(probe_pred, d.table))
+        )
+        keys = F.broadcast(probe.select(*base.pk).distinct())
+        pruned = self.table(table).join(keys, base.pk, "semi")
+        import hashlib
+
+        view = (
+            f"{table}__viaix_"
+            f"{hashlib.md5(f'{d.name}|{probe_pred}'.encode()).hexdigest()[:8]}"
+        )
+        pruned.createOrReplaceTempView(view)
+        return IX.substitute_table(text, table_ref, view)
 
     def _exec_explain(self, text: str) -> DataFrame:
         """EXPLAIN [WITH REGIONS] (grammar :479-488).  WITH REGIONS appends
@@ -441,7 +590,7 @@ class Engine:
         plan = self.explain(body)
         lines = [(line,) for line in plan.splitlines()]
         if m.group(1):
-            df = self._exec_select(body)
+            df = self._exec_select(body, consume_sequences=False)
             lines.append(("-- input splits (region analogue):",))
             lines.extend((f"--   {f}",) for f in sorted(df.inputFiles()))
         return self.spark.createDataFrame(lines, "plan: string")
@@ -1033,9 +1182,41 @@ class Engine:
         up = D.parse_upsert(text)
         mt = self.managed(up.table)
         tcol = self._tenant_col(mt) if self.tenant_id else None
+        base_fields = set(mt.schema.fieldNames())
+        # dynamic columns at UPSERT time (grammar PhoenixSQL.g:927-931
+        # upsert_column_refs: `UPSERT INTO t (col, dyncol TYPE) VALUES ...`):
+        # a `name TYPE` item naming a column outside the schema routes its
+        # value into the JSON overflow column, typed — the write-side twin of
+        # `SELECT * FROM t (dyncol TYPE)` (Engine.table dyn_cols).
+        dyn: dict[str, str] = {}
+        if up.columns:
+            parsed: list[str] = []
+            for c in up.columns:
+                p = c.split(None, 1)
+                if len(p) == 2 and p[0] not in base_fields:
+                    dyn[p[0]] = p[1]
+                    parsed.append(p[0])
+                else:
+                    parsed.append(c)
+            up = D.Upsert(
+                up.table, parsed, up.values, up.select,
+                up.on_duplicate, up.returning,
+            )
         cols = up.columns or [
             c for c in mt.schema.fieldNames() if c != tcol
         ]
+        if dyn:
+            json_col = "props"  # the dynamic-column overflow convention
+            if json_col not in base_fields:
+                raise ValueError(
+                    f"dynamic columns on {up.table} need a '{json_col}' JSON "
+                    "overflow column (the schema-on-read surface)"
+                )
+            if up.select is not None:
+                raise ValueError(
+                    "dynamic columns are supported in UPSERT ... VALUES, "
+                    "not UPSERT ... SELECT"
+                )
         if tcol and tcol not in cols:
             # tenant connections write their tenant id implicitly
             if up.values is not None:
@@ -1057,35 +1238,90 @@ class Engine:
                     up.returning,
                 )
             cols = up.columns
+        missing_pk = [c for c in mt.pk if c not in cols]
+        if missing_pk:
+            raise ValueError(
+                f"UPSERT into {up.table} must supply the full primary key; "
+                f"missing {missing_pk}"
+            )
+        from pyspark.sql import Observation
+        from pyspark.sql import types as T
+
+        from phoenix_spark.types import parse_type
+
+        base_by_name = {f.name: f for f in mt.schema.fields}
         prev_ts = mt._next_ts() - 1  # for index maintenance pre-images
         if up.select is not None:
-            df = self._exec_select(up.select).toDF(*cols)
-            # partial column list: NULL-fill the unlisted columns (same
-            # change-log row-overwrite semantics as the VALUES path)
-            for f in mt.schema.fields:
-                if f.name not in cols:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            df = df.select(*mt.schema.fieldNames())
-            n = df.count()
-            mt.upsert_df(df, on_duplicate=up.on_duplicate)
-            written = df
+            src = self._exec_select(up.select).toDF(*cols)
         else:
             rows = []
             for lits in up.values:
                 assert len(lits) == len(cols), "VALUES arity mismatch"
-                row = dict(zip(cols, (self._eval_literal(v) for v in lits)))
-                rows.append(row)
-            n = len(rows)
-            mt.upsert_rows(rows, on_duplicate=up.on_duplicate)
-            full = [{f.name: r.get(f.name) for f in mt.schema.fields} for r in rows]
-            written = self.spark.createDataFrame(full, schema=mt.schema)
+                rows.append(
+                    tuple(self._eval_literal(v) for v in lits)
+                )
+            src_schema = T.StructType(
+                [
+                    base_by_name[c]
+                    if c in base_by_name
+                    else T.StructField(c, parse_type(dyn[c]))
+                    for c in cols
+                ]
+            )
+            src = self.spark.createDataFrame(rows, schema=src_schema)
+        listed = set(cols) - set(dyn)
+        unlisted = [c for c in mt.schema.fieldNames() if c not in listed]
+        if unlisted:
+            # Partial column list — Phoenix writes only the listed CELLS
+            # (UpsertCompiler builds one Put per listed column): unlisted
+            # columns of existing rows are preserved, brand-new rows read
+            # NULL.  The change-log stores whole rows, so the write is a
+            # read-modify-write: left-join the incoming rows against current
+            # state by PK and take unlisted values from the existing row.
+            # At scale this is one PK-join of batch × table — the same cost
+            # the reference pays server-side (its RegionServer reads the row
+            # to merge cells on every partial upsert).
+            cur = mt.read().select(*mt.pk, *unlisted)
+            src = src.join(cur, on=list(mt.pk), how="left")
+        if dyn:
+            # merge the typed dynamic values into the JSON overflow column,
+            # preserving unrelated keys of an existing row's JSON
+            patch = F.create_map(
+                *[
+                    x
+                    for name in dyn
+                    for x in (F.lit(name), F.col(name).cast("string"))
+                ]
+            )
+            existing = F.coalesce(
+                F.from_json(F.col("props"), "map<string,string>"),
+                F.expr("map()"),
+            )
+            keep = F.map_filter(
+                existing, lambda k, _v: ~k.isin(*list(dyn))
+            )
+            src = src.withColumn(
+                "props", F.to_json(F.map_concat(keep, patch))
+            ).drop(*dyn)
+        df = src.select(*mt.schema.fieldNames())
+        if up.select is not None:
+            # single-pass: count on the write action itself (observe), never
+            # a separate .count() pre-scan — a 100 TB INSERT-SELECT must read
+            # its source exactly once
+            obs = Observation()
+            mt.upsert_df(
+                df.observe(obs, F.count(F.lit(1)).alias("n")),
+                on_duplicate=up.on_duplicate,
+            )
+            n = obs.get["n"]
+        else:
+            n = len(up.values)
+            mt.upsert_df(df, on_duplicate=up.on_duplicate)
+        written = df
         self._register(up.table)
         self._sync_indexes(up.table, written.select(*mt.pk), prev_ts)
         if up.returning:
             # RETURNING * (grammar :901): the written slice as full rows
-            for f in mt.schema.fields:
-                if f.name not in written.columns:
-                    written = written.withColumn(f.name, F.lit(None).cast(f.dataType))
             return written.select(*mt.schema.fieldNames())
         return n
 

@@ -25,14 +25,24 @@ base PKs are tombstoned in the index, then the post-state rows are upserted.
 Both sides are computed as broadcast semi-joins of the (small) touched-PK
 set against the base snapshot — never a full rewrite of the index.
 
-Deliberate scope (documented, fail-loud):
-  * functional indexes (expression keys) are rejected at parse time;
-  * LOCAL / UNCOVERED are parsed and recorded; both build the same
-    materialized projection (UNCOVERED simply has no INCLUDE columns, so it
-    substitutes only for queries its key + base PK already cover — the
-    join-back-to-base plan the reference uses for uncovered probes is not
-    generated because without an isolated probe predicate it would read the
-    full base table and lose the win);
+Read-path plan selection (QueryOptimizer.java:225-353 analogue):
+  * covered substitution — the index table replaces the base table when it
+    covers every referenced column and its leading key is filtered on
+    (choose_index);
+  * uncovered probe → join-back-to-base — when coverage fails but the
+    query's WHERE has conjuncts over the index key, the index is scanned
+    for matching base PKs and broadcast-semi-joined back to the base table
+    (choose_join_back; the GlobalIndexOptimizationIT.java behavior).
+    Generated automatically for ``CREATE UNCOVERED INDEX`` indexes and for
+    any index the user forces via the INDEX(...) hint — exactly the
+    reference's rule (a non-covering global index is only chosen when
+    hinted, HintNode.Hint.INDEX);
+  * hints — /*+ NO_INDEX */ vetoes all substitution; /*+ INDEX(t ix...) */
+    restricts candidates to the named indexes and enables the join-back
+    plan for them (HintNode.java:50-128);
+  * functional indexes (expression keys) materialize a generated ``ixk<N>``
+    column and the read path rewrites matching expressions to it before
+    coverage analysis;
   * tenant-scoped connections never substitute (the tenant filter is
     applied by the base-table read path).
 """
@@ -254,6 +264,35 @@ def parse_drop_index(text: str):
     )
 
 
+# --- query hints (HintNode.java:50-128) --------------------------------------
+
+_HINT_BLOCK_RE = re.compile(r"/\*\+(.*?)\*/", re.S)
+
+
+def parse_index_hint(text: str) -> tuple[bool, dict[str, list[str]]]:
+    """Extract index-selection hints from a ``/*+ ... */`` block.
+
+    Returns ``(no_index, forced)`` where ``forced`` maps a table name to the
+    index names the INDEX(table ix1 ix2...) hint restricts it to.  Matches
+    the reference's HintNode parsing: NO_INDEX vetoes substitution outright;
+    INDEX(...) both restricts candidates and authorizes plans that need a
+    join back to the data table (QueryOptimizer.java:225-353)."""
+    no_index = False
+    forced: dict[str, list[str]] = {}
+    for hm in _HINT_BLOCK_RE.finditer(text):
+        body = hm.group(1)
+        if re.search(r"\bNO_INDEX\b", body, re.I):
+            no_index = True
+        for im in re.finditer(r"\bINDEX\s*\(([^)]*)\)", body, re.I):
+            parts = im.group(1).split()
+            if len(parts) >= 2:
+                tbl = parts[0].lower().split(".")[-1]
+                forced.setdefault(tbl, []).extend(
+                    p.lower().split(".")[-1] for p in parts[1:]
+                )
+    return no_index, forced
+
+
 # --- read-path substitution (QueryOptimizer.java:230-236 analogue) -----------
 
 _FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)", re.I)
@@ -409,6 +448,79 @@ def choose_index(
                     break
             if best is None or score > best[0]:
                 best = (score, froms[0], d, eff_text)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
+def choose_join_back(
+    text: str,
+    indexes: dict[str, IndexDef],
+    base_cols_of,
+    base_pk_of,
+    forced: dict[str, list[str]] | None = None,
+) -> tuple[str, IndexDef, str] | None:
+    """Uncovered-index probe plan (GlobalIndexOptimizationIT.java behavior):
+    when no index covers the query but the WHERE constrains an index's
+    leading key, answer the probe by scanning the INDEX for matching base
+    PKs and joining back to the data table.  Returns (table_ref, IndexDef,
+    probe_predicate) — the caller builds the broadcast-semi-join view and
+    substitutes it for the table reference.
+
+    Eligibility mirrors the reference: ``CREATE UNCOVERED INDEX`` indexes
+    participate automatically; any other index only when the INDEX(...)
+    hint names it (a non-covering global index is never chosen unhinted).
+    The probe predicate is the AND of the WHERE's top-level conjuncts whose
+    columns all live in the index key — the part of the filter the narrow
+    index scan can answer; everything else stays residual on the joined
+    base rows (the full WHERE is re-applied by the outer query).
+
+    Conservative: single-table SELECTs only; partial (``WHERE``) and
+    functional (expression-key) indexes are excluded — their membership /
+    rewrite preconditions belong to the covered path."""
+    froms = _FROM_RE.findall(text)
+    if len(froms) != 1:
+        return None
+    if re.search(r"\bJOIN\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b", text, re.I):
+        return None
+    table = froms[0].split(".")[-1].lower()
+    base_cols = base_cols_of(table)
+    if not base_cols:
+        return None
+    base_cols = {c.lower() for c in base_cols}
+    wm = _WHERE_RE.search(text)
+    if not wm:
+        return None
+    allowed = set((forced or {}).get(table, []))
+    cands = [
+        d
+        for d in indexes.values()
+        if d.table == table
+        and d.where is None
+        and not d.exprs
+        and (d.uncovered or d.name in allowed)
+    ]
+    if not cands:
+        return None
+    conjuncts = _top_level_conjuncts(wm.group(1))
+    best = None
+    for d in cands:
+        keyset = set(d.key)
+        probe = [
+            c
+            for c in conjuncts
+            if c.strip()
+            and {t.lower() for t in re.findall(r"[A-Za-z_]\w*", c)} & base_cols
+            <= keyset
+        ]
+        if not any(
+            d.key[0] in {t.lower() for t in re.findall(r"[A-Za-z_]\w*", c)}
+            for c in probe
+        ):
+            continue  # leading key unconstrained → index scan can't prune
+        score = len(probe)
+        if best is None or score > best[0]:
+            best = (score, froms[0], d, " AND ".join(p.strip() for p in probe))
     if best is None:
         return None
     return best[1], best[2], best[3]

@@ -1,0 +1,75 @@
+"""Manifest of externally driver-verified registry entries, per round.
+
+The external correctness driver replays only the FIRST 50 registry entries
+each round, and the judge reads each round's CORRECTNESS file strictly.  To
+widen cross-round coverage deterministically, the window is split into a
+PERMANENT head (one flagship per operator family, re-verified every round)
+and ROTATING slots filled with entries that have never had a driver row.
+
+This file records which names were driver-green in each completed round
+(source: CORRECTNESS_r{N}.json, hash/rows-match rows only).  The rotation
+in ``phoenix_spark.queries._TIER1`` picks its fill slots from the registry
+entries NOT in ``driver_verified()``; after each round, append that round's
+green names here so the next rotation advances instead of repeating.
+"""
+
+from __future__ import annotations
+
+# Round 2: 50-entry window over the then-current ordering (scans, filters,
+# joins, aggregates, TPC-H) — all hash-matched except the deliberate
+# rows-only agg_approx_count_distinct.
+R02 = frozenset(
+    {
+        "scan_projection", "scan_point_lookup", "scan_skip", "scan_tablesample",
+        "scan_serial", "filter_range_pred", "filter_in_like", "filter_ilike",
+        "filter_null_3vl", "filter_rvc_compare", "filter_rvc_in",
+        "filter_case_cast", "filter_like_escape", "agg_ungrouped",
+        "q1_pricing_summary", "agg_groupby_hash", "agg_groupby_pk_prefix",
+        "agg_distinct", "agg_count_distinct", "agg_having", "agg_stddev",
+        "agg_percentile", "agg_first_last_value", "agg_approx_count_distinct",
+        "agg_rollup", "join_broadcast_inner", "join_broadcast_left",
+        "join_right_outer", "join_sort_merge_full", "join_cross", "join_semi",
+        "join_anti", "q3_shipping_priority", "q6_forecast_revenue",
+        "q12_shipmode_priority", "q14_promo_revenue", "q10_returned_items",
+        "q5_local_supplier_volume", "join_asof", "join_range_bucketed",
+        "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+        "q8_market_share", "q13_customer_distribution", "q9_product_profit",
+        "q11_important_stock", "q15_top_supplier", "q16_supplier_cnt",
+        "q17_small_qty_revenue",
+    }
+)
+
+# Round 3: 50/50 green (CORRECTNESS_r03.json) — every family representative
+# hash-matched (mm_frame_sample/mm_binary_meta included; the CDC/DDL/index
+# lifecycle entries too).
+R03 = frozenset(
+    {
+        "scan_projection", "source_csv_bulk_load", "engine_sql_roundtrip",
+        "filter_range_pred", "subq_exists_correlated", "join_broadcast_inner",
+        "join_sort_merge_full", "join_asof", "agg_ungrouped",
+        "agg_grouping_sets", "window_rank_topn", "window_sessionize",
+        "window_session_native", "sort_topk", "sort_rvc_offset_page",
+        "setop_union_all", "str_regexp", "math_round_floor_ceil",
+        "math_to_number", "dt_trunc_round", "dt_parse", "arr_unnest",
+        "json_value", "bson_condition_filter", "bin_encode_decode",
+        "meta_row_timestamp", "mutation_upsert_compaction",
+        "mutation_snapshot_read", "mutation_cdc_feed", "ddl_view_predicate",
+        "ddl_sequence_rows", "ddl_index_scan", "ddl_index_partial",
+        "ddl_index_functional", "q1_pricing_summary", "q9_product_profit",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_clusters", "dedup_simhash", "dedup_embedding",
+        "similarity_topk", "similarity_lsh_pairs", "similarity_ivf_probe",
+        "text_stats", "text_tfidf", "pipeline_curate_e2e", "mm_binary_meta",
+        "mm_frame_sample",
+    }
+)
+
+ROUNDS: dict[str, frozenset[str]] = {"r02": R02, "r03": R03}
+
+
+def driver_verified() -> frozenset[str]:
+    """All names with at least one driver-green row in any completed round."""
+    out: set[str] = set()
+    for names in ROUNDS.values():
+        out |= names
+    return frozenset(out)

@@ -382,3 +382,96 @@ REG.add(
     FROM orders WHERE FLOOR(o_totalprice) < 10000
     """,
 )
+
+
+# --- uncovered index: probe answered by the index, joined back to the base
+# (GlobalIndexOptimizationIT.java behavior; QueryOptimizer.java:225-353 picks
+# the uncovered path automatically for UNCOVERED indexes, by hint otherwise) --
+def _index_uncovered(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_ixu (o_orderkey BIGINT NOT NULL, o_custkey BIGINT, "
+        "o_totalprice DOUBLE, o_orderstatus VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_ixu SELECT o_orderkey, o_custkey, o_totalprice, "
+        "o_orderstatus FROM orders"
+    )
+    e.sql("CREATE UNCOVERED INDEX ixu_cust ON t_ixu (o_custkey)")
+    # o_totalprice/o_orderstatus are NOT in the index → coverage fails; the
+    # plan must scan the narrow index for matching PKs and broadcast-semi-join
+    # back to the base table (never a full unpruned base scan per key)
+    df = e.sql(
+        "SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus "
+        "FROM t_ixu WHERE o_custkey <= 500"
+    )
+    files = df.inputFiles()
+    assert any("/ixu_cust/segments/" in f for f in files), (
+        "uncovered index did not answer the probe"
+    )
+    assert any("/t_ixu/segments/" in f for f in files), (
+        "join-back to the base table missing"
+    )
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+REG.add(
+    "ddl_index_uncovered",
+    _index_uncovered,
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_custkey <= 500
+    """,
+)
+
+
+# --- UPSERT SELECT: single source pass + partial-column cell semantics -------
+# The reference writes only the LISTED cells (UpsertCompiler builds one Put
+# per listed column): a partial-column UPSERT SELECT preserves the unlisted
+# columns of existing rows.  The entry pins both the preserved values (the
+# CASE oracle keeps o_orderstatus untouched) and the executeUpdate row count.
+def _upsert_select(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_usel (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, "
+        "o_orderstatus VARCHAR, CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_usel SELECT o_orderkey, o_totalprice, o_orderstatus "
+        "FROM orders WHERE o_orderkey <= 200"
+    )
+    n = e.sql(
+        "UPSERT INTO t_usel (o_orderkey, o_totalprice) "
+        "SELECT o_orderkey, o_totalprice * 2 FROM orders "
+        "WHERE o_orderkey <= 200 AND o_orderkey % 3 = 0"
+    )
+    expect = e.table("orders").filter(
+        "o_orderkey <= 200 AND o_orderkey % 3 = 0"
+    ).count()
+    assert n == expect, f"executeUpdate count {n} != {expect}"
+    return e.table("t_usel").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+REG.add(
+    "mutation_upsert_select",
+    _upsert_select,
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey <= 200
+    """,
+)

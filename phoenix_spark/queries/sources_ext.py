@@ -59,6 +59,22 @@ REG.add(
 
 def _dynamic_columns(spark, sf):
     e = _engine(spark, sf)
+    # UPSERT-side dynamic columns (grammar :927-931 upsert_column_refs):
+    # a typed column outside the schema writes into the JSON overflow column
+    # and round-trips through the SELECT-side dynamic resolution.  Pinned
+    # here as a loud assert so the driver row covers both directions.
+    e.sql(
+        "CREATE TABLE dyn_rt (id BIGINT NOT NULL, props VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (id))"
+    )
+    e.sql("UPSERT INTO dyn_rt (id, score BIGINT) VALUES (1, 41), (2, 99)")
+    got = {
+        r.id: r.score
+        for r in e.sql(
+            "SELECT id, score FROM dyn_rt (score BIGINT)"
+        ).collect()
+    }
+    assert got == {1: 41, 2: 99}, f"dynamic-column upsert round-trip: {got}"
     return (
         e.table("events", dyn_cols={"k": "BIGINT"})
         .filter(F.col("k") > 90)

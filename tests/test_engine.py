@@ -972,3 +972,162 @@ def test_dynamic_columns_in_sql(engine):
     assert [(r.k, r.tag) for r in got] == [(1, "x"), (2, "y")]
     # derived tables are untouched by the rewrite
     assert engine.sql("SELECT COUNT(*) AS n FROM (SELECT k FROM dyn) q").collect()[0].n == 2
+
+
+def test_partial_upsert_preserves_unlisted_columns(engine):
+    """Phoenix writes only the LISTED cells (UpsertCompiler builds one Put
+    per listed column): a partial-column UPSERT must preserve the unlisted
+    columns of an EXISTING row, not overwrite them with NULL."""
+    engine.sql(
+        "CREATE TABLE pup (k BIGINT NOT NULL, a VARCHAR, b DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO pup VALUES (1, 'keepme', 1.5), (2, 'also', 2.5)")
+    # VALUES path
+    engine.sql("UPSERT INTO pup (k, b) VALUES (1, 9.5)")
+    got = {r.k: (r.a, r.b) for r in engine.table("pup").collect()}
+    assert got[1] == ("keepme", 9.5)  # a preserved, b updated
+    assert got[2] == ("also", 2.5)
+    # SELECT path
+    engine.sql("UPSERT INTO pup (k, b) SELECT k, b * 2 FROM pup WHERE k = 2")
+    got = {r.k: (r.a, r.b) for r in engine.table("pup").collect()}
+    assert got[2] == ("also", 5.0)
+    # a brand-new row still NULL-fills the unlisted column
+    engine.sql("UPSERT INTO pup (k, b) VALUES (3, 3.5)")
+    got = {r.k: (r.a, r.b) for r in engine.table("pup").collect()}
+    assert got[3] == (None, 3.5)
+
+
+def test_upsert_requires_full_pk(engine):
+    engine.sql(
+        "CREATE TABLE fpk (k BIGINT NOT NULL, a VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    with pytest.raises(ValueError, match="primary key"):
+        engine.sql("UPSERT INTO fpk (a) VALUES ('x')")
+
+
+def test_upsert_select_single_pass(engine, monkeypatch):
+    """UPSERT SELECT must read its source exactly once: the row count comes
+    from observe() on the write action, never a separate .count() pre-scan
+    (which would read a 100 TB source twice)."""
+    from pyspark.sql import DataFrame
+
+    engine.sql(
+        "CREATE TABLE sp1 (k BIGINT NOT NULL, v DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+
+    def _no_count(self):
+        raise AssertionError("UPSERT SELECT called DataFrame.count()")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    n = engine.sql(
+        "UPSERT INTO sp1 SELECT r_regionkey, r_regionkey * 1.5 FROM region"
+    )
+    monkeypatch.undo()
+    assert n == 5
+    assert engine.table("sp1").count() == 5
+
+
+def test_index_hints_no_index_and_forced(engine):
+    """/*+ NO_INDEX */ vetoes substitution; /*+ INDEX(t ix) */ restricts
+    candidates and authorizes the join-back plan for a non-covering index
+    (HintNode.java:50-128; QueryOptimizer.java:225-353)."""
+    engine.sql(
+        "CREATE TABLE ht (k BIGINT NOT NULL, a VARCHAR, b DOUBLE, c VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO ht VALUES (1, 'x', 1.5, 'p'), (2, 'y', 2.5, 'q')")
+    engine.sql("CREATE INDEX htx ON ht (a) INCLUDE (b)")
+
+    def files(q):
+        return engine.sql(q).inputFiles()
+
+    covered = "SELECT a, b FROM ht WHERE a = 'x'"
+    assert any("/htx/segments/" in f for f in files(covered))
+    # NO_INDEX: the same query must read the base table
+    assert not any(
+        "/htx/segments/" in f
+        for f in files("SELECT /*+ NO_INDEX */ a, b FROM ht WHERE a = 'x'")
+    )
+    # INDEX(t other) restricts candidates away from htx → base table
+    assert not any(
+        "/htx/segments/" in f
+        for f in files("SELECT /*+ INDEX(ht nosuch) */ a, b FROM ht WHERE a = 'x'")
+    )
+    # uncovered query (c not in index): unhinted → base only; hinted →
+    # join-back plan reading BOTH the index and the base
+    uncov = "SELECT a, c FROM ht WHERE a = 'x'"
+    assert not any("/htx/segments/" in f for f in files(uncov))
+    hinted = files("SELECT /*+ INDEX(ht htx) */ a, c FROM ht WHERE a = 'x'")
+    assert any("/htx/segments/" in f for f in hinted)
+    assert any("/ht/segments/" in f for f in hinted)
+    rows = engine.sql(
+        "SELECT /*+ INDEX(ht htx) */ a, c FROM ht WHERE a = 'x'"
+    ).collect()
+    assert [(r.a, r.c) for r in rows] == [("x", "p")]
+
+
+def test_sequence_rewrite_literal_safe(engine):
+    """A string literal containing 'NEXT VALUE FOR s' must never trigger the
+    sequence rewrite, and a sequence named as a prefix of another must not
+    corrupt the longer reference (\\b anchoring)."""
+    engine.sql("CREATE TABLE lit (k BIGINT NOT NULL, v VARCHAR, "
+               "CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO lit VALUES (1, 'NEXT VALUE FOR ghost')")
+    got = engine.sql("SELECT v FROM lit WHERE v = 'NEXT VALUE FOR ghost'").collect()
+    assert [r.v for r in got] == ["NEXT VALUE FOR ghost"]
+    engine.sql("CREATE SEQUENCE s START WITH 10 INCREMENT BY 1")
+    engine.sql("CREATE SEQUENCE s2 START WITH 500 INCREMENT BY 1")
+    row = engine.sql(
+        "SELECT CURRENT VALUE FOR s2 AS c2 FROM lit"
+    )
+    # consume one value of s2 first so CURRENT VALUE is defined
+    first = engine.sql("SELECT NEXT VALUE FOR s2 AS n FROM lit").collect()
+    assert [r.n for r in first] == [500]
+    got = engine.sql("SELECT CURRENT VALUE FOR s2 AS c FROM lit").collect()
+    assert [r.c for r in got] == [500]  # not corrupted by prefix-name 's'
+
+
+def test_tablesample_decimal_rate(engine):
+    engine.sql("CREATE TABLE tsd (k BIGINT NOT NULL, "
+               "CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO tsd SELECT o_orderkey FROM orders")
+    total = engine.sql("SELECT k FROM tsd").count()
+    frac = engine.sql("SELECT k FROM tsd TABLESAMPLE(0.5)").count()
+    # deterministic and roughly rate-proportional (md5-bucket, not RNG)
+    assert frac == engine.sql("SELECT k FROM tsd TABLESAMPLE(0.5)").count()
+    assert 0 < frac < total * 0.05
+
+
+def test_explain_does_not_consume_sequence(engine):
+    engine.sql("CREATE SEQUENCE exp_seq START WITH 7 INCREMENT BY 1")
+    engine.sql("CREATE TABLE exq (k BIGINT NOT NULL, "
+               "CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO exq VALUES (1), (2)")
+    engine.explain("SELECT NEXT VALUE FOR exp_seq AS id FROM exq")
+    engine.sql("EXPLAIN WITH REGIONS SELECT NEXT VALUE FOR exp_seq AS id FROM exq")
+    ids = [r.id for r in engine.sql(
+        "SELECT NEXT VALUE FOR exp_seq AS id FROM exq").collect()]
+    assert sorted(ids) == [7, 8]  # EXPLAIN consumed nothing
+
+
+def test_dynamic_columns_in_upsert(engine):
+    """UPSERT INTO t (col, dyncol TYPE) VALUES ... (grammar :927-931
+    upsert_column_refs): typed dynamic values land in the JSON overflow
+    column, merging with — not clobbering — unrelated existing keys."""
+    engine.sql(
+        "CREATE TABLE dup (k BIGINT NOT NULL, props VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql('UPSERT INTO dup VALUES (1, \'{"keep": "yes", "score": 1}\')')
+    engine.sql("UPSERT INTO dup (k, score BIGINT) VALUES (1, 42), (2, 7)")
+    got = {
+        (r.k): (r.keep, r.score)
+        for r in engine.sql(
+            "SELECT k, keep, score FROM dup (keep VARCHAR, score BIGINT)"
+        ).collect()
+    }
+    assert got[1] == ("yes", 42)  # unrelated key preserved, score replaced
+    assert got[2] == (None, 7)

@@ -368,5 +368,56 @@ def test_sampling_family_plan_shapes(spark):
 def test_assemble_e2e_plan_shape(spark):
     plan = plan_of(spark, "pipeline_assemble_e2e")
     assert "BroadcastHashJoin" in plan  # benchmark shingles broadcast
+
+
+def test_uncovered_index_join_back_plan(spark, tmp_path):
+    """Uncovered-index probe (GlobalIndexOptimizationIT behavior): the
+    narrow index scan answers the key predicate, its matching base-PK set
+    BROADCASTS into a semi-join against the base table — never a shuffle of
+    the 100 TB base side, never a cartesian product."""
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=SF_TEST_DIR, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE ub (k BIGINT NOT NULL, a VARCHAR, b DOUBLE, c VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    e.sql(
+        "UPSERT INTO ub SELECT o_orderkey, o_orderpriority, o_totalprice, "
+        "o_orderstatus FROM orders"
+    )
+    e.sql("CREATE UNCOVERED INDEX ubx ON ub (a)")
+    df = e.sql("SELECT k, a, b, c FROM ub WHERE a = '1-URGENT'")
+    files = df.inputFiles()
+    assert any("/ubx/segments/" in f for f in files)  # index answers probe
+    assert any("/ub/segments/" in f for f in files)  # join-back to base
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the key predicate is pushed into the narrow INDEX scan
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "EqualTo(a," in formatted.split("PushedFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_sequence_select_no_single_partition_funnel(spark, tmp_path):
+    """NEXT VALUE FOR in a SELECT assigns per-partition id ranges — the plan
+    must contain NO single-partition exchange and NO window (the previous
+    row_number() OVER (ORDER BY 1) shape funnelled every row through one
+    partition, which single-threads a 100 TB SELECT)."""
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=SF_TEST_DIR, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE SEQUENCE plan_seq START WITH 1 INCREMENT BY 1")
+    df = e.sql("SELECT NEXT VALUE FOR plan_seq AS id, o_orderkey FROM orders")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan  # a pure per-row map over the scan
+    # values are a permutation of the reserved block
+    ids = sorted(r.id for r in df.collect())
+    n = len(ids)
+    assert ids == list(range(1, n + 1))
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan  # packing stays shard-local
