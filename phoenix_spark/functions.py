@@ -366,14 +366,25 @@ DATE_ROUND_UNITS = frozenset(_UNIT_MICROS) | {"MONTH", "YEAR"}
 
 def ntz_date_round_sql(mode: str, col: str, unit: str, multiplier: int = 1) -> str:
     """Timezone-independent SQL for Phoenix ROUND/FLOOR/CEIL/TRUNC on a
-    DATE/TIMESTAMP_NTZ column (RoundDateExpression.java / FloorDateExpression
-    / CeilDateExpression; TRUNC is an alias of FLOOR — TruncFunction.java).
+    DATE/TIMESTAMP_NTZ column, mirroring the reference bit-for-bit:
 
-    Fixed-width units use pure epoch-µs arithmetic (floor division via
-    ``e - pmod(e, U)``, sign-correct) and rebuild through ``timestampadd`` on
-    an NTZ literal — field arithmetic, never the session zone.  MONTH/YEAR
-    floor via field extraction; MONTH/YEAR ROUND/CEIL (non-uniform widths)
-    follow the reference's day-of-month / month-of-year midpoint rule.
+      * Fixed-width units (MILLISECOND..DAY, with multiplier) follow
+        RoundDateExpression.roundTime: ``(ms + up) / divBy * divBy`` with
+        JAVA TRUNCATING division and up = 0 (floor), divBy/2 (round),
+        divBy-1 (ceil) — so pre-epoch (negative-ms) values round TOWARD
+        ZERO, e.g. FLOOR(1969-12-31, 'DAY') = 1970-01-01, exactly as the
+        reference computes it.  Spark's ``div`` is Java-truncating, and the
+        arithmetic runs in the reference's millisecond domain (PDate is
+        ms-precision; sub-ms µs truncate first).
+      * WEEK / MONTH / YEAR are joda field rounds (RoundWeekExpression /
+        RoundMonthExpression / RoundYearExpression use GJChronology
+        roundFloorCopy / roundCeilingCopy / roundHalfEvenCopy): FLOOR and
+        CEIL are true calendar floor/ceiling even pre-epoch, and ROUND is
+        HALF-EVEN — at the exact midpoint the boundary whose field value
+        (ISO week number / month-of-year / year) is even wins.
+
+    All arithmetic is field extraction + epoch integers + ``timestampadd``
+    on an NTZ literal — never the session zone.
     """
     mode = mode.upper()
     unit = unit.upper()
@@ -382,21 +393,49 @@ def ntz_date_round_sql(mode: str, col: str, unit: str, multiplier: int = 1) -> s
     if multiplier != 1 and unit in ("MONTH", "YEAR"):
         raise ValueError(f"multiplier on {unit} is not uniform; unsupported")
     c = f"cast({col} as timestamp_ntz)"
-    if unit in _UNIT_MICROS:
-        u = _UNIT_MICROS[unit] * multiplier
+    if unit in _UNIT_MICROS and unit != "WEEK":
+        u_ms = (_UNIT_MICROS[unit] * multiplier) // 1_000
+        e_ms = f"({ntz_epoch_micros_sql(col)} div 1000)"
+        up = {
+            "FLOOR": 0,
+            "TRUNC": 0,
+            "ROUND": u_ms // 2,
+            "CEIL": u_ms - 1,
+        }.get(mode)
+        if up is None:
+            raise ValueError(f"unknown round mode {mode!r}")
+        fe = f"((({e_ms} + {up}) div {u_ms}) * {u_ms * 1000})"
+        return (
+            f"timestampadd(MICROSECOND, {fe},"
+            f" TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        )
+    if unit == "WEEK":
+        # joda weekOfWeekyear: true Monday floor/ceiling (pmod is
+        # sign-correct floor, unlike truncating division)
+        u = _UNIT_MICROS["WEEK"] * multiplier
         e = ntz_epoch_micros_sql(col)
-        off = _WEEK_OFFSET if unit == "WEEK" else 0
-        base = f"({e} - {off})" if off else e
+        base = f"({e} - {_WEEK_OFFSET})"
+        floor_e = f"(({base} - pmod({base}, {u})) + {_WEEK_OFFSET})"
+        ceil_e = f"(({base} + pmod(- {base}, {u})) + {_WEEK_OFFSET})"
         if mode in ("FLOOR", "TRUNC"):
-            fe = f"({base} - pmod({base}, {u}))"
+            fe = floor_e
         elif mode == "CEIL":
-            fe = f"({base} + pmod(- {base}, {u}))"
-        elif mode == "ROUND":  # half-up (HALF_UP in RoundDateExpression)
-            fe = f"(({base} + {u // 2}) - pmod(({base} + {u // 2}), {u}))"
+            fe = ceil_e
+        elif mode == "ROUND":
+            # half-even: nearer Monday wins; the exact midpoint (Thursday
+            # 12:00) goes to the Monday whose ISO week number is even
+            d = f"pmod({base}, {u})"
+            even_fl = (
+                "weekofyear(timestampadd(MICROSECOND, "
+                f"{floor_e}, TIMESTAMP_NTZ'1970-01-01 00:00:00')) % 2 = 0"
+            )
+            fe = (
+                f"(CASE WHEN {d} < {u // 2} THEN {floor_e} "
+                f"WHEN {d} > {u // 2} THEN {ceil_e} "
+                f"WHEN {even_fl} THEN {floor_e} ELSE {ceil_e} END)"
+            )
         else:
             raise ValueError(f"unknown round mode {mode!r}")
-        if off:
-            fe = f"({fe} + {off})"
         return (
             f"timestampadd(MICROSECOND, {fe},"
             f" TIMESTAMP_NTZ'1970-01-01 00:00:00')"
@@ -405,26 +444,25 @@ def ntz_date_round_sql(mode: str, col: str, unit: str, multiplier: int = 1) -> s
     if unit == "MONTH":
         fl = f"make_timestamp_ntz(year({c}), month({c}), 1, 0, 0, 0)"
         nxt = f"timestampadd(MONTH, 1, {fl})"
-        mid = f"day(last_day({c})) / 2.0"  # HALF_UP on the day fraction
-        up_pred = f"(day({c}) - 1 + {_frac_of_day(c)}) >= {mid}"
+        even_fl = f"month({fl}) % 2 = 0"
     else:  # YEAR
         fl = f"make_timestamp_ntz(year({c}), 1, 1, 0, 0, 0)"
         nxt = f"timestampadd(YEAR, 1, {fl})"
-        mid = f"(CASE WHEN (year({c}) % 4 = 0 AND year({c}) % 100 != 0)"
-        mid += f" OR year({c}) % 400 = 0 THEN 366 ELSE 365 END) / 2.0"
-        up_pred = f"(dayofyear({c}) - 1 + {_frac_of_day(c)}) >= {mid}"
+        even_fl = f"year({fl}) % 2 = 0"
     if mode in ("FLOOR", "TRUNC"):
         return fl
     if mode == "CEIL":
         return f"(CASE WHEN {c} = {fl} THEN {fl} ELSE {nxt} END)"
     if mode == "ROUND":
-        return f"(CASE WHEN {up_pred} THEN {nxt} ELSE {fl} END)"
+        # joda roundHalfEvenCopy: µs distance to each boundary; the exact
+        # midpoint goes to the boundary with the even field value
+        e = ntz_epoch_micros_sql(c)
+        lo = f"({e} - {ntz_epoch_micros_sql(fl)})"
+        hi = f"({ntz_epoch_micros_sql(nxt)} - {e})"
+        return (
+            f"(CASE WHEN {lo} < {hi} THEN {fl} "
+            f"WHEN {lo} > {hi} THEN {nxt} "
+            f"WHEN {even_fl} THEN {fl} ELSE {nxt} END)"
+        )
     raise ValueError(f"unknown round mode {mode!r}")
 
-
-def _frac_of_day(c: str) -> str:
-    """Fraction of the current day elapsed, from pure field extractions."""
-    return (
-        f"((cast(hour({c}) as double) * 3600 + minute({c}) * 60"
-        f" + date_part('SECOND', {c})) / 86400.0)"
-    )

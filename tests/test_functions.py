@@ -144,3 +144,38 @@ def test_collect_distinct_row_size_rowkey(spark):
         "b": "BOOLEAN", "arr": "BSON", "obj": "BSON", "z": "NULL",
         "zz": None,
     }
+
+
+def test_date_round_reference_parity(spark):
+    """Pins the reference's EXACT rounding semantics
+    (RoundDateExpression.roundTime: Java truncating division — pre-epoch
+    values round toward zero; Round{Week,Month,Year}Expression: joda
+    roundHalfEvenCopy — midpoint ties go to the even field value)."""
+    from phoenix_spark.functions import ntz_date_round_sql
+
+    def run(mode, ts, unit, mult=1):
+        sql = ntz_date_round_sql(mode, f"TIMESTAMP_NTZ'{ts}'", unit, mult)
+        return str(spark.sql(f"SELECT {sql} AS v").head()[0])
+
+    # pre-epoch truncating division (reference quirk, deliberately mirrored):
+    # FLOOR of a pre-1970 day lands on 1970-01-01, not the calendar floor
+    assert run("FLOOR", "1969-12-31 10:00:00", "DAY") == "1970-01-01 00:00:00"
+    assert run("FLOOR", "1969-12-30 00:00:00", "DAY") == "1969-12-30 00:00:00"
+    assert run("CEIL", "1969-12-28 01:00:00", "DAY") == "1969-12-30 00:00:00"
+    # positive-side fixed units: ordinary floor/half-up/ceil
+    assert run("ROUND", "2020-03-15 12:30:00", "HOUR") == "2020-03-15 13:00:00"
+    assert run("ROUND", "2020-03-15 12:29:59", "HOUR") == "2020-03-15 12:00:00"
+    assert run("CEIL", "2020-03-15 12:00:00", "HOUR") == "2020-03-15 12:00:00"
+    assert run("FLOOR", "2020-03-15 13:47:11", "HOUR", 6) == "2020-03-15 12:00:00"
+    # joda WEEK: true Monday floor even pre-epoch (NOT truncating division)
+    assert run("FLOOR", "1969-12-31 10:00:00", "WEEK") == "1969-12-29 00:00:00"
+    # half-even ties: June (even month) wins the 30-day midpoint; Monday of
+    # ISO week 2 (even) wins the Thursday-noon midpoint
+    assert run("ROUND", "2020-06-16 00:00:00", "MONTH") == "2020-06-01 00:00:00"
+    # 31-day May: midpoint is the 16th at NOON; the tie goes to June (even)
+    assert run("ROUND", "2021-05-16 12:00:00", "MONTH") == "2021-06-01 00:00:00"
+    assert run("ROUND", "2021-05-16 00:00:00", "MONTH") == "2021-05-01 00:00:00"
+    assert run("ROUND", "2021-01-14 12:00:00", "WEEK") == "2021-01-11 00:00:00"
+    # non-tie month/year rounds pick the nearer boundary
+    assert run("ROUND", "2021-05-20 00:00:00", "MONTH") == "2021-06-01 00:00:00"
+    assert run("ROUND", "2021-02-10 00:00:00", "YEAR") == "2021-01-01 00:00:00"
