@@ -49,9 +49,19 @@ class CreateView:
 
 @dataclass
 class CreateSequence:
+    """CREATE SEQUENCE options (grammar PhoenixSQL.g:619-628;
+    CreateSequenceCompiler defaults: MINVALUE=Long.MIN, MAXVALUE=Long.MAX,
+    INCREMENT=1, START = MINVALUE for increasing / MAXVALUE for decreasing
+    sequences when omitted — CreateSequenceCompiler.java:192-196)."""
+
     name: str
-    start: int = 1
+    start: int | None = None
     increment: int = 1
+    min_value: int = -(2**63)
+    max_value: int = 2**63 - 1
+    cycle: bool = False
+    cache: int = 100  # DEFAULT_SEQUENCE_CACHE_SIZE (QueryServicesOptions:229)
+    if_not_exists: bool = False
 
 
 @dataclass
@@ -239,10 +249,14 @@ def parse_create_view(sql: str) -> CreateView:
 
 
 _CREATE_SEQ_RE = re.compile(
-    r"^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)"
+    r"^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+(?P<ine>EXISTS)\s+)?(?P<name>[\w.\"]+)"
     r"(?:\s+START\s+(?:WITH\s+)?(?P<start>-?\d+))?"
-    r"(?:\s+INCREMENT\s+(?:BY\s+)?(?P<inc>-?\d+))?.*$",
-    re.IGNORECASE | re.DOTALL,
+    r"(?:\s+INCREMENT\s+(?:BY\s+)?(?P<inc>-?\d+))?"
+    r"(?:\s+MINVALUE\s+(?P<min>-?\d+))?"
+    r"(?:\s+MAXVALUE\s+(?P<max>-?\d+))?"
+    r"(?:\s+(?P<cycle>CYCLE))?"
+    r"(?:\s+CACHE\s+(?P<cache>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -250,10 +264,28 @@ def parse_create_sequence(sql: str) -> CreateSequence:
     m = _CREATE_SEQ_RE.match(_strip(sql))
     if not m:
         raise ValueError(f"unparseable CREATE SEQUENCE: {sql[:120]!r}")
+    inc = int(m.group("inc") or 1)
+    if inc == 0:
+        raise ValueError("INCREMENT BY must not be zero")
+    mn = int(m.group("min")) if m.group("min") else -(2**63)
+    mx = int(m.group("max")) if m.group("max") else 2**63 - 1
+    if mn > mx:
+        raise ValueError("MINVALUE must be less than or equal to MAXVALUE")
+    start = int(m.group("start")) if m.group("start") else None
+    if start is not None and not (mn <= start <= mx):
+        raise ValueError("START WITH must be between MINVALUE and MAXVALUE")
+    cache = int(m.group("cache") or 100)
+    if cache < 1:
+        raise ValueError("CACHE must be at least 1")
     return CreateSequence(
         name=m.group("name").strip('"').lower(),
-        start=int(m.group("start") or 1),
-        increment=int(m.group("inc") or 1),
+        start=start,
+        increment=inc,
+        min_value=mn,
+        max_value=mx,
+        cycle=bool(m.group("cycle")),
+        cache=cache,
+        if_not_exists=bool(m.group("ine")),
     )
 
 

@@ -203,22 +203,88 @@ class Engine:
         with open(self._seq_path, "w") as f:
             json.dump(seqs, f)
 
-    def create_sequence(self, name: str, start: int = 1, increment: int = 1) -> None:
+    _LONG_MIN, _LONG_MAX = -(2**63), 2**63 - 1
+
+    def create_sequence(
+        self,
+        name: str,
+        start: int | None = None,
+        increment: int = 1,
+        min_value: int = _LONG_MIN,
+        max_value: int = _LONG_MAX,
+        cycle: bool = False,
+        cache: int = 100,
+        if_not_exists: bool = False,
+    ) -> None:
+        """CREATE SEQUENCE with the reference's full option set (grammar
+        :619-628).  START defaults to MINVALUE for increasing / MAXVALUE for
+        decreasing sequences (CreateSequenceCompiler.java:192-196).  CACHE is
+        recorded but does not change observable values: the reference's
+        cache only batches the client↔server RPC; within one connection the
+        handed-out values are consecutive either way, and this engine's
+        single-writer scope has no cross-connection cache discard."""
         seqs = self._sequences()
         if name in seqs:
+            if if_not_exists:
+                return
             raise ValueError(f"sequence {name} exists")
-        seqs[name] = {"next": start, "increment": increment}
+        if start is None:
+            start = min_value if increment > 0 else max_value
+        seqs[name] = {
+            "next": start,
+            "increment": increment,
+            "min": min_value,
+            "max": max_value,
+            "cycle": cycle,
+            "cache": cache,
+        }
         self._save_sequences(seqs)
 
-    def next_value_block(self, name: str, n: int) -> int:
-        """Reserve n sequence values; returns the first (NEXT VALUE FOR)."""
+    def next_value_block(self, name: str, n: int, per_row: int = 1) -> int:
+        """Reserve ``n × per_row`` sequence values; returns the first.
+
+        MINVALUE/MAXVALUE/CYCLE follow Sequence.java:163-190 +
+        SequenceUtil.checkIfLimitReached: a single-slot request past the
+        limit wraps to MINVALUE (increasing) / MAXVALUE (decreasing) when
+        CYCLE is set, else errors; bulk allocations (NEXT n VALUES FOR, and
+        per-row reservations for a SELECT) never cycle mid-block — the
+        reference disallows cycling on bulk allocation
+        (SequenceUtil.isCycleAllowed)."""
         seqs = self._sequences()
         if name not in seqs:
             raise ValueError(f"no sequence {name}")
-        first = seqs[name]["next"]
-        seqs[name]["next"] = first + n * seqs[name]["increment"]
+        s = seqs[name]
+        inc = s["increment"]
+        lo = s.get("min", self._LONG_MIN)
+        hi = s.get("max", self._LONG_MAX)
+        increasing = inc > 0
+        cur = s["next"]
+
+        def past_limit(v: int) -> bool:
+            return v > hi if increasing else v < lo
+
+        total = n * per_row
+        if past_limit(cur):
+            if s.get("cycle"):
+                if total > 1:
+                    raise ValueError(
+                        f"sequence {name}: bulk allocation cannot cycle"
+                    )
+                cur = lo if increasing else hi
+            else:
+                raise ValueError(
+                    f"sequence {name} has reached its "
+                    f"{'MAXVALUE' if increasing else 'MINVALUE'} limit"
+                )
+        last = cur + (total - 1) * inc
+        if total > 1 and past_limit(last):
+            raise ValueError(
+                f"sequence {name}: allocation of {total} values exceeds its "
+                f"{'MAXVALUE' if increasing else 'MINVALUE'} limit"
+            )
+        s["next"] = cur + total * inc
         self._save_sequences(seqs)
-        return first
+        return cur
 
     def current_value(self, name: str) -> int:
         seqs = self._sequences()
@@ -256,7 +322,11 @@ class Engine:
 
     # -- per-statement executors -------------------------------------------
 
-    _NEXT_VAL_RE = re.compile(r"NEXT\s+VALUE\s+FOR\s+([\w.]+)", re.I)
+    # NEXT VALUE FOR seq and the bulk form NEXT <n> VALUES FOR seq (grammar
+    # :1203-1208; bulk allocation per SequenceUtil.isBulkAllocation)
+    _NEXT_VAL_RE = re.compile(
+        r"NEXT\s+(?:(\d+)\s+VALUES|VALUE)\s+FOR\s+([\w.]+)", re.I
+    )
     _CURR_VAL_RE = re.compile(r"CURRENT\s+VALUE\s+FOR\s+([\w.]+)", re.I)
 
     @staticmethod
@@ -434,14 +504,18 @@ class Engine:
                 text,
                 flags=re.I,
             )
-        names = {m.group(1).lower() for m in self._NEXT_VAL_RE.finditer(text)}
-        if not names:
+        refs = {
+            (m.group(2).lower(), int(m.group(1) or 1))
+            for m in self._NEXT_VAL_RE.finditer(text)
+        }
+        if not refs:
             return text
-        if len(names) > 1:
+        if len(refs) > 1:
             raise ValueError(
-                f"multiple sequences in one statement unsupported: {names}"
+                f"multiple sequence references in one statement unsupported: "
+                f"{sorted(refs)}"
             )
-        (name,) = names
+        ((name, per_row),) = refs
         seqs = self._sequences()
         if name not in seqs:
             raise ValueError(f"no sequence {name}")
@@ -494,13 +568,16 @@ class Engine:
         if n == 0:
             return self._NEXT_VAL_RE.sub("0", text)
         inc = seqs[name]["increment"]
-        base = self.next_value_block(name, n)
+        # bulk form (NEXT k VALUES FOR): each row reserves k slots and the
+        # expression yields the first — so rows stride by k*increment
+        stride = inc * per_row
+        base = self.next_value_block(name, n, per_row=per_row)
         pids, bases = [], []
         run = base
         for pid, cnt in counts:
             pids.append(pid)
             bases.append(run)
-            run += cnt * inc
+            run += cnt * stride
         # transform-over-singleton binds monotonically_increasing_id() ONCE
         # (two independent instances could in principle be split into
         # different Projects by the optimizer; one bound variable cannot)
@@ -511,7 +588,7 @@ class Engine:
         assign = (
             "element_at(transform(array(monotonically_increasing_id()), "
             f"__m -> element_at({offsets}, shiftright(__m, 33))"
-            f" + (__m & 8589934591) * {inc}L), 1)"
+            f" + (__m & 8589934591) * {stride}L), 1)"
         )
         return self._NEXT_VAL_RE.sub(assign, text)
 
@@ -623,7 +700,16 @@ class Engine:
 
     def _exec_create_sequence(self, text: str) -> int:
         cs = D.parse_create_sequence(text)
-        self.create_sequence(cs.name, cs.start, cs.increment)
+        self.create_sequence(
+            cs.name,
+            cs.start,
+            cs.increment,
+            min_value=cs.min_value,
+            max_value=cs.max_value,
+            cycle=cs.cycle,
+            cache=cs.cache,
+            if_not_exists=cs.if_not_exists,
+        )
         return 0
 
     # -- schemas (grammar PhoenixSQL.g:516-518: CREATE SCHEMA / USE) --------
@@ -1348,9 +1434,11 @@ class Engine:
         """Evaluate one UPSERT VALUES literal driver-side (UpsertCompiler's
         LiteralExpression path), including NEXT VALUE FOR."""
         s = lit.strip()
-        m = re.match(r"NEXT\s+VALUE\s+FOR\s+([\w.]+)", s, re.I)
+        m = re.match(r"NEXT\s+(?:(\d+)\s+VALUES|VALUE)\s+FOR\s+([\w.]+)", s, re.I)
         if m:
-            return self.next_value_block(m.group(1).lower(), 1)
+            return self.next_value_block(
+                m.group(2).lower(), 1, per_row=int(m.group(1) or 1)
+            )
         m = re.match(r"CURRENT\s+VALUE\s+FOR\s+([\w.]+)", s, re.I)
         if m:
             return self.current_value(m.group(1).lower())

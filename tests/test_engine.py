@@ -1131,3 +1131,46 @@ def test_dynamic_columns_in_upsert(engine):
     }
     assert got[1] == ("yes", 42)  # unrelated key preserved, score replaced
     assert got[2] == (None, 7)
+
+
+def test_sequence_options_minmax_cycle_bulk(engine):
+    """CREATE SEQUENCE MINVALUE/MAXVALUE/CYCLE/CACHE + NEXT n VALUES FOR
+    (grammar :619-628, :1203-1208; Sequence.java limit/cycle semantics:
+    single-slot requests wrap under CYCLE, bulk allocations never cycle)."""
+    import pytest as _pt
+
+    engine.sql("CREATE TABLE sq1 (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    # MAXVALUE without CYCLE: exhaustion errors with the limit message
+    engine.sql("CREATE SEQUENCE lim START WITH 1 INCREMENT BY 1 MAXVALUE 3")
+    got = [engine.sql("UPSERT INTO sq1 VALUES (NEXT VALUE FOR lim)") for _ in range(3)]
+    assert [r.k for r in engine.sql("SELECT k FROM sq1 ORDER BY k").collect()] == [1, 2, 3]
+    with _pt.raises(ValueError, match="MAXVALUE"):
+        engine.sql("UPSERT INTO sq1 VALUES (NEXT VALUE FOR lim)")
+    # CYCLE: wraps back to MINVALUE
+    engine.sql("CREATE SEQUENCE cyc START WITH 8 INCREMENT BY 1 MINVALUE 7 MAXVALUE 9 CYCLE")
+    vals = [engine._eval_literal("NEXT VALUE FOR cyc") for _ in range(4)]
+    assert vals == [8, 9, 7, 8]
+    # decreasing sequence: START defaults to MAXVALUE
+    engine.sql("CREATE SEQUENCE down INCREMENT BY -2 MINVALUE 0 MAXVALUE 10")
+    vals = [engine._eval_literal("NEXT VALUE FOR down") for _ in range(3)]
+    assert vals == [10, 8, 6]
+    # bulk allocation: NEXT n VALUES FOR reserves n, returns the first
+    engine.sql("CREATE SEQUENCE blk START WITH 100 INCREMENT BY 1 CACHE 10")
+    assert engine._eval_literal("NEXT 5 VALUES FOR blk") == 100
+    assert engine._eval_literal("NEXT VALUE FOR blk") == 105
+    # bulk in a SELECT: each row strides by k*increment
+    engine.sql("CREATE TABLE sqsrc (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO sqsrc VALUES (1), (2), (3)")
+    ids = sorted(
+        r.id for r in engine.sql(
+            "SELECT NEXT 4 VALUES FOR blk AS id FROM sqsrc").collect()
+    )
+    assert ids == [106, 110, 114]
+    # bulk allocation past the limit: errors, never cycles
+    engine.sql("CREATE SEQUENCE blim START WITH 1 INCREMENT BY 1 MAXVALUE 4 CYCLE")
+    with _pt.raises(ValueError, match="exceeds|cycle"):
+        engine._eval_literal("NEXT 10 VALUES FOR blim")
+    # IF NOT EXISTS is honored
+    engine.sql("CREATE SEQUENCE IF NOT EXISTS lim START WITH 99")
+    with _pt.raises(ValueError, match="exists"):
+        engine.sql("CREATE SEQUENCE lim START WITH 99")
