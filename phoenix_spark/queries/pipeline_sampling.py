@@ -200,6 +200,46 @@ REG.add(
     """,
 )
 
+# --- training-mix accounting report ------------------------------------------
+# The bookkeeping step every dataset-assembly run ends with: per-source doc
+# and token counts plus each source's fraction of the corpus.  One map-side-
+# combined groupBy over the scan; the fraction window runs over the
+# AGGREGATED frame (one row per source — driver-scale), so the single
+# partition it uses is a few rows, never the corpus.
+def _mix_report(spark, sf):
+    from pyspark.sql.window import Window
+
+    agg = (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr(_NTOK)).cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("token_frac"),
+    )
+
+
+REG.add(
+    "assembly_mix_report",
+    _mix_report,
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM({_DUCK_NTOK}) AS BIGINT) AS n_tokens,
+           SUM({_DUCK_NTOK}) / CAST(SUM(SUM({_DUCK_NTOK})) OVER () AS DOUBLE)
+                                           AS token_frac
+    FROM documents
+    GROUP BY source
+    """,
+)
+
 # --- fused end-to-end assembly: documents -> training batches -----------------
 # The full "curated corpus to training sequences" chain as ONE declarative
 # plan: quality gate -> stratified domain mix -> benchmark decontamination ->

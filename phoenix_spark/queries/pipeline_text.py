@@ -367,6 +367,103 @@ REG.add(
 )
 
 
+# --- n-gram repetition signals (the Gopher-style repetition filters) ---------
+# Two standard training-data quality signals the word-level ttr can't see:
+#   * dup3_frac — fraction of trigrams that are repeats (1 - distinct/total):
+#     a pure per-row ARRAY expression, zero shuffles.
+#   * top2_frac — fraction of all bigrams taken by the single most frequent
+#     bigram: needs per-(doc, gram) counts, so it's explode -> two map-side-
+#     combined groupBys (doc_id+gram, then doc_id).  At 100 TB both shuffles
+#     carry only (doc_id, hash-sized gram, count) rows — bounded by token
+#     count, never quadratic.
+# Docs shorter than 3 tokens have no trigram signal and are excluded on both
+# engines (the same guard a production repetition filter applies).
+_BIGRAMS = (
+    "transform(sequence(1, size({t}) - 1), "
+    "i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1)))"
+).format(t=_TOKENS)
+_TRIGRAMS = (
+    "transform(sequence(1, size({t}) - 2), "
+    "i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1), ' ', "
+    "element_at({t}, i + 2)))"
+).format(t=_TOKENS)
+
+
+def _repetition_stats(spark, sf):
+    base = (
+        t(spark, sf, "documents")
+        .filter(F.expr(f"size({_TOKENS}) >= 3"))
+        .select(
+            "doc_id",
+            F.expr(_BIGRAMS).alias("bg"),
+            F.expr(f"size({_TRIGRAMS})").cast("int").alias("n_tri"),
+            F.expr(f"size(array_distinct({_TRIGRAMS}))")
+            .cast("int")
+            .alias("n_tri_distinct"),
+        )
+    )
+    per_gram = (
+        base.select(
+            "doc_id", "n_tri", "n_tri_distinct", F.explode("bg").alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("n_tri").alias("n_tri"),
+            F.first("n_tri_distinct").alias("n_tri_distinct"),
+        )
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("int").alias("n_bigrams"),
+        F.max("cnt").cast("int").alias("top_bigram_cnt"),
+        (F.max("cnt") / F.sum("cnt")).alias("top2_frac"),
+        F.first("n_tri").alias("n_tri"),
+        (
+            (F.first("n_tri") - F.first("n_tri_distinct"))
+            / F.first("n_tri")
+        ).alias("dup3_frac"),
+    )
+
+
+_DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+REG.add(
+    "text_repetition_stats",
+    _repetition_stats,
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+      WHERE len({_DUCK_TOKS}) >= 3
+    ),
+    arrs AS (
+      SELECT doc_id,
+             [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))] AS bg,
+             [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] AS tg
+      FROM toked
+    ),
+    per_gram AS (
+      SELECT doc_id, g, COUNT(*) AS cnt,
+             ANY_VALUE(n_tri) AS n_tri,
+             ANY_VALUE(n_tri_distinct) AS n_tri_distinct
+      FROM (SELECT doc_id,
+                   CAST(len(tg) AS INT) AS n_tri,
+                   CAST(len(list_distinct(tg)) AS INT) AS n_tri_distinct,
+                   unnest(bg) AS g
+            FROM arrs) x
+      GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS INT)                    AS n_bigrams,
+           CAST(MAX(cnt) AS INT)                    AS top_bigram_cnt,
+           MAX(cnt) / CAST(SUM(cnt) AS DOUBLE)      AS top2_frac,
+           ANY_VALUE(n_tri)                         AS n_tri,
+           (ANY_VALUE(n_tri) - ANY_VALUE(n_tri_distinct))
+             / CAST(ANY_VALUE(n_tri) AS DOUBLE)     AS dup3_frac
+    FROM per_gram
+    GROUP BY doc_id
+    """,
+)
+
 # --- composed curation pipeline: the canonical LLM-data pass as ONE plan -----
 # quality gate -> exact dedup (keep min doc_id per content fingerprint) ->
 # per-kept-doc stats.  The point of registering the COMPOSITION: a user's
