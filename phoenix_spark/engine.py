@@ -155,6 +155,23 @@ class Engine:
         self.table(name).createOrReplaceTempView(name.split(".")[-1])
         self._registered.add(name.split(".")[-1])
         self._ts_cols = None  # new schema may add date/timestamp columns
+        # Views recompile their predicate over the CURRENT base state
+        # (QueryCompiler.java:803-806) — but a Spark temp view pins the
+        # segment list that existed when it was registered, so re-register
+        # every view whose chain bottoms out at this table or the temp view
+        # would keep serving the pre-mutation snapshot.
+        base = name.split(".")[-1].lower()
+        for vname in self._views:
+            if vname == name:
+                continue
+            node = vname
+            while node in self._views:
+                node = self._views[node][0]
+            if node.split(".")[-1].lower() == base:
+                self.table(vname).createOrReplaceTempView(
+                    vname.split(".")[-1]
+                )
+                self._registered.add(vname.split(".")[-1])
 
     def _ts_columns(self) -> dict[str, set[str]]:
         """Per-table names of date/timestamp-typed columns across attached +
@@ -659,11 +676,42 @@ class Engine:
         return IX.substitute_table(text, table_ref, view)
 
     def _exec_explain(self, text: str) -> DataFrame:
-        """EXPLAIN [WITH REGIONS] (grammar :479-488).  WITH REGIONS appends
-        the scan's input splits — the analogue of Phoenix printing the HBase
-        region boundaries the scan touches."""
+        """EXPLAIN [WITH REGIONS] over SELECT, UPSERT, or DELETE (grammar
+        :479-488: explain_node accepts all three).  WITH REGIONS appends the
+        scan's input splits — the analogue of Phoenix printing the HBase
+        region boundaries the scan touches.  Mutation EXPLAINs show the
+        source/victim scan's plan under a mutation header and have no side
+        effects (nothing written, no sequence values consumed)."""
         m = re.match(r"^\s*EXPLAIN\s+(WITH\s+REGIONS\s+)?", text, flags=re.I)
         body = text[m.end() :]
+        kind = classify(body).kind
+        if kind == "upsert":
+            up = D.parse_upsert(body)
+            if up.select is not None:
+                plan = (
+                    f"UPSERT SELECT INTO {up.table}\n"
+                    + self.explain(up.select)
+                )
+            else:
+                plan = (
+                    f"UPSERT VALUES INTO {up.table}: "
+                    f"{len(up.values)} literal row(s), client-evaluated"
+                )
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan: string"
+            )
+        if kind == "delete":
+            dl = D.parse_delete(body)
+            victims = f"SELECT * FROM {dl.table}" + (
+                f" WHERE {dl.where}" if dl.where else ""
+            )
+            plan = (
+                f"DELETE FROM {dl.table} (tombstone append over victim scan)\n"
+                + self.explain(victims)
+            )
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan: string"
+            )
         plan = self.explain(body)
         lines = [(line,) for line in plan.splitlines()]
         if m.group(1):
@@ -1022,6 +1070,20 @@ class Engine:
         return translate_phoenix_sql(pred, ts)
 
     def _exec_drop(self, text: str) -> int:
+        fm = re.match(
+            r"^\s*DROP\s+FUNCTION\s+(?:IF\s+(EXISTS)\s+)?(\w+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if fm:
+            # DROP FUNCTION (grammar :751-753): unbind a CREATE FUNCTION UDF
+            name = fm.group(2).lower()
+            try:
+                self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            except Exception:
+                if not fm.group(1):
+                    raise
+            return 0
         dm = re.match(
             r"^\s*DROP\s+CDC\s+(?:IF\s+(EXISTS)\s+)?([\w.]+)\s+ON\s+[\w.]+\s*;?\s*$",
             text,
@@ -1264,8 +1326,81 @@ class Engine:
         self.update_statistics(m.group(1).lower())
         return 0
 
+    def _view_constants(self, name: str) -> tuple[str, dict[str, object]] | None:
+        """Resolve a view chain to (base table, {col: constant}) when every
+        predicate in the chain is an AND of simple ``col = literal``
+        equalities — the reference's UPDATABLE view rule (PTable.ViewType:68:
+        equality-only views are UPDATABLE and their WHERE columns become
+        viewConstants auto-filled on write, UpsertCompiler viewConstants).
+        Returns None if ``name`` is not a view; raises if the view is
+        read-only (any non-equality predicate)."""
+        name = self._qualify(name)
+        if name not in self._views:
+            return None
+        consts: dict[str, object] = {}
+        node = name
+        while node in self._views:
+            parent, where = self._views[node]
+            if where:
+                for conj in IX._top_level_conjuncts(where):
+                    m = re.match(
+                        r"^\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", conj, re.S
+                    )
+                    if not m or re.search(
+                        r"[<>]|\bOR\b|\bAND\b", conj, re.I
+                    ):
+                        raise ValueError(
+                            f"view {name} is read-only: predicate "
+                            f"{conj.strip()!r} is not a simple equality "
+                            "(ViewType.UPDATABLE requires col = literal)"
+                        )
+                    col = m.group(1).lower()
+                    consts.setdefault(col, self._eval_literal(m.group(2)))
+            node = parent
+        return node, consts
+
     def _exec_upsert(self, text: str) -> DataFrame | int:
         up = D.parse_upsert(text)
+        vc = self._view_constants(up.table)
+        if vc is not None:
+            # UPSERT through an updatable view: write to the base table with
+            # the view's equality constants auto-filled (viewConstants)
+            base, consts = vc
+            mt0 = self.managed(base)
+            listed = up.columns or [
+                c for c in mt0.schema.fieldNames() if c not in consts
+            ]
+            clash = [c for c in listed if c.split(None, 1)[0] in consts]
+            if clash:
+                raise ValueError(
+                    f"cannot set view-constant column(s) {clash} through "
+                    f"view {up.table}"
+                )
+            cols = [*listed, *consts]
+            if up.values is not None:
+                lits = [
+                    "NULL" if v is None
+                    else f"'{v}'" if isinstance(v, str)
+                    else repr(v)
+                    for v in consts.values()
+                ]
+                up = D.Upsert(
+                    base, cols,
+                    [[*row, *lits] for row in up.values],
+                    None, up.on_duplicate, up.returning,
+                )
+            else:
+                sel_lits = ", ".join(
+                    "NULL" if v is None
+                    else f"'{v}'" if isinstance(v, str)
+                    else repr(v)
+                    for v in consts.values()
+                )
+                up = D.Upsert(
+                    base, cols, None,
+                    f"SELECT __v.*, {sel_lits} FROM ({up.select}) __v",
+                    up.on_duplicate, up.returning,
+                )
         mt = self.managed(up.table)
         tcol = self._tenant_col(mt) if self.tenant_id else None
         base_fields = set(mt.schema.fieldNames())
@@ -1413,6 +1548,20 @@ class Engine:
 
     def _exec_delete(self, text: str) -> DataFrame | int:
         dl = D.parse_delete(text)
+        if self._qualify(dl.table) in self._views:
+            # DELETE through an updatable view: scope the delete to the
+            # view's predicate chain on the base table (DeleteCompiler over
+            # ViewType.UPDATABLE)
+            self._view_constants(dl.table)  # raises if the view is read-only
+            node, preds = self._qualify(dl.table), []
+            while node in self._views:
+                parent, where = self._views[node]
+                if where:
+                    preds.append(f"({where})")
+                node = parent
+            if dl.where:
+                preds.append(f"({dl.where})")
+            dl = D.Delete(node, " AND ".join(preds) or None, dl.returning)
         mt = self.managed(dl.table)
         cond = translate_phoenix_sql(dl.where) if dl.where else None
         has_idx = any(

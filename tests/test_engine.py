@@ -1174,3 +1174,69 @@ def test_sequence_options_minmax_cycle_bulk(engine):
     engine.sql("CREATE SEQUENCE IF NOT EXISTS lim START WITH 99")
     with _pt.raises(ValueError, match="exists"):
         engine.sql("CREATE SEQUENCE lim START WITH 99")
+
+
+def test_updatable_view_upsert_delete(engine):
+    """Writes through views (PTable.ViewType.UPDATABLE: equality-only
+    predicates make a view updatable; its WHERE columns become view
+    constants auto-filled on UPSERT — UpsertCompiler viewConstants)."""
+    import pytest as _pt
+
+    engine.sql(
+        "CREATE TABLE evt (id BIGINT NOT NULL, kind VARCHAR, v DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (id))"
+    )
+    engine.sql("CREATE VIEW clicks AS SELECT * FROM evt WHERE kind = 'click'")
+    # VALUES through the view: kind auto-set to the view constant
+    engine.sql("UPSERT INTO clicks (id, v) VALUES (1, 1.5), (2, 2.5)")
+    got = {r.id: (r.kind, r.v) for r in engine.table("evt").collect()}
+    assert got == {1: ("click", 1.5), 2: ("click", 2.5)}
+    # SELECT path through the view
+    engine.sql("UPSERT INTO clicks (id, v) SELECT id + 10, v * 2 FROM clicks")
+    got = {r.id: r.kind for r in engine.table("evt").collect()}
+    assert got == {1: "click", 2: "click", 11: "click", 12: "click"}
+    # default column list excludes the view constant
+    engine.sql("UPSERT INTO clicks VALUES (3, 3.5)")
+    assert engine.sql("SELECT v FROM clicks WHERE id = 3").collect()[0].v == 3.5
+    # setting the constant explicitly is rejected
+    with _pt.raises(ValueError, match="view-constant"):
+        engine.sql("UPSERT INTO clicks (id, kind, v) VALUES (4, 'view', 4.5)")
+    # DELETE through the view only touches the view's slice
+    engine.sql("UPSERT INTO evt VALUES (99, 'scroll', 0.5)")
+    engine.sql("DELETE FROM clicks WHERE id <= 2")
+    ids = sorted(r.id for r in engine.table("evt").collect())
+    assert ids == [3, 11, 12, 99]  # the scroll row survived
+    # a range-predicate view is read-only, as in the reference
+    engine.sql("CREATE VIEW big AS SELECT * FROM evt WHERE v > 100")
+    with _pt.raises(ValueError, match="read-only"):
+        engine.sql("UPSERT INTO big (id, kind) VALUES (5, 'x')")
+
+
+def test_explain_mutations_and_drop_function(engine):
+    engine.sql(
+        "CREATE TABLE exm (k BIGINT NOT NULL, v DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO exm VALUES (1, 1.5)")
+    lines = [r.plan for r in engine.sql(
+        "EXPLAIN UPSERT INTO exm SELECT r_regionkey, r_regionkey * 1.0 FROM region"
+    ).collect()]
+    assert any("UPSERT SELECT INTO exm" in line for line in lines)
+    assert any("Scan" in line or "Physical Plan" in line for line in lines)
+    assert engine.table("exm").count() == 1  # EXPLAIN wrote nothing
+    lines = [r.plan for r in engine.sql(
+        "EXPLAIN DELETE FROM exm WHERE k = 1").collect()]
+    assert any("DELETE FROM exm" in line for line in lines)
+    assert engine.table("exm").count() == 1  # EXPLAIN deleted nothing
+    lines = [r.plan for r in engine.sql(
+        "EXPLAIN UPSERT INTO exm VALUES (2, 2.5)").collect()]
+    assert any("literal row" in line for line in lines)
+    # DROP FUNCTION unbinds a CREATE FUNCTION UDF
+    engine.sql("CREATE FUNCTION trip AS 'math:trunc' RETURNS BIGINT")
+    assert engine.sql("SELECT trip(1.7) AS t").collect()[0].t == 1
+    engine.sql("DROP FUNCTION trip")
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        engine.sql("SELECT trip(1.7) AS t").collect()
+    engine.sql("DROP FUNCTION IF EXISTS trip")  # idempotent
