@@ -45,6 +45,9 @@ class CreateView:
     name: str
     parent: str
     where: str | None
+    # view-defined columns (grammar :557-565 allows a column-def list: a view
+    # may ADD typed columns beyond its parent's schema) — name -> type text
+    columns: dict[str, str] | None = None
 
 
 @dataclass
@@ -227,7 +230,9 @@ def parse_create_table(sql: str) -> CreateTable:
 
 
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+VIEW\s+(?P<name>[\w.\"]+)\s+AS\s+SELECT\s+\*\s+FROM\s+"
+    r"^\s*CREATE\s+VIEW\s+(?P<name>[\w.\"]+)\s*"
+    r"(?:\(\s*(?P<cols>[^)]*?)\s*\)\s*)?"
+    r"AS\s+SELECT\s+\*\s+FROM\s+"
     r"(?P<parent>[\w.\"]+)(?:\s+WHERE\s+(?P<where>.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -237,14 +242,22 @@ def parse_create_view(sql: str) -> CreateView:
     m = _CREATE_VIEW_RE.match(_strip(sql))
     if not m:
         raise ValueError(
-            "CREATE VIEW must be `CREATE VIEW v AS SELECT * FROM t [WHERE ...]` "
-            "(Phoenix views are single-table, predicate-only — "
-            "PhoenixSQL.g:557-565)"
+            "CREATE VIEW must be `CREATE VIEW v [(col TYPE, ...)] AS "
+            "SELECT * FROM t [WHERE ...]` (Phoenix views are single-table, "
+            "predicate-plus-added-columns — PhoenixSQL.g:557-565)"
         )
+    columns: dict[str, str] = {}
+    if m.group("cols"):
+        for item in m.group("cols").split(","):
+            parts = item.strip().split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(f"bad view column definition {item.strip()!r}")
+            columns[parts[0].strip('"').lower()] = parts[1].strip()
     return CreateView(
         name=m.group("name").strip('"').lower(),
         parent=m.group("parent").strip('"').lower(),
         where=_strip(m.group("where")) if m.group("where") else None,
+        columns=columns or None,
     )
 
 

@@ -49,12 +49,16 @@ class Engine:
         )
         os.makedirs(self.warehouse, exist_ok=True)
         # views persist in the warehouse (SYSTEM.CATALOG analogue): a view is
-        # (parent, stored predicate), recompiled into every read
+        # (parent, stored predicate, view-defined columns), recompiled into
+        # every read; older warehouses stored 2-tuples — normalize on load
         self._views_path = os.path.join(self.warehouse, "_views.json")
-        self._views: dict[str, tuple[str, str | None]] = {}
+        self._views: dict[str, tuple[str, str | None, dict[str, str]]] = {}
         if os.path.exists(self._views_path):
             with open(self._views_path) as f:
-                self._views = {k: tuple(v) for k, v in json.load(f).items()}
+                self._views = {
+                    k: (v[0], v[1], v[2] if len(v) > 2 else {})
+                    for k, v in json.load(f).items()
+                }
         self._seq_path = os.path.join(self.warehouse, "_sequences.json")
         # secondary indexes (SYSTEM.CATALOG's PTableType.INDEX rows analogue)
         self._indexes_path = os.path.join(self.warehouse, "_indexes.json")
@@ -119,8 +123,12 @@ class Engine:
         """
         name = self._qualify(name)
         if name in self._views:
-            parent, where = self._views[name]
-            df = self.table(parent)
+            parent, where, vcols = self._views[name]
+            # view-defined columns resolve like dynamic columns: typed reads
+            # from the parent's JSON overflow column (the reference stores
+            # view columns as ordinary cells of the same physical table; the
+            # overflow column is this engine's cell store for them)
+            df = self.table(parent, dyn_cols=vcols or None, json_col=json_col)
             df = df.filter(where) if where else df
         else:
             mt = ManagedTable(self.spark, self.warehouse, name)
@@ -521,23 +529,31 @@ class Engine:
                 text,
                 flags=re.I,
             )
-        refs = {
-            (m.group(2).lower(), int(m.group(1) or 1))
-            for m in self._NEXT_VAL_RE.finditer(text)
-        }
+        refs = sorted(
+            {
+                (m.group(2).lower(), int(m.group(1) or 1))
+                for m in self._NEXT_VAL_RE.finditer(text)
+            }
+        )
         if not refs:
             return text
-        if len(refs) > 1:
-            raise ValueError(
-                f"multiple sequence references in one statement unsupported: "
-                f"{sorted(refs)}"
-            )
-        ((name, per_row),) = refs
         seqs = self._sequences()
-        if name not in seqs:
-            raise ValueError(f"no sequence {name}")
+        for name, _k in refs:
+            if name not in seqs:
+                raise ValueError(f"no sequence {name}")
+
+        def ref_pattern(name: str, k: int) -> str:
+            # repeated identical refs substitute identically (SequenceManager
+            # dedups same-sequence expressions to one value per row)
+            form = rf"(?:{k}\s+VALUES|VALUE)" if k == 1 else rf"{k}\s+VALUES"
+            return rf"NEXT\s+{form}\s+FOR\s+{re.escape(name)}\b"
+
         if not consume:
-            return self._NEXT_VAL_RE.sub(str(seqs[name]["next"]), text)
+            for name, k in refs:
+                text = re.sub(
+                    ref_pattern(name, k), str(seqs[name]["next"]), text, flags=re.I
+                )
+            return text
         probe = self._NEXT_VAL_RE.sub("0", text)
         # The probe must measure the partition layout at the PLAN POSITION
         # where the final query evaluates the assignment expression: the
@@ -584,30 +600,33 @@ class Engine:
         n = sum(c for _, c in counts)
         if n == 0:
             return self._NEXT_VAL_RE.sub("0", text)
-        inc = seqs[name]["increment"]
-        # bulk form (NEXT k VALUES FOR): each row reserves k slots and the
-        # expression yields the first — so rows stride by k*increment
-        stride = inc * per_row
-        base = self.next_value_block(name, n, per_row=per_row)
-        pids, bases = [], []
-        run = base
-        for pid, cnt in counts:
-            pids.append(pid)
-            bases.append(run)
-            run += cnt * stride
-        # transform-over-singleton binds monotonically_increasing_id() ONCE
-        # (two independent instances could in principle be split into
-        # different Projects by the optimizer; one bound variable cannot)
-        offsets = (
-            f"map_from_arrays(array({', '.join(f'{p}L' for p in pids)}), "
-            f"array({', '.join(f'{b}L' for b in bases)}))"
-        )
-        assign = (
-            "element_at(transform(array(monotonically_increasing_id()), "
-            f"__m -> element_at({offsets}, shiftright(__m, 33))"
-            f" + (__m & 8589934591) * {stride}L), 1)"
-        )
-        return self._NEXT_VAL_RE.sub(assign, text)
+        for name, per_row in refs:
+            inc = seqs[name]["increment"]
+            # bulk form (NEXT k VALUES FOR): each row reserves k slots and
+            # the expression yields the first — rows stride by k*increment
+            stride = inc * per_row
+            base = self.next_value_block(name, n, per_row=per_row)
+            pids, bases = [], []
+            run = base
+            for pid, cnt in counts:
+                pids.append(pid)
+                bases.append(run)
+                run += cnt * stride
+            # transform-over-singleton binds monotonically_increasing_id()
+            # ONCE (two independent instances could in principle be split
+            # into different Projects by the optimizer; one bound variable
+            # cannot)
+            offsets = (
+                f"map_from_arrays(array({', '.join(f'{p}L' for p in pids)}), "
+                f"array({', '.join(f'{b}L' for b in bases)}))"
+            )
+            assign = (
+                "element_at(transform(array(monotonically_increasing_id()), "
+                f"__m -> element_at({offsets}, shiftright(__m, 33))"
+                f" + (__m & 8589934591) * {stride}L), 1)"
+            )
+            text = re.sub(ref_pattern(name, per_row), assign, text, flags=re.I)
+        return text
 
     def _maybe_use_index(self, text: str) -> str:
         """QueryOptimizer.java:225-353 analogue: substitute a covered index
@@ -741,7 +760,7 @@ class Engine:
 
     def _exec_create_view(self, text: str) -> int:
         cv = D.parse_create_view(text)
-        self._views[cv.name] = (cv.parent, cv.where)
+        self._views[cv.name] = (cv.parent, cv.where, cv.columns or {})
         self._save_views()
         self._register(cv.name)
         return 0
@@ -1340,7 +1359,7 @@ class Engine:
         consts: dict[str, object] = {}
         node = name
         while node in self._views:
-            parent, where = self._views[node]
+            parent, where = self._views[node][:2]
             if where:
                 for conj in IX._top_level_conjuncts(where):
                     m = re.match(
@@ -1376,6 +1395,18 @@ class Engine:
                     f"cannot set view-constant column(s) {clash} through "
                     f"view {up.table}"
                 )
+            # view-defined columns write like dynamic columns: tag listed
+            # view columns with their declared type so the overflow-column
+            # routing below picks them up
+            vcols: dict[str, str] = {}
+            node = self._qualify(up.table)
+            while node in self._views:
+                for cname, ctype in (self._views[node][2] or {}).items():
+                    vcols.setdefault(cname, ctype)
+                node = self._views[node][0]
+            listed = [
+                f"{c} {vcols[c]}" if c in vcols else c for c in listed
+            ]
             cols = [*listed, *consts]
             if up.values is not None:
                 lits = [
@@ -1555,7 +1586,7 @@ class Engine:
             self._view_constants(dl.table)  # raises if the view is read-only
             node, preds = self._qualify(dl.table), []
             while node in self._views:
-                parent, where = self._views[node]
+                parent, where = self._views[node][:2]
                 if where:
                     preds.append(f"({where})")
                 node = parent

@@ -1240,3 +1240,46 @@ def test_explain_mutations_and_drop_function(engine):
     with _pt.raises(Exception):
         engine.sql("SELECT trip(1.7) AS t").collect()
     engine.sql("DROP FUNCTION IF EXISTS trip")  # idempotent
+
+
+def test_multiple_sequences_in_one_statement(engine):
+    engine.sql("CREATE SEQUENCE ms_a START WITH 10 INCREMENT BY 1")
+    engine.sql("CREATE SEQUENCE ms_b START WITH 500 INCREMENT BY 5")
+    engine.sql("CREATE TABLE mss (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("UPSERT INTO mss VALUES (1), (2), (3)")
+    rows = engine.sql(
+        "SELECT NEXT VALUE FOR ms_a AS a, NEXT VALUE FOR ms_b AS b, "
+        "NEXT VALUE FOR ms_a AS a2 FROM mss"
+    ).collect()
+    assert sorted(r.a for r in rows) == [10, 11, 12]
+    assert sorted(r.b for r in rows) == [500, 505, 510]
+    # repeated refs of the same sequence yield the SAME value per row
+    assert all(r.a == r.a2 for r in rows)
+
+
+def test_view_defined_columns(engine):
+    """CREATE VIEW v (col TYPE) AS ... (grammar :557-565): views may ADD
+    typed columns; they read and write through the parent's JSON overflow
+    column, the same cell store the dynamic-column surface uses."""
+    engine.sql(
+        "CREATE TABLE prod (id BIGINT NOT NULL, kind VARCHAR, props VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (id))"
+    )
+    engine.sql(
+        "CREATE VIEW widgets (weight BIGINT, label VARCHAR) "
+        "AS SELECT * FROM prod WHERE kind = 'widget'"
+    )
+    engine.sql(
+        "UPSERT INTO widgets (id, weight, label) VALUES "
+        "(1, 42, 'heavy'), (2, 7, 'light')"
+    )
+    got = {
+        r.id: (r.kind, r.weight, r.label)
+        for r in engine.sql("SELECT id, kind, weight, label FROM widgets").collect()
+    }
+    assert got == {1: ("widget", 42, "heavy"), 2: ("widget", 7, "light")}
+    # typed: weight is a BIGINT on read
+    row = engine.sql("SELECT weight FROM widgets WHERE id = 1").collect()[0]
+    assert isinstance(row.weight, int)
+    # view columns are invisible on the parent (stored in the overflow col)
+    assert "weight" not in engine.table("prod").columns
