@@ -63,6 +63,10 @@ HEADLINE = [
     "pipeline_curate_e2e",
     "mm_frame_sample",
     "pipeline_assemble_e2e",
+    # round 4: dataset-assembly + n-gram repetition additions
+    "text_decontaminate",
+    "text_repetition_stats",
+    "sample_stratified",
 ]
 
 

@@ -369,13 +369,17 @@ REG.add(
 
 # --- n-gram repetition signals (the Gopher-style repetition filters) ---------
 # Two standard training-data quality signals the word-level ttr can't see:
-#   * dup3_frac — fraction of trigrams that are repeats (1 - distinct/total):
-#     a pure per-row ARRAY expression, zero shuffles.
+#   * dup3_frac — fraction of trigrams that are repeats (1 - distinct/total).
 #   * top2_frac — fraction of all bigrams taken by the single most frequent
-#     bigram: needs per-(doc, gram) counts, so it's explode -> two map-side-
-#     combined groupBys (doc_id+gram, then doc_id).  At 100 TB both shuffles
-#     carry only (doc_id, hash-sized gram, count) rows — bounded by token
-#     count, never quadratic.
+#     bigram.
+# Both are PER-ROW array expressions — zero shuffles.  A per-document signal
+# never needs a shuffle (every gram of the doc is already in the row): the
+# top-bigram count is the longest equal-run in the SORTED gram array, found
+# with one aggregate() pass; grams are md5-prefix hashed first so the
+# per-row sort compares short fixed keys, not full bigram strings.  (The
+# explode → groupBy(doc_id, gram) shape was measured 14.5 s at sf0.1 vs
+# 1.2 s for this form — shuffling every gram of every doc to count
+# something that is row-local.)
 # Docs shorter than 3 tokens have no trigram signal and are excluded on both
 # engines (the same guard a production repetition filter applies).
 _BIGRAMS = (
@@ -388,40 +392,44 @@ _TRIGRAMS = (
     "element_at({t}, i + 2)))"
 ).format(t=_TOKENS)
 
+# longest equal-run over the sorted hashed bigrams = max bigram multiplicity
+_TOP_RUN = (
+    "aggregate("
+    f"array_sort(transform({_BIGRAMS}, x -> substring(md5(x), 1, 16))), "
+    "named_struct('prev', '', 'run', 0, 'best', 0), "
+    "(acc, x) -> named_struct("
+    "'prev', x, "
+    "'run', IF(x = acc.prev, acc.run + 1, 1), "
+    "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))), "
+    "acc -> acc.best)"
+)
+
 
 def _repetition_stats(spark, sf):
-    base = (
-        t(spark, sf, "documents")
-        .filter(F.expr(f"size({_TOKENS}) >= 3"))
+    from phoenix_spark.queries._util import spread
+
+    # spread() first: the per-doc lambdas are CPU-heavy interpreted
+    # expressions, and the single-file fixture scan would otherwise run them
+    # on one core.  n_bigrams/n_tri come from the token count directly
+    # (size(tokens)-1/-2) so the gram arrays aren't rebuilt just to measure.
+    ntok = f"size({_TOKENS})"
+    return (
+        spread(spark, t(spark, sf, "documents"))
+        .filter(F.expr(f"{ntok} >= 3"))
         .select(
             "doc_id",
-            F.expr(_BIGRAMS).alias("bg"),
-            F.expr(f"size({_TRIGRAMS})").cast("int").alias("n_tri"),
-            F.expr(f"size(array_distinct({_TRIGRAMS}))")
-            .cast("int")
-            .alias("n_tri_distinct"),
+            F.expr(f"{ntok} - 1").cast("int").alias("n_bigrams"),
+            F.expr(_TOP_RUN).cast("int").alias("top_bigram_cnt"),
+            (F.expr(_TOP_RUN) / F.expr(f"{ntok} - 1")).alias("top2_frac"),
+            F.expr(f"{ntok} - 2").cast("int").alias("n_tri"),
+            (
+                (
+                    F.expr(f"{ntok} - 2")
+                    - F.expr(f"size(array_distinct({_TRIGRAMS}))")
+                )
+                / F.expr(f"{ntok} - 2")
+            ).alias("dup3_frac"),
         )
-    )
-    per_gram = (
-        base.select(
-            "doc_id", "n_tri", "n_tri_distinct", F.explode("bg").alias("g")
-        )
-        .groupBy("doc_id", "g")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.first("n_tri").alias("n_tri"),
-            F.first("n_tri_distinct").alias("n_tri_distinct"),
-        )
-    )
-    return per_gram.groupBy("doc_id").agg(
-        F.sum("cnt").cast("int").alias("n_bigrams"),
-        F.max("cnt").cast("int").alias("top_bigram_cnt"),
-        (F.max("cnt") / F.sum("cnt")).alias("top2_frac"),
-        F.first("n_tri").alias("n_tri"),
-        (
-            (F.first("n_tri") - F.first("n_tri_distinct"))
-            / F.first("n_tri")
-        ).alias("dup3_frac"),
     )
 
 

@@ -61,3 +61,55 @@ def test_changelog_matches_dict_model(spark, tmp_path_factory, ops):
     got = {r.k: r.v for r in mt.read().collect()}
     assert got == model
     mt.drop()
+
+
+# --- partial-column cell semantics (round 4) ---------------------------------
+# Phoenix writes only the LISTED cells: a partial-column upsert preserves
+# unlisted columns of existing rows and NULL-fills them for new rows.  The
+# model is a dict of (a, b) pairs; ops randomly update a-only, b-only, or
+# both, interleaved with deletes — the Engine path under test is the
+# read-modify-write join in _exec_upsert.
+
+PARTIAL_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("both"), KEYS, VALS, VALS),
+        st.tuples(st.just("a_only"), KEYS, VALS, st.none()),
+        st.tuples(st.just("b_only"), KEYS, st.none(), VALS),
+        st.tuples(st.just("delete"), KEYS, st.none(), st.none()),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=PARTIAL_OPS)
+def test_partial_upsert_preserves_cells(spark, tmp_path_factory, ops):
+    from phoenix_spark.engine import Engine
+
+    wh = str(tmp_path_factory.mktemp("prop_wh2"))
+    e = Engine(spark, warehouse=wh)
+    e.sql(
+        "CREATE TABLE pc (k BIGINT NOT NULL, a BIGINT, b BIGINT, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    model: dict[int, tuple] = {}
+    for op, k, a, b in ops:
+        if op == "both":
+            e.sql(f"UPSERT INTO pc VALUES ({k}, {a}, {b})")
+            model[k] = (a, b)
+        elif op == "a_only":
+            e.sql(f"UPSERT INTO pc (k, a) VALUES ({k}, {a})")
+            model[k] = (a, model.get(k, (None, None))[1])
+        elif op == "b_only":
+            e.sql(f"UPSERT INTO pc (k, b) VALUES ({k}, {b})")
+            model[k] = (model.get(k, (None, None))[0], b)
+        else:
+            e.sql(f"DELETE FROM pc WHERE k = {k}")
+            model.pop(k, None)
+    got = {r.k: (r.a, r.b) for r in e.table("pc").collect()}
+    assert got == model
