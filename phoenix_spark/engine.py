@@ -741,17 +741,23 @@ class Engine:
 
     def _exec_create_table(self, text: str) -> int:
         ct = D.parse_create_table(text)
+        name = ct.name
+        if "." not in name and self.default_schema:
+            # unqualified CREATE under USE <schema> lands in that schema
+            # (the reference resolves table names against the connection
+            # schema, MetaDataClient via connection.getSchema())
+            name = f"{self.default_schema}.{name}"
         ManagedTable.create(
             self.spark,
             self.warehouse,
-            ct.name,
+            name,
             ct.schema,
             ct.pk,
             sort_orders=ct.sort_orders,
             props=ct.props,
             if_not_exists=ct.if_not_exists,
         )
-        self._register(ct.name)
+        self._register(name)
         return 0
 
     def _save_views(self) -> None:
@@ -780,6 +786,58 @@ class Engine:
         return 0
 
     # -- schemas (grammar PhoenixSQL.g:516-518: CREATE SCHEMA / USE) --------
+
+    def _exec_grant(self, text: str) -> int:
+        """GRANT/REVOKE (grammar :630-638) delegate to HBase's AccessController
+        in the reference — there is no per-user ACL surface in a single-user
+        Spark engine, so this fails loudly instead of silently accepting a
+        security statement it cannot enforce."""
+        raise ValueError(
+            "GRANT/REVOKE are out of scope: the reference delegates them to "
+            "HBase cell-level ACLs; enforce access control at the "
+            "storage/catalog layer of your Spark deployment instead"
+        )
+
+    def _exec_trace(self, text: str) -> DataFrame:
+        """TRACE ON|OFF (grammar trace_node).  The reference starts an HTrace
+        span and returns its trace id; the Spark analogue tags subsequent
+        jobs with a job group so they are identifiable in the Spark UI —
+        the UI's SQL/Jobs tabs are the tracing surface."""
+        m = re.match(r"^\s*TRACE\s+(ON|OFF)(?:\s+WITH\s+SAMPLING\s+[\d.]+)?\s*;?\s*$",
+                     text, re.I)
+        if not m:
+            raise ValueError(f"unparseable TRACE: {text[:60]!r}")
+        if m.group(1).upper() == "ON":
+            self._trace_id = getattr(self, "_trace_id", 0) + 1
+            self.spark.sparkContext.setJobGroup(
+                f"phoenix-trace-{self._trace_id}", "TRACE ON session"
+            )
+            rows = [(self._trace_id,)]
+        else:
+            self.spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+            self.spark.sparkContext.setLocalProperty(
+                "spark.job.description", None
+            )
+            rows = [(getattr(self, "_trace_id", 0),)]
+        return self.spark.createDataFrame(rows, "trace_id: bigint")
+
+    def _exec_alter_session(self, text: str) -> int:
+        """ALTER SESSION SET k=v, ... (grammar :768-771).  The reference's
+        one documented property is CONSISTENCY; properties are recorded on
+        the connection and surfaced to Spark as session-local confs under
+        phoenix_spark.session.*."""
+        m = re.match(r"^\s*ALTER\s+SESSION\s+SET\s+(.+?)\s*;?\s*$", text, re.I | re.S)
+        if not m:
+            raise ValueError(f"unparseable ALTER SESSION: {text[:80]!r}")
+        for item in D._split_top(m.group(1)):
+            k, _, v = item.partition("=")
+            if not _:
+                raise ValueError(f"bad session property {item!r}")
+            self.spark.conf.set(
+                f"phoenix_spark.session.{k.strip().lower()}",
+                v.strip().strip("'"),
+            )
+        return 0
 
     def _exec_create_schema(self, text: str) -> int:
         m = re.match(
@@ -1114,6 +1172,29 @@ class Engine:
                 raise ValueError(f"no CDC {name}")
             self._save_cdcs()
             return 0
+        sm = re.match(
+            r"^\s*DROP\s+SCHEMA\s+(?:IF\s+(EXISTS)\s+)?([\w\"]+)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if sm:
+            # DROP SCHEMA (grammar drop_schema_node): refuses a non-empty
+            # schema, like the reference (MetaDataClient.dropSchema)
+            schema = sm.group(2).strip('"').lower()
+            path = os.path.join(self.warehouse, schema)
+            if not os.path.isdir(path):
+                if sm.group(1):
+                    return 0
+                raise ValueError(f"no schema {schema}")
+            for _root, _dirs, files in os.walk(path):
+                if "meta.json" in files:
+                    raise ValueError(f"schema {schema} is not empty")
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            if self.default_schema == schema:
+                self.default_schema = None
+            return 0
         di = IX.parse_drop_index(text)
         if di is not None:
             name, _table, if_exists = di
@@ -1210,14 +1291,55 @@ class Engine:
             self._save_indexes()
             return 0
         m = re.match(
-            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(?:COLUMN\s+)?(.+?)\s*;?\s*$",
+            r"^\s*ALTER\s+(TABLE|VIEW)\s+([\w.]+)\s+(ADD|DROP|SET)\s+"
+            r"(?:COLUMN\s+)?(.+?)\s*;?\s*$",
             text,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"unparseable ALTER TABLE: {text[:120]!r}")
-        name, op, rest = m.group(1).lower(), m.group(2).upper(), m.group(3)
+        what = m.group(1).upper()
+        name, op, rest = m.group(2).lower(), m.group(3).upper(), m.group(4)
+        if what == "VIEW" or self._qualify(name) in self._views:
+            # ALTER VIEW v ADD/DROP column (grammar :774-778 accepts VIEW):
+            # view-defined columns live in the view metadata; parent columns
+            # cannot be dropped through a view (MetaDataClient rejects too)
+            vname = self._qualify(name)
+            if vname not in self._views:
+                raise ValueError(f"no view {name}")
+            parent, where, vcols = self._views[vname]
+            vcols = dict(vcols)
+            if op == "ADD":
+                col, typ = rest.split(None, 1)
+                vcols[col.strip('"').lower()] = re.sub(
+                    r"\bNOT\s+NULL\b|\bNULL\b", "", typ, flags=re.I
+                ).strip()
+            elif op == "DROP":
+                col = rest.strip().strip('"').lower()
+                if col not in vcols:
+                    raise ValueError(
+                        f"cannot drop {col} through view {name}: not a "
+                        "view-defined column"
+                    )
+                del vcols[col]
+            else:
+                raise ValueError("ALTER VIEW supports ADD/DROP COLUMN only")
+            self._views[vname] = (parent, where, vcols)
+            self._save_views()
+            self._register(vname)
+            return 0
         mt = self.managed(name)
+        if op == "SET":
+            # ALTER TABLE t SET k=v, ... (fam_properties): metadata-only
+            meta = mt.meta
+            for item in D._split_top(rest):
+                k, _, v = item.partition("=")
+                if not _:
+                    raise ValueError(f"bad table property {item!r}")
+                meta.setdefault("props", {})[k.strip().upper()] = v.strip().strip("'")
+            with open(mt.meta_path, "w") as f:
+                json.dump(meta, f, indent=1)
+            return 0
         meta = mt.meta
         from pyspark.sql import types as T
 

@@ -816,7 +816,10 @@ _KIND_RE = [
     ("drop", re.compile(r"^\s*(DROP|TRUNCATE)\b", re.I)),
     ("explain", re.compile(r"^\s*EXPLAIN\b", re.I)),
     ("show", re.compile(r"^\s*SHOW\b", re.I)),
+    ("alter_session", re.compile(r"^\s*ALTER\s+SESSION\b", re.I)),
     ("alter", re.compile(r"^\s*ALTER\b", re.I)),
+    ("grant", re.compile(r"^\s*(GRANT|REVOKE)\b", re.I)),
+    ("trace", re.compile(r"^\s*TRACE\b", re.I)),
     ("update_stats", re.compile(r"^\s*UPDATE\s+STATISTICS\b", re.I)),
     ("declare_cursor", re.compile(r"^\s*DECLARE\b", re.I)),
     ("open_cursor", re.compile(r"^\s*OPEN\b", re.I)),

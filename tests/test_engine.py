@@ -1283,3 +1283,45 @@ def test_view_defined_columns(engine):
     assert isinstance(row.weight, int)
     # view columns are invisible on the parent (stored in the overflow col)
     assert "weight" not in engine.table("prod").columns
+
+
+def test_schema_ddl_alter_set_and_session(engine, tmp_path):
+    import pytest as _pt
+
+    # DROP SCHEMA: empty drops, non-empty refuses (MetaDataClient.dropSchema)
+    engine.sql("CREATE SCHEMA app")
+    engine.sql("USE app")
+    engine.sql("CREATE TABLE t1 (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("USE DEFAULT")
+    with _pt.raises(ValueError, match="not empty"):
+        engine.sql("DROP SCHEMA app")
+    engine.sql("DROP TABLE app.t1")
+    engine.sql("DROP SCHEMA app")
+    engine.sql("DROP SCHEMA IF EXISTS app")
+    with _pt.raises(ValueError, match="no schema"):
+        engine.sql("DROP SCHEMA app")
+    # ALTER TABLE SET properties: metadata-only
+    engine.sql("CREATE TABLE ats (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("ALTER TABLE ats SET TTL=86400, REPLICATION_SCOPE=1")
+    props = engine.managed("ats").meta["props"]
+    assert props["TTL"] == "86400" and props["REPLICATION_SCOPE"] == "1"
+    # ALTER VIEW ADD/DROP view-defined columns
+    engine.sql("CREATE TABLE avp (id BIGINT NOT NULL, props VARCHAR, "
+               "CONSTRAINT pk PRIMARY KEY (id))")
+    engine.sql("CREATE VIEW av AS SELECT * FROM avp")
+    engine.sql("ALTER VIEW av ADD score BIGINT")
+    engine.sql("UPSERT INTO av (id, score) VALUES (1, 9)")
+    assert engine.sql("SELECT score FROM av WHERE id = 1").collect()[0].score == 9
+    engine.sql("ALTER VIEW av DROP COLUMN score")
+    with _pt.raises(Exception):
+        engine.sql("SELECT score FROM av").collect()
+    with _pt.raises(ValueError, match="view-defined"):
+        engine.sql("ALTER VIEW av DROP COLUMN id")
+    # ALTER SESSION records properties; GRANT/REVOKE fail loudly; TRACE
+    engine.sql("ALTER SESSION SET CONSISTENCY = 'timeline'")
+    assert engine.spark.conf.get("phoenix_spark.session.consistency") == "timeline"
+    with _pt.raises(ValueError, match="out of scope"):
+        engine.sql("GRANT 'RX' ON app.t1 TO 'user'")
+    tid = engine.sql("TRACE ON").collect()[0].trace_id
+    assert tid >= 1
+    engine.sql("TRACE OFF")
