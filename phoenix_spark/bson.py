@@ -343,8 +343,16 @@ def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
                     if not isinstance(state[1], list):
                         raise BsonUpdateError("$ADD set over a non-set value")
                     texts = F.lit([_json.dumps(v) for v in state[1]])
+                # append only NOT-already-present addend elements (the
+                # reference's executeAddExpression contains-check): existing
+                # duplicates in the stored array are preserved — array_union
+                # would silently dedupe them
+                fresh = F.filter(
+                    F.array_distinct(F.lit(add_texts).cast("array<string>")),
+                    lambda e: ~F.array_contains(texts, e),
+                )
                 state = _texts_to_variant(
-                    F.array_sort(F.array_union(texts, F.lit(add_texts)))
+                    F.array_sort(F.concat(texts, fresh))
                 )
                 col_kind = "set"
             else:

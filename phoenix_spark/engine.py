@@ -1586,11 +1586,6 @@ class Engine:
                     f"dynamic columns on {up.table} need a '{json_col}' JSON "
                     "overflow column (the schema-on-read surface)"
                 )
-            if up.select is not None:
-                raise ValueError(
-                    "dynamic columns are supported in UPSERT ... VALUES, "
-                    "not UPSERT ... SELECT"
-                )
         if tcol and tcol not in cols:
             # tenant connections write their tenant id implicitly
             if up.values is not None:
@@ -1627,6 +1622,10 @@ class Engine:
         prev_ts = mt._next_ts() - 1  # for index maintenance pre-images
         if up.select is not None:
             src = self._exec_select(up.select).toDF(*cols)
+            for c in dyn:
+                # dynamic columns from a SELECT source: enforce the declared
+                # type before the JSON-overflow merge, as the VALUES path does
+                src = src.withColumn(c, F.col(c).cast(parse_type(dyn[c])))
         else:
             rows = []
             for lits in up.values:

@@ -121,7 +121,9 @@ print("== headline wall times (sf0.1 vs 10x) ==")
 for name in ["q1_pricing_summary", "q3_shipping_priority", "agg_groupby_hash",
              "q9_product_profit", "sort_topk", "filter_range_pred",
              "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash128",
-             "similarity_lsh_pairs"]:
+             "similarity_lsh_pairs",
+             "text_repetition_stats", "assembly_mix_report",
+             "text_decontaminate"]:
     a = bench(qs[name], SRC)
     b = bench(qs[name], DST)
     print(f"{name}: sf0.1={a:.2f}s 10x={b:.2f}s ratio={b/a:.1f}x")

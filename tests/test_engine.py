@@ -1325,3 +1325,19 @@ def test_schema_ddl_alter_set_and_session(engine, tmp_path):
     tid = engine.sql("TRACE ON").collect()[0].trace_id
     assert tid >= 1
     engine.sql("TRACE OFF")
+
+
+def test_dynamic_columns_in_upsert_select(engine):
+    engine.sql(
+        "CREATE TABLE dus (id BIGINT NOT NULL, props VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (id))"
+    )
+    engine.sql(
+        "UPSERT INTO dus (id, score BIGINT) "
+        "SELECT r_regionkey, r_regionkey * 10 FROM region"
+    )
+    got = {
+        r.id: r.score
+        for r in engine.sql("SELECT id, score FROM dus (score BIGINT)").collect()
+    }
+    assert got == {k: k * 10 for k in range(5)}
