@@ -401,6 +401,137 @@ REG.add(
     """,
 )
 
+# --- incremental (arriving-batch) dedup ---------------------------------------
+# The production ingest flow: a SMALL batch of new documents must be checked
+# against the EXISTING corpus before appending — not an all-pairs self-join.
+# Asymmetric LSH probe: both sides get the same MinHash band keys, but the
+# new batch's band rows BROADCAST into the corpus band join, so the corpus
+# (the 100 TB side) is never shuffled — each corpus band row hash-probes the
+# tiny new-batch table in its own scan stage.  Candidates verify with exact
+# hashed-shingle Jaccard, then one groupBy on the new-batch keys (bounded by
+# batch size) reports, per new doc: how many corpus near-dups, the smallest
+# matching corpus doc, and the best Jaccard.  The fixture's "arriving batch"
+# is the doc_id % 10 = 7 slice; a production run filters by ingest date.
+_NEW_PRED = "doc_id % 10 = 7"
+
+
+def _dedup_incremental(spark, sf):
+    docs = _shingled(spark, sf).select("doc_id", "sh")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            "sh",
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+                F.lit(_P),
+            ),
+        ).alias("hs"),
+    )
+
+    def _perm(i):
+        return lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P))
+
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _perm(i))).alias(f"s{i}")
+            for i in range(_K)
+        ],
+    )
+
+    def _band_key(j):
+        out = F.lit(0).cast("bigint")
+        for r in range(_ROWS):
+            out = out * 31 + F.col(f"s{j * _ROWS + r}")
+        return out
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"), _band_key(j).alias("bkey")
+                    )
+                    for j in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    new_b = bands.filter(F.expr(_NEW_PRED)).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    corp_b = bands.filter(~F.expr(_NEW_PRED))
+    cand = (
+        corp_b.join(F.broadcast(new_b), ["band", "bkey"])
+        .select(F.col("doc_id").alias("corpus_id"), "new_id")
+        .distinct()
+    )
+    hsets = hashed.select("doc_id", F.array_distinct("hs").alias("hset"))
+    ja = hsets.select(F.col("doc_id").alias("corpus_id"), F.col("hset").alias("sh_a"))
+    jb = hsets.select(F.col("doc_id").alias("new_id"), F.col("hset").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(ja, "corpus_id")
+        .join(F.broadcast(jb), "new_id")
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("corpus_id").alias("dup_of"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+
+
+REG.add(
+    "dedup_incremental",
+    _dedup_incremental,
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents) x
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(sh, s ->
+               ('0x' || substring(md5(s), 1, 15))::BIGINT % {_P}) AS hs
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+             {_MH_SIG_COLS}
+      FROM hs
+    ), bands AS (
+      {_MH_BAND_ARMS}
+    ), cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, n.doc_id AS new_id
+      FROM bands c JOIN bands n ON c.band = n.band AND c.bkey = n.bkey
+      WHERE n.doc_id % 10 = 7 AND NOT (c.doc_id % 10 = 7)
+    ), hset AS (
+      SELECT doc_id, list_distinct(hs) AS hset FROM hs
+    ), verified AS (
+      SELECT cand.new_id, cand.corpus_id,
+             len(list_intersect(ha.hset, hb.hset))
+               / CAST(len(list_distinct(ha.hset || hb.hset)) AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN hset ha ON ha.doc_id = cand.corpus_id
+      JOIN hset hb ON hb.doc_id = cand.new_id
+    )
+    SELECT new_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(corpus_id)           AS dup_of,
+           MAX(jaccard)             AS best_jaccard
+    FROM verified
+    WHERE jaccard >= 0.5
+    GROUP BY new_id
+    """,
+)
+
 # --- SimHash near-dup (oracle-paired; banded Hamming buckets) -----------------
 # n-bit SimHash: bit b of the fingerprint is the sign of
 # sum_tokens(bit_b(md5(token)) * 2 - 1).  Both engines read the SAME md5 hex,

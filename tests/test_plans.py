@@ -421,3 +421,12 @@ def test_sequence_select_no_single_partition_funnel(spark, tmp_path):
     assert ids == list(range(1, n + 1))
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan  # packing stays shard-local
+
+
+def test_dedup_incremental_broadcasts_new_batch(spark):
+    """Arriving-batch dedup: the new batch's band rows broadcast into the
+    corpus band join — the corpus (the 100 TB side) is never shuffled for
+    candidate generation, and there is no cartesian product."""
+    plan = plan_of(spark, "dedup_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
