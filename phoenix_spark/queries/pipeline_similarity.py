@@ -160,6 +160,85 @@ REG.add(
     """,
 )
 
+# --- batch KNN: top-k per query over a query BATCH ----------------------------
+# The production retrieval shape (embed a batch, fetch k nearest corpus
+# vectors per query) as a two-stage exact plan:
+#   1. the query batch (tiny) BROADCASTS into the corpus scan — cosines are
+#      computed where the corpus lives, the corpus never shuffles;
+#   2. top-k per query runs in two windows: a partial top-k per
+#      (query, salt-bucket) — parallelism = queries × buckets, so a single
+#      hot query never funnels the corpus into one partition — then the
+#      exact final top-k over the ≤ queries × buckets × k survivors.
+# Exact int64 dot products (same _QEMB quantization), deterministic
+# tie-break on vec_id.  The salt is a deterministic hash of the corpus key,
+# so results are reproducible and oracle-paired (a plain per-query window
+# rank in DuckDB — two-stage partial top-k is exact, the plan differs, the
+# answer cannot).
+_KNN_K = 5
+_KNN_BUCKETS = 64
+
+
+def _knn_batch(spark, sf):
+    from pyspark.sql.window import Window
+
+    emb = _quantized(spark, sf)
+    queries = emb.filter(F.col("vec_id") <= 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("qn").alias("qqn"),
+    )
+    corpus = emb.filter(F.col("vec_id") > 8)
+    dot = F.expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        "vec_id",
+        (dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias("cosine"),
+        F.pmod(F.hash("vec_id"), F.lit(_KNN_BUCKETS)).alias("bkt"),
+    )
+    w1 = Window.partitionBy("qid", "bkt").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("pr", F.row_number().over(w1))
+        .filter(F.col("pr") <= _KNN_K)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("qid", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
+REG.add(
+    "similarity_knn_batch",
+    _knn_batch,
+    f"""
+    WITH qe AS (
+      SELECT vec_id, {_DUCK_Q} AS q FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, q AS qq FROM qe WHERE vec_id <= 8),
+    scored AS (
+      SELECT qs.qid, qe.vec_id,
+             {_DUCK_DOT.format(a='qe.q', b='qs.qq')}
+               / (sqrt({_DUCK_DOT.format(a='qe.q', b='qe.q')})
+                  * sqrt({_DUCK_DOT.format(a='qs.qq', b='qs.qq')}))
+               AS cosine
+      FROM qe, qs
+      WHERE qe.vec_id > 8
+    )
+    SELECT qid, CAST(r AS INT) AS rank, vec_id, cosine
+    FROM (SELECT qid, vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, vec_id) AS r
+          FROM scored) ranked
+    WHERE r <= {_KNN_K}
+    """,
+)
+
 # --- LSH-bucketed near-duplicate pairs (banded sign projection; the scale
 # path — fully oracle-paired: the hyperplanes are deterministic integer
 # mixes, so DuckDB computes the SAME band buckets and the hash compare pins
