@@ -67,6 +67,8 @@ HEADLINE = [
     "text_decontaminate",
     "text_repetition_stats",
     "sample_stratified",
+    "dedup_incremental",
+    "similarity_knn_batch",
 ]
 
 
