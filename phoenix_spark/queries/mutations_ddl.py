@@ -475,3 +475,70 @@ REG.add(
     WHERE o_orderkey <= 200
     """,
 )
+
+
+# --- streaming CDC feed, externally verified ---------------------------------
+# A REAL Structured Streaming job (availableNow trigger) over the change log:
+# mutations commit, the readStream CDC source drains them into a memory sink,
+# and the verified result is the per-op change count + exact key sum — fully
+# deterministic, so the STREAMING surface gets a value-hash oracle row, not
+# just local tests.  Scale shape: the stream source lists only new segment
+# files per micro-batch; the sink aggregate is map-side combined.
+def _stream_cdc_counts(spark, sf):
+    import tempfile
+    import uuid
+
+    from phoenix_spark.streaming import stream_changes
+
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_scdc (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_scdc SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey <= 100"
+    )
+    e.sql(
+        "UPSERT INTO t_scdc SELECT o_orderkey, o_totalprice * 2 FROM orders "
+        "WHERE o_orderkey <= 100 AND o_orderkey % 2 = 0"
+    )
+    e.sql("DELETE FROM t_scdc WHERE o_orderkey % 10 = 0")
+    sink = f"scdc_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_changes(spark, e.managed("t_scdc"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="scdc_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("change_op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+REG.add(
+    "stream_cdc_counts",
+    _stream_cdc_counts,
+    """
+    WITH b AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 100)
+    SELECT 'UPSERT' AS change_op,
+           CAST((SELECT COUNT(*) FROM b)
+                + (SELECT COUNT(*) FROM b WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS n_changes,
+           CAST((SELECT SUM(o_orderkey) FROM b)
+                + (SELECT SUM(o_orderkey) FROM b WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS key_sum
+    UNION ALL
+    SELECT 'DELETE',
+           CAST((SELECT COUNT(*) FROM b WHERE o_orderkey % 10 = 0) AS BIGINT),
+           CAST((SELECT SUM(o_orderkey) FROM b WHERE o_orderkey % 10 = 0) AS BIGINT)
+    """,
+)
