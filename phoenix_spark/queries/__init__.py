@@ -135,8 +135,8 @@ _ROTATING = [
     "bson_value_type",
     "bin_bytes_bits",
     "meta_partition_id",
-    # §2.5 windows
-    "window_running_lag",
+    # §2.11 streaming: a real availableNow stream job, hash-verified
+    "stream_cdc_counts",
     # LLM-pipeline families
     "text_quality_filter",
     "dedup_simhash128",
