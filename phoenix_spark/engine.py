@@ -787,6 +787,14 @@ class Engine:
 
     # -- schemas (grammar PhoenixSQL.g:516-518: CREATE SCHEMA / USE) --------
 
+    def _exec_upgrade(self, text: str) -> int:
+        """EXECUTE UPGRADE (grammar execute_upgrade_node) migrates the
+        reference's SYSTEM.* tables between versions.  This engine's catalog
+        is the warehouse metadata files, which carry no version skew — the
+        statement is accepted as a no-op so version-management scripts run
+        unchanged."""
+        return 0
+
     def _exec_grant(self, text: str) -> int:
         """GRANT/REVOKE (grammar :630-638) delegate to HBase's AccessController
         in the reference — there is no per-user ACL surface in a single-user

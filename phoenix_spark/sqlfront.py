@@ -820,6 +820,7 @@ _KIND_RE = [
     ("alter", re.compile(r"^\s*ALTER\b", re.I)),
     ("grant", re.compile(r"^\s*(GRANT|REVOKE)\b", re.I)),
     ("trace", re.compile(r"^\s*TRACE\b", re.I)),
+    ("upgrade", re.compile(r"^\s*EXECUTE\s+UPGRADE\b", re.I)),
     ("update_stats", re.compile(r"^\s*UPDATE\s+STATISTICS\b", re.I)),
     ("declare_cursor", re.compile(r"^\s*DECLARE\b", re.I)),
     ("open_cursor", re.compile(r"^\s*OPEN\b", re.I)),

@@ -1341,3 +1341,7 @@ def test_dynamic_columns_in_upsert_select(engine):
         for r in engine.sql("SELECT id, score FROM dus (score BIGINT)").collect()
     }
     assert got == {k: k * 10 for k in range(5)}
+
+
+def test_execute_upgrade_noop(engine):
+    assert engine.sql("EXECUTE UPGRADE") == 0
