@@ -318,14 +318,56 @@ class Engine:
 
     # -- statement router --------------------------------------------------
 
-    def sql(self, text: str) -> DataFrame | int:
+    def sql(self, text: str, params: list | tuple | None = None) -> DataFrame | int:
         """Run SQL.  SELECTs return a DataFrame; mutations/DDL return a row
-        count (or 0) like JDBC executeUpdate."""
+        count (or 0) like JDBC executeUpdate.
+
+        ``params`` binds JDBC-style ``?`` placeholders positionally (the
+        PreparedStatement surface — PhoenixPreparedStatement.java; grammar
+        bind_expression :1129).  Values are rendered as SQL literals
+        (strings escaped, datetimes as TIMESTAMP literals), so binds work
+        uniformly across SELECT/UPSERT/DELETE and the engine rewrites."""
+        if params is not None:
+            text = self._bind_params(text, list(params))
         stmt = classify(text)
         handler = getattr(self, f"_exec_{stmt.kind}", None)
         if handler is None:
             raise ValueError(f"unsupported statement kind {stmt.kind}")
         return handler(text)
+
+    @staticmethod
+    def _render_literal(v) -> str:
+        import datetime as _dt
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, (bytes, bytearray)):
+            return f"X'{bytes(v).hex()}'"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        raise ValueError(f"unbindable parameter type {type(v).__name__}")
+
+    def _bind_params(self, text: str, params: list) -> str:
+        """Substitute ``?`` placeholders OUTSIDE string literals/comments,
+        left to right, erroring on arity mismatch like the reference."""
+        masked, unmask = self._mask_literals(text)
+        n_slots = masked.count("?")
+        if n_slots != len(params):
+            raise ValueError(
+                f"bind parameter arity mismatch: statement has {n_slots} "
+                f"placeholder(s), got {len(params)} value(s)"
+            )
+        it = iter(params)
+        masked = re.sub(r"\?", lambda _m: self._render_literal(next(it)), masked)
+        return unmask(masked)
 
     def script(self, text: str) -> list[DataFrame | int]:
         """Run a multi-statement script (the SQL-file surface — reference

@@ -1345,3 +1345,32 @@ def test_dynamic_columns_in_upsert_select(engine):
 
 def test_execute_upgrade_noop(engine):
     assert engine.sql("EXECUTE UPGRADE") == 0
+
+
+def test_bind_parameters(engine):
+    """JDBC-style ? binds (PhoenixPreparedStatement surface): positional,
+    literal-safe, uniform across SELECT and mutations."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    engine.sql(
+        "CREATE TABLE bp (k BIGINT NOT NULL, name VARCHAR, ts TIMESTAMP, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO bp VALUES (?, ?, ?)",
+        params=[1, "O'Brien?", dt.datetime(2021, 3, 4, 5, 6, 7)],
+    )
+    row = engine.sql(
+        "SELECT k, name, ts FROM bp WHERE name = ?", params=["O'Brien?"]
+    ).collect()[0]
+    assert row.k == 1 and row.name == "O'Brien?"
+    assert row.ts == dt.datetime(2021, 3, 4, 5, 6, 7)
+    # a ? inside a string literal is NOT a placeholder
+    got = engine.sql(
+        "SELECT k FROM bp WHERE name LIKE '%?' AND k = ?", params=[1]
+    ).collect()
+    assert [r.k for r in got] == [1]
+    with _pt.raises(ValueError, match="arity"):
+        engine.sql("SELECT k FROM bp WHERE k = ?", params=[1, 2])
