@@ -200,6 +200,36 @@ REG.add(
     """,
 )
 
+# --- deterministic train/val/test split --------------------------------------
+# The split every training run needs, as a pure per-row expression: the
+# md5 bucket of the PK maps 90/5/5 into train/val/test.  Deterministic and
+# engine-independent (same md5 both sides), so the split can be re-derived
+# at any time and never leaks rows between sets across reruns — the property
+# rand()-based splits cannot give.  Zero shuffles at any scale.
+_SPLIT_CASE = (
+    f"CASE WHEN {{b}} < 90 THEN 'train' "
+    f"WHEN {{b}} < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+def _sample_split(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(_SPLIT_CASE.format(b=_BUCKET)).alias("split"),
+    )
+
+
+REG.add(
+    "sample_split",
+    _sample_split,
+    f"""
+    SELECT doc_id, source,
+           {_SPLIT_CASE.format(b=_DUCK_BUCKET)} AS split
+    FROM documents
+    """,
+)
+
 # --- training-mix accounting report ------------------------------------------
 # The bookkeeping step every dataset-assembly run ends with: per-source doc
 # and token counts plus each source's fraction of the corpus.  One map-side-
