@@ -123,7 +123,7 @@ for name in ["q1_pricing_summary", "q3_shipping_priority", "agg_groupby_hash",
              "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash128",
              "similarity_lsh_pairs",
              "text_repetition_stats", "assembly_mix_report",
-             "text_decontaminate"]:
+             "text_decontaminate", "dedup_incremental", "similarity_knn_batch"]:
     a = bench(qs[name], SRC)
     b = bench(qs[name], DST)
     print(f"{name}: sf0.1={a:.2f}s 10x={b:.2f}s ratio={b/a:.1f}x")
