@@ -146,12 +146,22 @@ class ManagedTable:
         out = df.select(*cols).withColumns(
             {_TS_COL: F.lit(ts).cast("long"), _DEL_COL: F.lit(deleted)}
         )
-        # WRITE_SORT (secondary-index layout): range-partition + sort each
-        # segment by the index key so parquet row-group min/max statistics
-        # prune key probes to O(result) — the covered-index scan shape.
+        # Segment layout mirrors the reference's row-key order (SURVEY §1.1):
+        #   * WRITE_SORT (secondary indexes): range-partition + sort by the
+        #     index key — globally disjoint sorted files, the covered-probe
+        #     layout.  repartitionByRange SAMPLES its input (an extra pass),
+        #     which is fine for index builds/maintenance scans.
+        #   * default (base tables): sortWithinPartitions by the PK — each
+        #     task writes a locally-sorted run (the LSM shape), so parquet
+        #     row-group min/max stats prune PK range/point scans WITHOUT an
+        #     extra shuffle or the sampling re-read of the source that
+        #     range partitioning would cost on every UPSERT (it would also
+        #     double-fire observe() metrics — the single-pass count).
         sort_cols = self.meta.get("props", {}).get("WRITE_SORT")
         if sort_cols:
             out = out.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+        else:
+            out = out.sortWithinPartitions(*self.pk)
         path = os.path.join(self.seg_dir, f"seg-{ts:012d}-{uuid.uuid4().hex[:8]}.parquet")
         out.write.mode("errorifexists").parquet(path)
         return ts
@@ -218,6 +228,13 @@ class ManagedTable:
         snap = self.read().withColumns(
             {_TS_COL: F.lit(ts).cast("long"), _DEL_COL: F.lit(False)}
         )
+        # Compaction is where the GLOBAL sort pays off: one range shuffle
+        # rewrites the whole history as disjoint sorted files (the sampling
+        # pass is amortized over the full rewrite), so the single-segment
+        # fast path afterwards serves PK scans with maximal row-group
+        # pruning.
+        sort_cols = self.meta.get("props", {}).get("WRITE_SORT") or self.pk
+        snap = snap.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
         tmp = os.path.join(self.dir, f"_compact-{uuid.uuid4().hex[:8]}.parquet")
         snap.write.mode("errorifexists").parquet(tmp)
         import shutil

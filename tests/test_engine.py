@@ -1374,3 +1374,44 @@ def test_bind_parameters(engine):
     assert [r.k for r in got] == [1]
     with _pt.raises(ValueError, match="arity"):
         engine.sql("SELECT k FROM bp WHERE k = ?", params=[1, 2])
+
+
+def test_segments_written_pk_sorted(engine):
+    """Managed-table segments are range-partitioned and sorted by the PK by
+    default (the reference's row-key order, SURVEY §1.1) so parquet
+    row-group min/max stats prune PK range scans to O(result)."""
+    import os
+
+    engine.sql(
+        "CREATE TABLE srt (k BIGINT NOT NULL, v DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO srt SELECT o_orderkey, o_totalprice FROM orders")
+    mt = engine.managed("srt")
+    segs = mt._segments()
+    assert segs
+    parts = [
+        os.path.join(segs[0], p)
+        for p in os.listdir(segs[0])
+        if p.startswith("part-") and p.endswith(".parquet")
+    ]
+    assert parts
+    import pyarrow.parquet as pq
+
+    for p in parts:
+        ks = pq.read_table(p, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f"segment file {p} not PK-sorted"
+    # after compaction the whole table is ONE range-partitioned sorted run:
+    # files cover disjoint key ranges (maximal row-group pruning)
+    mt.compact()
+    seg = mt._segments()[0]
+    ranges = sorted(
+        (
+            lambda ks: (min(ks), max(ks))
+        )(pq.read_table(os.path.join(seg, p), columns=["k"]).column("k").to_pylist())
+        for p in os.listdir(seg)
+        if p.startswith("part-") and p.endswith(".parquet")
+        and pq.read_table(os.path.join(seg, p), columns=["k"]).num_rows
+    )
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "compacted segment files overlap in key range"
