@@ -964,6 +964,14 @@ class Engine:
         more capable (SURVEY §2.12).  Python UDFs are the slow path: prefer
         built-ins; this is the escape hatch.
         """
+        if re.search(r"\bUSING\s+JAR\b", text, re.I):
+            raise ValueError(
+                "CREATE FUNCTION ... USING JAR loads a Java class through "
+                "the reference's DynamicClassLoader (UDFExpression.java:47) "
+                "— a JVM-bytecode surface a PySpark engine does not host. "
+                "Bind a Python callable instead: CREATE FUNCTION name AS "
+                "'module:callable' [RETURNS type], or Engine.create_function"
+            )
         m = re.match(
             r"^\s*CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(\w+)\s+AS\s+"
             r"'([\w.]+):(\w+)'(?:\s+RETURNS\s+([\w()0-9,]+))?\s*;?\s*$",

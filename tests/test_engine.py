@@ -1415,3 +1415,13 @@ def test_segments_written_pk_sorted(engine):
     )
     for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "compacted segment files overlap in key range"
+
+
+def test_create_function_using_jar_scope_error(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="USING JAR|DynamicClassLoader"):
+        engine.sql(
+            "CREATE FUNCTION myudf(VARCHAR) RETURNS VARCHAR AS "
+            "'com.example.MyUdf' USING JAR '/tmp/udf.jar'"
+        )
