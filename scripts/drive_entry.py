@@ -1,5 +1,9 @@
 """Driver emulation: vanilla SparkSession, entry() smoke + full oracle
-compare at sf0.01 (the driver's correctness gate scale)."""
+compare at sf0.01 (the driver's correctness gate scale).
+
+Pass an sf directory to run the same compare at another scale, e.g.
+``python scripts/drive_entry.py /root/testdata/sf0.1`` for the 100x-the-
+default-parity-SF sweep."""
 
 import sys
 
@@ -11,7 +15,7 @@ from pyspark.sql import SparkSession
 
 from tests.parity import compare
 
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
