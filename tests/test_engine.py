@@ -1425,3 +1425,31 @@ def test_create_function_using_jar_scope_error(engine):
             "CREATE FUNCTION myudf(VARCHAR) RETURNS VARCHAR AS "
             "'com.example.MyUdf' USING JAR '/tmp/udf.jar'"
         )
+
+
+def test_tenant_view_composition(engine):
+    """Tenant connections + views compose (the reference's SaaS pattern:
+    tenant-specific views over a MULTI_TENANT base): the view predicate and
+    the implicit tenant filter both apply on read, and writes through the
+    view fill both the tenant id and the view constants."""
+    engine.sql(
+        "CREATE TABLE saas (tenant VARCHAR NOT NULL, k BIGINT NOT NULL, "
+        "kind VARCHAR, v DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (tenant, k)) MULTI_TENANT=true"
+    )
+    engine.sql(
+        "UPSERT INTO saas VALUES ('t1', 1, 'click', 1.5), "
+        "('t1', 2, 'view', 2.5), ('t2', 1, 'click', 9.5)"
+    )
+    t1 = engine.with_tenant("t1")
+    t1.sql("CREATE VIEW t1_clicks AS SELECT * FROM saas WHERE kind = 'click'")
+    rows = t1.table("t1_clicks").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 1.5)]  # tenant AND view filters
+    # write through the view from the tenant connection: tenant id + view
+    # constant both auto-filled
+    t1.sql("UPSERT INTO t1_clicks (k, v) VALUES (3, 3.5)")
+    got = {
+        (r.tenant, r.k): (r.kind, r.v) for r in engine.table("saas").collect()
+    }
+    assert got[("t1", 3)] == ("click", 3.5)
+    assert ("t2", 3) not in got
