@@ -1691,6 +1691,13 @@ class Engine:
                 rows.append(
                     tuple(self._eval_literal(v) for v in lits)
                 )
+            # duplicate PKs within one VALUES batch: LAST write wins, as in
+            # the reference (MutationState buffers by PK) — resolved here so
+            # equal-mutation-ts rows never reach the read-side tie-break
+            pk_pos = [cols.index(c) for c in mt.pk]
+            rows = list(
+                {tuple(r[i] for i in pk_pos): r for r in rows}.values()
+            )
             src_schema = T.StructType(
                 [
                     base_by_name[c]

@@ -200,9 +200,16 @@ class ManagedTable:
         return self._append_segment(updated.unionByName(fresh), ts)
 
     def upsert_rows(self, rows: list[dict], on_duplicate: str | dict | None = None) -> int:
-        """UPSERT VALUES: literal rows (partial columns allowed → NULL fill)."""
+        """UPSERT VALUES: literal rows (partial columns allowed → NULL fill).
+
+        Duplicate PKs within one batch resolve LAST-WRITE-WINS before the
+        commit (MutationState buffers mutations by PK, so a later VALUES row
+        silently replaces an earlier one in the same statement) — without
+        this, both rows would land in one segment with equal mutation_ts and
+        the read-side latest-wins window would break the tie arbitrarily."""
         full = [{f.name: r.get(f.name) for f in self.schema.fields} for r in rows]
-        df = self.spark.createDataFrame(full, schema=self.schema)
+        by_pk = {tuple(r[c] for c in self.pk): r for r in full}
+        df = self.spark.createDataFrame(list(by_pk.values()), schema=self.schema)
         return self.upsert_df(df, on_duplicate=on_duplicate)
 
     def delete_where(self, condition: str | F.Column | None) -> int:

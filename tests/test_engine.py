@@ -1453,3 +1453,17 @@ def test_tenant_view_composition(engine):
     }
     assert got[("t1", 3)] == ("click", 3.5)
     assert ("t2", 3) not in got
+
+
+def test_duplicate_pk_in_one_values_batch_last_wins(engine):
+    """MutationState buffers by PK: a later VALUES row in the SAME statement
+    replaces an earlier one deterministically (not an arbitrary read-side
+    tie-break between equal-mutation-ts rows)."""
+    engine.sql(
+        "CREATE TABLE dupb (k BIGINT NOT NULL, v VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    n = engine.sql("UPSERT INTO dupb VALUES (1, 'first'), (2, 'x'), (1, 'last')")
+    assert n == 3  # executeUpdate counts processed rows
+    got = {r.k: r.v for r in engine.table("dupb").collect()}
+    assert got == {1: "last", 2: "x"}
