@@ -169,6 +169,14 @@ class ManagedTable:
     def upsert_df(self, df: DataFrame, on_duplicate: str | dict | None = None) -> int:
         """UPSERT SELECT / VALUES: insert-or-overwrite by PK.
 
+        Contract: one COMMIT must not contain two rows with the same PK —
+        rows in a segment share a mutation_ts, so the read-side latest-wins
+        window cannot order them.  The VALUES path dedupes last-write-wins
+        before reaching here (upsert_rows / Engine); an UPSERT SELECT whose
+        SOURCE yields duplicate PKs is the caller's responsibility, matching
+        the reference, where the winner is the unspecified scan order of the
+        server-side upsert.
+
         ``on_duplicate``:
           * None      — plain upsert (latest wins at read time; no read needed)
           * 'ignore'  — ON DUPLICATE KEY IGNORE: only rows whose PK is absent
