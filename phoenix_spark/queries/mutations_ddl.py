@@ -542,3 +542,52 @@ REG.add(
            CAST((SELECT SUM(o_orderkey) FROM b WHERE o_orderkey % 10 = 0) AS BIGINT)
     """,
 )
+
+
+# --- custom stateful streaming operator, externally verified -----------------
+# applyInPandasWithState (the §2.11 custom-stateful surface) behind a
+# value-hash oracle: per-user state (event count + exact int64 id checksum)
+# accumulates in the state store across an availableNow run and the final
+# per-key rows hash-match a plain relational aggregate.  The source copy is
+# coalesced to ONE file so the run is a single micro-batch and the update-
+# mode memory sink holds exactly one row per key.
+def _stream_stateful_checksum(spark, sf):
+    import tempfile
+    import uuid
+
+    from phoenix_spark.queries._util import t as _t
+    from phoenix_spark.streaming import stateful_user_checksum
+
+    src = tempfile.mkdtemp(prefix="phx_sst_") + "/ev"
+    (
+        _t(spark, sf, "events")
+        .select("user_id", "event_id")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema("user_id bigint, event_id bigint").parquet(src)
+    sink = f"sst_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_checksum(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="phx_sst_ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("user_id", "n_events", "id_sum")
+
+
+REG.add(
+    "stream_stateful_checksum",
+    _stream_stateful_checksum,
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY user_id
+    """,
+)

@@ -204,6 +204,47 @@ def stateful_user_stats(events: DataFrame, timeout_minutes: int = 0) -> DataFram
     )
 
 
+def stateful_user_checksum(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState with EXACT integer state — the hash-verifiable
+    twin of stateful_user_stats: per-user event count and int64 event-id
+    checksum carried in the state store.  Integer accumulation makes the
+    result bit-deterministic regardless of batch/arrival order, so the
+    operator can be value-hash oracle-paired (a float total cannot)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("id_sum", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", LongType())]
+    )
+
+    def _update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += int(pdf["event_id"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            [(key[0], n, s)], columns=["user_id", "n_events", "id_sum"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup(
     events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:
