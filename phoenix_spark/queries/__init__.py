@@ -115,9 +115,10 @@ _ROTATING = [
     "subq_scalar_correlated",
     # TPC-H tail (never driver-run)
     "q18_large_volume_customer",
-    "q19_disjunct_revenue",
     "q21_suppliers_waiting",
     "q22_sales_opportunity",
+    # §2.11 custom stateful streaming (applyInPandasWithState), hash-verified
+    "stream_stateful_checksum",
     # §2.6 sorts: NULLS FIRST divergence probe + FETCH FIRST
     "sort_nulls_first",
     "sort_fetch_first",
