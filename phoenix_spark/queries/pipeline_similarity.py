@@ -533,10 +533,7 @@ def _ivf_probe(spark, sf):
 # vectors, assignment minimizes exact integer squared-L2 with (dist, cell)
 # tie-break (row_number mirrors Spark's min(struct(d, cell))), probe = the
 # _N_PROBE nearest cells to the query, verify = exact integer cosine.
-REG.add(
-    "similarity_ivf_probe",
-    _ivf_probe,
-    f"""
+_IVF_ORACLE = f"""
     WITH qe AS (
       SELECT vec_id, {_DUCK_Q} AS q FROM embeddings
     ), qn AS (
@@ -571,8 +568,100 @@ REG.add(
     WHERE v.vec_id != 1
     ORDER BY cosine DESC, v.vec_id
     LIMIT 10
-    """,
-)
+    """
+
+REG.add("similarity_ivf_probe", _ivf_probe, _IVF_ORACLE)
+
+# --- IVF with a PERSISTED bucketed cell index --------------------------------
+# The build-once / probe-many production shape _ivf_probe only sketches: the
+# cell assignment is WRITTEN as a table bucketed by cell, and a probe reads
+# ONLY the probed buckets — Spark's bucket pruning turns the probe into a
+# 2-of-8-buckets scan with zero shuffles (pinned by the SelectedBucketsCount
+# plan assertion in tests/test_plans.py).  At 100 TB the index build is one
+# assignment pass; every later query is a pruned scan + broadcast of one
+# query vector.  Result set is identical to similarity_ivf_probe, so it
+# shares that entry's oracle.
+def _ivf_persisted(spark, sf):
+    import hashlib
+
+    emb = _quantized(spark, sf)
+    cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("q").alias("cq"),
+        F.col("qn").alias("cqn"),
+    )
+    dot_c = F.expr(
+        "aggregate(zip_with(q, cq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    dist = F.col("qn") + F.col("cqn") - 2 * dot_c
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("cell").alias("cell"))).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    tbl = f"ivf_cells_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    # deterministic name per sf dir → rebuild replaces the index; a STALE
+    # warehouse dir from another session isn't in this session's catalog,
+    # so clear both the catalog entry and the location before the write
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    (
+        emb.join(assign, "vec_id")
+        .select("vec_id", "cell", "q", "qn")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_N_CELLS, "cell")
+        .sortBy("cell")
+        .saveAsTable(tbl)
+    )
+    # autoBucketedScan only credits joins/aggregates when deciding whether
+    # to keep a bucketed scan — it would drop the bucketed read here and
+    # with it the FILTER-based bucket pruning this index exists for
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    stored = spark.table(tbl)
+    qrow = emb.filter(F.col("vec_id") == 1).select(
+        F.col("q").alias("qq"), F.col("qn").alias("qqn")
+    )
+    qdist = F.col("qqn") + F.col("cqn") - F.expr(
+        "2 * aggregate(zip_with(qq, cq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    probe_cells = [
+        r.cell
+        for r in cents.crossJoin(F.broadcast(qrow))
+        .select("cell", qdist.alias("qd"))
+        .orderBy("qd", "cell")
+        .limit(_N_PROBE)
+        .collect()
+    ]
+    # literal IN-list on the bucket column → static bucket pruning (the
+    # probed-cell ids are index metadata, like the reference's guideposts)
+    cand = stored.filter(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != 1)
+    )
+    dot_q = F.expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    return (
+        cand.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "cell",
+            (dot_q / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+REG.add("similarity_ivf_persisted", _ivf_persisted, _IVF_ORACLE)
 
 # --- per-label centroids of the quantized embeddings -------------------------
 # The k-means/centroid-update kernel as a single groupBy: element-wise SUM of

@@ -430,3 +430,14 @@ def test_dedup_incremental_broadcasts_new_batch(spark):
     plan = plan_of(spark, "dedup_incremental")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_persisted_bucket_pruning(spark):
+    """The persisted IVF index is bucketed by cell: a probe reads ONLY the
+    probed buckets (static bucket pruning), with zero shuffles on the
+    candidate read."""
+    df = QUERIES["similarity_ivf_persisted"](spark, SF_TEST_DIR)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SelectedBucketsCount: 2 out of 8" in formatted
