@@ -90,6 +90,7 @@ class Drop:
     name: str
     if_exists: bool
     truncate: bool = False
+    cascade: bool = False  # DROP TABLE ... CASCADE drops dependent views
 
 
 def _strip(s: str) -> str:
@@ -375,7 +376,7 @@ def parse_delete(sql: str) -> Delete:
 
 _DROP_RE = re.compile(
     r"^\s*(?P<op>DROP|TRUNCATE)\s+(?P<kind>TABLE|VIEW|SEQUENCE)\s+"
-    r"(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)\s*$",
+    r"(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.\"]+)(?P<cascade>\s+CASCADE)?\s*$",
     re.IGNORECASE,
 )
 
@@ -389,4 +390,5 @@ def parse_drop(sql: str) -> Drop:
         name=m.group("name").strip('"').lower(),
         if_exists=bool(m.group("ie")),
         truncate=m.group("op").upper() == "TRUNCATE",
+        cascade=bool(m.group("cascade")),
     )

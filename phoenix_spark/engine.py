@@ -1282,6 +1282,27 @@ class Engine:
             if dr.if_exists:
                 return 0
             raise ValueError(f"no table {dr.name}")
+        # child views block a plain DROP TABLE; CASCADE drops them too
+        # (MetaDataClient.dropTable: CANNOT_MUTATE_TABLE unless cascade)
+        base = dr.name.split(".")[-1].lower()
+        child_views = []
+        for v in self._views:  # whole chains: a view-of-a-view goes too
+            node = v
+            while node in self._views:
+                node = self._views[node][0]
+            if node.split(".")[-1].lower() == base:
+                child_views.append(v)
+        if child_views and not dr.truncate:
+            if not dr.cascade:
+                raise ValueError(
+                    f"cannot drop table {dr.name}: dependent view(s) "
+                    f"{sorted(child_views)} exist — use DROP TABLE ... CASCADE"
+                )
+            for v in child_views:
+                self._views.pop(v, None)
+                self.spark.catalog.dropTempView(v.split(".")[-1])
+                self._registered.discard(v.split(".")[-1])
+            self._save_views()
         dependent = [
             d.name
             for d in self._indexes.values()

@@ -1467,3 +1467,20 @@ def test_duplicate_pk_in_one_values_batch_last_wins(engine):
     assert n == 3  # executeUpdate counts processed rows
     got = {r.k: r.v for r in engine.table("dupb").collect()}
     assert got == {1: "last", 2: "x"}
+
+
+def test_drop_table_cascade_views(engine):
+    """MetaDataClient.dropTable: child views block a plain DROP TABLE;
+    CASCADE drops the whole view chain with the table."""
+    import pytest as _pt
+
+    engine.sql("CREATE TABLE casc (k BIGINT NOT NULL, kind VARCHAR, "
+               "CONSTRAINT pk PRIMARY KEY (k))")
+    engine.sql("CREATE VIEW casc_v AS SELECT * FROM casc WHERE kind = 'a'")
+    engine.sql("CREATE VIEW casc_vv AS SELECT * FROM casc_v")
+    with _pt.raises(ValueError, match="CASCADE"):
+        engine.sql("DROP TABLE casc")
+    engine.sql("DROP TABLE casc CASCADE")
+    with _pt.raises(ValueError):
+        engine.managed("casc")
+    assert "casc_v" not in engine._views and "casc_vv" not in engine._views
