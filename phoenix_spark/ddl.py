@@ -48,6 +48,10 @@ class CreateView:
     # view-defined columns (grammar :557-565 allows a column-def list: a view
     # may ADD typed columns beyond its parent's schema) — name -> type text
     columns: dict[str, str] | None = None
+    if_not_exists: bool = False
+    # view columns marked PRIMARY KEY extend the parent's row key
+    # (ColumnDef.isPK inside a view, e.g. reference IT add_view_index.sql)
+    pk_cols: list[str] | None = None
 
 
 @dataclass
@@ -231,12 +235,14 @@ def parse_create_table(sql: str) -> CreateTable:
 
 
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+VIEW\s+(?P<name>[\w.\"]+)\s*"
+    r"^\s*CREATE\s+VIEW\s+(?:IF\s+NOT\s+(?P<ine>EXISTS)\s+)?(?P<name>[\w.\"]+)\s*"
     r"(?:\(\s*(?P<cols>[^)]*?)\s*\)\s*)?"
     r"AS\s+SELECT\s+\*\s+FROM\s+"
     r"(?P<parent>[\w.\"]+)(?:\s+WHERE\s+(?P<where>.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_VIEW_PK_SUFFIX_RE = re.compile(r"\s+(?:NOT\s+NULL\s+)?PRIMARY\s+KEY\s*$", re.IGNORECASE)
 
 
 def parse_create_view(sql: str) -> CreateView:
@@ -248,17 +254,26 @@ def parse_create_view(sql: str) -> CreateView:
             "predicate-plus-added-columns — PhoenixSQL.g:557-565)"
         )
     columns: dict[str, str] = {}
+    pk_cols: list[str] = []
     if m.group("cols"):
         for item in m.group("cols").split(","):
             parts = item.strip().split(None, 1)
             if len(parts) != 2:
                 raise ValueError(f"bad view column definition {item.strip()!r}")
-            columns[parts[0].strip('"').lower()] = parts[1].strip()
+            name, typ = parts[0].strip('"').lower(), parts[1].strip()
+            # `A BIGINT PRIMARY KEY` inside a view extends the parent row key
+            stripped = _VIEW_PK_SUFFIX_RE.sub("", typ)
+            if stripped != typ:
+                pk_cols.append(name)
+                typ = stripped.strip()
+            columns[name] = typ
     return CreateView(
         name=m.group("name").strip('"').lower(),
         parent=m.group("parent").strip('"').lower(),
         where=_strip(m.group("where")) if m.group("where") else None,
         columns=columns or None,
+        if_not_exists=bool(m.group("ine")),
+        pk_cols=pk_cols or None,
     )
 
 

@@ -81,6 +81,10 @@ class Engine:
         # tenant connection sees an implicit WHERE tenant = ? and never the
         # tenant column itself.
         self.tenant_id = tenant_id
+        # CREATE FUNCTION bindings (SYSTEM.FUNCTION rows): name ->
+        # (class_name, return_type, num_args).  Session-scoped like the
+        # Spark UDF registry the callables live in.
+        self._functions: dict[str, tuple[str, str | None, int | None]] = {}
         self._registered: set[str] = set()
         self._ts_cols: dict[str, set[str]] | None = None
         if sf_dir is not None:
@@ -127,9 +131,15 @@ class Engine:
             # view-defined columns resolve like dynamic columns: typed reads
             # from the parent's JSON overflow column (the reference stores
             # view columns as ordinary cells of the same physical table; the
-            # overflow column is this engine's cell store for them)
-            df = self.table(parent, dyn_cols=vcols or None, json_col=json_col)
+            # overflow column is this engine's cell store for them).  A None
+            # type marks a parent column EXCLUDED via ALTER VIEW DROP COLUMN
+            # (the reference's diverged views, LinkType.EXCLUDED_COLUMN).
+            added = {c: t for c, t in (vcols or {}).items() if t is not None}
+            excluded = [c for c, t in (vcols or {}).items() if t is None]
+            df = self.table(parent, dyn_cols=added or None, json_col=json_col)
             df = df.filter(where) if where else df
+            if excluded:
+                df = df.drop(*excluded)
         else:
             mt = ManagedTable(self.spark, self.warehouse, name)
             if mt.exists():
@@ -137,6 +147,22 @@ class Engine:
                 tcol = self._tenant_col(mt) if self.tenant_id else None
                 if tcol:
                     df = df.filter(F.col(tcol) == self.tenant_id).drop(tcol)
+                if mt.meta.get("props", {}).get("HIDDEN_OVERFLOW"):
+                    # overflow auto-provisioned for view columns: resolve
+                    # dyn/view columns from it, then hide it (the base's
+                    # declared column list never changes)
+                    if dyn_cols and json_col == "props":
+                        from phoenix_spark.types import parse_type
+
+                        for col, typ in dyn_cols.items():
+                            df = df.withColumn(
+                                col,
+                                F.get_json_object(
+                                    F.col(json_col), f"$.{col}"
+                                ).cast(parse_type(typ)),
+                            )
+                        dyn_cols = None
+                    df = df.drop("props")
             else:
                 assert self.catalog is not None, "attach(sf_dir) first"
                 df = self.catalog.df(name)
@@ -144,19 +170,43 @@ class Engine:
             from phoenix_spark.types import parse_type
 
             for col, typ in dyn_cols.items():
-                df = df.withColumn(
-                    col,
-                    F.get_json_object(F.col(json_col), f"$.{col}").cast(
-                        parse_type(typ)
-                    ),
+                # a base with no JSON overflow column reads added view /
+                # dynamic columns as NULL (no cell written yet)
+                src = (
+                    F.get_json_object(F.col(json_col), f"$.{col}")
+                    if json_col in df.columns
+                    else F.lit(None)
                 )
+                df = df.withColumn(col, src.cast(parse_type(typ)))
         return df
 
     def managed(self, name: str) -> ManagedTable:
         mt = ManagedTable(self.spark, self.warehouse, self._qualify(name))
+        if not mt.exists() and "." not in name:
+            # a bare name may denote a schema-qualified table (e.g. CREATE
+            # INDEX ... ON s.t parses the base down to 't'); resolve it when
+            # exactly one managed table carries that trailing segment
+            cands = [
+                n
+                for n in self._managed_names()
+                if n.split(".")[-1] == name.lower()
+            ]
+            if len(cands) == 1:
+                mt = ManagedTable(self.spark, self.warehouse, cands[0])
         if not mt.exists():
             raise ValueError(f"no managed table {name}")
         return mt
+
+    def _managed_names(self) -> list[str]:
+        """All managed-table names in the warehouse (dotted for
+        schema-qualified tables — ManagedTable nests them as directories)."""
+        names: list[str] = []
+        for root, dirs, files in os.walk(self.warehouse):
+            if "meta.json" in files:
+                rel = os.path.relpath(root, self.warehouse)
+                names.append(rel.replace(os.sep, ".").lower())
+                dirs[:] = []  # table dirs do not nest further tables
+        return names
 
     def _register(self, name: str) -> None:
         # temp view names cannot be dotted; register the bare table name
@@ -227,6 +277,21 @@ class Engine:
     def _save_sequences(self, seqs: dict) -> None:
         with open(self._seq_path, "w") as f:
             json.dump(seqs, f)
+
+    # -- SYSTEM.TASK store (PTable.TaskType; Task.java) --------------------
+
+    def _tasks(self) -> list[dict]:
+        path = os.path.join(self.warehouse, "_tasks.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return []
+
+    def _add_task(self, **task) -> None:
+        tasks = self._tasks()
+        tasks.append(task)
+        with open(os.path.join(self.warehouse, "_tasks.json"), "w") as f:
+            json.dump(tasks, f, indent=1)
 
     _LONG_MIN, _LONG_MAX = -(2**63), 2**63 - 1
 
@@ -422,6 +487,8 @@ class Engine:
         if self._cdcs:
             self._register_cdc_views(text)
         masked, unmask = self._mask_literals(text)
+        masked = self._rewrite_qualified_refs(masked)
+        masked = self._rewrite_distinct_orderby(masked)
         masked = self._rewrite_dynamic_cols(masked)
         masked = self._rewrite_tablesample(masked)
         masked = self._rewrite_sequence_refs(
@@ -434,6 +501,82 @@ class Engine:
         return self.spark.sql(
             translate_phoenix_sql(text, ts_columns=self._ts_columns_for(text))
         )
+
+    # SELECT DISTINCT ... GROUP BY g1,g2 ORDER BY g1,g2 where a sort key is
+    # a GROUPING column absent from the projection: Phoenix orders the
+    # aggregated rows BEFORE DISTINCT collapses them (the IT script
+    # query_ordered_groupby.sql ships this shape); Spark rejects the
+    # unresolvable key.  Dropping the non-projected keys preserves the
+    # deterministic order of the projected prefix — only the intra-group
+    # tie order (unobservable after DISTINCT collapses equal rows) differs.
+    _DISTINCT_OB_RE = re.compile(
+        r"^(?P<head>\s*SELECT\s+DISTINCT\b.*\bGROUP\s+BY\s+(?P<gb>[^;]*?))"
+        r"\bORDER\s+BY\s+(?P<ob>.+?)"
+        r"(?P<tail>\s+(?:LIMIT|OFFSET|FETCH)\b.*)?;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _rewrite_distinct_orderby(self, text: str) -> str:
+        m = self._DISTINCT_OB_RE.match(text)
+        if not m:
+            return text
+        proj = re.search(
+            r"SELECT\s+DISTINCT\s+(.*?)\s+FROM\b", m.group("head"), re.I | re.S
+        )
+        if not proj:
+            return text
+        proj_tokens = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", proj.group(1))}
+        gb_cols = {
+            c.strip().split(".")[-1].lower()
+            for c in m.group("gb").split(",")
+            if re.match(r"^\s*[\w.]+\s*$", c)
+        }
+        kept = []
+        for key in m.group("ob").split(","):
+            km = re.match(r"^\s*([\w.]+)(\s+(?:ASC|DESC))?\s*$", key, re.I)
+            bare = km.group(1).split(".")[-1].lower() if km else None
+            if km and bare not in proj_tokens and bare in gb_cols:
+                continue  # grouping-only sort key, unobservable post-DISTINCT
+            kept.append(key.strip())
+        if len(kept) == len([k for k in m.group("ob").split(",") if k.strip()]):
+            return text
+        tail = m.group("tail") or ""
+        if kept:
+            return f"{m.group('head')}ORDER BY {', '.join(kept)}{tail}"
+        return f"{m.group('head').rstrip()}{tail}"
+
+    _SYSTEM_REF_RE = re.compile(
+        r"\bSYSTEM\s*\.\s*\"?(CATALOG|SEQUENCE|FUNCTION|TASK|STATS)\"?", re.I
+    )
+
+    def _rewrite_qualified_refs(self, text: str) -> str:
+        """Spark temp views cannot be dotted, so ``schema.table`` references
+        resolve by substituting the bare registered name — covering the
+        3-part column form too (``sch.t.col`` → ``t.col``).  ``SYSTEM.X``
+        references materialize the metadata table from engine state
+        (PhoenixDatabaseMetaData surface; see system_tables.py) and swap in
+        its generated view.  Runs on literal-masked text."""
+
+        def _sys(m: re.Match) -> str:
+            from phoenix_spark import system_tables as ST
+
+            kind = m.group(1).lower()
+            view = f"system_{kind}"
+            ST.BUILDERS[kind](self).createOrReplaceTempView(view)
+            return view
+
+        text = self._SYSTEM_REF_RE.sub(_sys, text)
+        dotted = [n for n in self._managed_names() if "." in n]
+        dotted += [v for v in self._views if "." in v and v not in dotted]
+        for name in sorted(dotted, key=len, reverse=True):
+            bare = name.split(".")[-1]
+            pat = r"\b" + re.escape(name) + r"\b"
+            new, n = re.subn(pat, bare, text, flags=re.I)
+            if n and bare not in self._registered:
+                # lazy temp-view registration (pre-existing warehouse)
+                self._register(name)
+            text = new
+        return text
 
     # FROM t (col TYPE, ...) — dynamic columns (grammar :832-855).  The
     # col-TYPE pair shape distinguishes it from a derived table `FROM (SELECT
@@ -689,10 +832,20 @@ class Engine:
             try:
                 return set(self.managed(table).schema.fieldNames())
             except ValueError:
-                return None
+                try:  # a VIEW with indexes: columns of its resolved frame
+                    b, chain = self._index_base(table)
+                except ValueError:
+                    return None
+                if chain is None:
+                    return None
+                frame = self._apply_view_chain(b.read(), chain)
+                return set(frame.schema.fieldNames())  # analysis only, no job
 
         def base_pk_of(table: str):
-            return self.managed(table).pk
+            try:
+                return self.managed(table).pk
+            except ValueError:
+                return self._index_base(table)[0].pk
 
         active = {
             k: d for k, d in self._indexes.items() if d.state == "ACTIVE"
@@ -808,6 +961,36 @@ class Engine:
 
     def _exec_create_view(self, text: str) -> int:
         cv = D.parse_create_view(text)
+        if cv.name in self._views:
+            # MetaDataClient.createTable: TABLE_ALREADY_EXIST unless IF NOT
+            # EXISTS (a view is a catalog row of the same namespace)
+            if cv.if_not_exists:
+                return 0
+            raise ValueError(f"view {cv.name} already exists")
+        if cv.columns:
+            # view-added columns physically live in the base's JSON overflow
+            # column (the reference writes them as ordinary cells of the same
+            # physical HBase table — any row can grow cells; here the base
+            # grows the overflow column once, metadata-only)
+            node = cv.parent
+            while self._qualify(node) in self._views:
+                node = self._views[self._qualify(node)][0]
+            base_mt = self.managed(node)
+            if "props" not in base_mt.schema.fieldNames():
+                from pyspark.sql import types as T
+
+                meta = base_mt.meta
+                schema = T.StructType.fromJson(meta["schema"]).add(
+                    "props", T.StringType()
+                )
+                meta["schema"] = schema.jsonValue()
+                # HIDDEN: the base's declared columns must not change when a
+                # view adds columns — the overflow is dropped from default
+                # projections (see table())
+                meta["props"]["HIDDEN_OVERFLOW"] = True
+                with open(base_mt.meta_path, "w") as f:
+                    json.dump(meta, f, indent=1)
+                self._register(base_mt.name)
         self._views[cv.name] = (cv.parent, cv.where, cv.columns or {})
         self._save_views()
         self._register(cv.name)
@@ -992,6 +1175,13 @@ class Engine:
         self.spark.udf.register(
             name, fn, parse_type(rtype) if rtype else None
         )
+        import inspect
+
+        try:
+            nargs = len(inspect.signature(fn).parameters)
+        except (TypeError, ValueError):
+            nargs = None
+        self._functions[name.lower()] = (f"{module}:{func}", rtype, nargs)
         return 0
 
     def create_function(self, name: str, fn, return_type=None) -> None:
@@ -1090,8 +1280,13 @@ class Engine:
             if if_not_exists:
                 return 0
             raise ValueError(f"index {d.name} already exists")
-        base = self.managed(d.table)
-        base_fields = {f.name.lower(): f for f in base.schema.fields}
+        base, chain = self._index_base(d.table)
+        source = base.read()
+        if chain is not None:
+            # view index: rows come from the view's filtered frame; the PK
+            # stays the BASE table's row key (view rows are base rows)
+            source = self._apply_view_chain(source, chain)
+        base_fields = {f.name.lower(): f for f in source.schema.fields}
         cols = d.covered(base.pk)
         for c in cols:
             if c not in base_fields and c not in d.exprs:
@@ -1102,7 +1297,7 @@ class Engine:
         # the expressions against the base schema
         expr_fields: dict[str, T.StructField] = {}
         if d.exprs:
-            probe = self._with_index_exprs(base.read(), d)
+            probe = self._with_index_exprs(source, d)
             expr_fields = {f.name.lower(): f for f in probe.schema.fields}
         schema = T.StructType(
             [
@@ -1122,7 +1317,7 @@ class Engine:
         # initial build: one distributed projection scan of the base table
         # (functional keys materialized; partial index: only rows satisfying
         # the predicate are projected)
-        build = self._with_index_exprs(base.read(), d)
+        build = self._with_index_exprs(source, d)
         if d.where is not None:
             build = build.filter(self._translate_pred(d.where, d.table))
         imt.upsert_df(build.select(*cols))
@@ -1143,22 +1338,86 @@ class Engine:
         self._registered.discard(name)
         self._ts_cols = None
 
+    def _index_base(self, table: str):
+        """Resolve an index's declared base to ``(ManagedTable, chain)``.
+
+        ``chain`` is ``None`` for a plain table; for a VIEW (the reference's
+        view indexes — MetaDataClient.createIndex accepts views, see IT
+        add_view_index.sql) it is the view chain base-outward as
+        ``[(where, vcols), ...]`` to replay over any base frame."""
+        q = self._qualify(table)
+        vname = None
+        if q in self._views:
+            vname = q
+        else:
+            cands = [
+                v for v in self._views if v.split(".")[-1] == table.lower()
+            ]
+            if len(cands) == 1:
+                vname = cands[0]
+        if vname is None:
+            return self.managed(table), None
+        chain = []
+        node = vname
+        while node in self._views:
+            parent, where, vcols = self._views[node]
+            chain.append((where, vcols))
+            node = parent if parent in self._views else self._qualify(parent)
+        chain.reverse()
+        return self.managed(node), chain
+
+    def _apply_view_chain(
+        self, df: DataFrame, chain: list, json_col: str = "props"
+    ) -> DataFrame:
+        """Replay a view chain over ``df`` — same semantics as table():
+        each view's added columns resolve from the JSON overflow column
+        (NULL when the base has none), then its predicate filters."""
+        from phoenix_spark.types import parse_type
+
+        for where, vcols in chain:
+            excluded = []
+            for col, typ in (vcols or {}).items():
+                if typ is None:  # diverged view: parent column excluded
+                    excluded.append(col)
+                    continue
+                src = (
+                    F.get_json_object(F.col(json_col), f"$.{col}")
+                    if json_col in df.columns
+                    else F.lit(None)
+                )
+                df = df.withColumn(col, src.cast(parse_type(typ)))
+            if where:
+                df = df.filter(where)
+            if excluded:
+                df = df.drop(*excluded)
+        return df
+
     def _sync_indexes(self, table: str, touched_pks: DataFrame, prev_ts: int) -> None:
         """IndexMaintainer delete+put pair for one committed mutation batch:
         tombstone the pre-image index rows of the touched base PKs, then
         upsert their post-state projections.  Both sides are broadcast
         semi-joins of the touched-PK set — never a full index rewrite."""
         table = table.split(".")[-1].lower()
-        cands = [
-            d
-            for d in self._indexes.values()
-            if d.table == table and d.state != "DISABLED"
-        ]
-        if not cands:
+        work: list[tuple["IX.IndexDef", list | None]] = []
+        for d in self._indexes.values():
+            if d.state == "DISABLED":
+                continue
+            if d.table == table:
+                work.append((d, None))
+                continue
+            # view indexes maintain on BASE-table writes (the reference's
+            # IndexMaintainer covers view indexes server-side the same way)
+            try:
+                b, chain = self._index_base(d.table)
+            except ValueError:
+                continue
+            if chain is not None and b.name.split(".")[-1].lower() == table:
+                work.append((d, chain))
+        if not work:
             return
         base = self.managed(table)
         keys = F.broadcast(touched_pks.select(*base.pk).distinct())
-        for d in cands:
+        for d, chain in work:
             imt = self.managed(d.name)
             cols = d.covered(base.pk)
             pred = (
@@ -1167,18 +1426,20 @@ class Engine:
                 else None
             )
             if prev_ts >= 1:
-                stale = self._with_index_exprs(
-                    base.read(as_of=prev_ts).join(keys, base.pk, "semi"), d
-                )
+                stale = base.read(as_of=prev_ts).join(keys, base.pk, "semi")
+                if chain is not None:
+                    stale = self._apply_view_chain(stale, chain)
+                stale = self._with_index_exprs(stale, d)
                 if pred is not None:
                     # only rows that satisfied the predicate were indexed
                     stale = stale.filter(pred)
                 imt._append_segment(
                     stale.select(*cols), imt._next_ts(), deleted=True
                 )
-            post = self._with_index_exprs(
-                base.read().join(keys, base.pk, "semi"), d
-            )
+            post = base.read().join(keys, base.pk, "semi")
+            if chain is not None:
+                post = self._apply_view_chain(post, chain)
+            post = self._with_index_exprs(post, d)
             if pred is not None:
                 # a row updated OUT of the predicate leaves the index (its
                 # pre-image was tombstoned above and nothing re-enters)
@@ -1218,6 +1479,7 @@ class Engine:
             except Exception:
                 if not fm.group(1):
                     raise
+            self._functions.pop(name, None)
             return 0
         dm = re.match(
             r"^\s*DROP\s+CDC\s+(?:IF\s+(EXISTS)\s+)?([\w.]+)\s+ON\s+[\w.]+\s*;?\s*$",
@@ -1323,7 +1585,8 @@ class Engine:
 
     _ALTER_INDEX_RE = re.compile(
         r"^\s*ALTER\s+INDEX\s+(?:IF\s+(EXISTS)\s+)?([\w.]+)\s+ON\s+([\w.]+)"
-        r"\s+(USABLE|UNUSABLE|REBUILD|DISABLE|ACTIVE)(\s+ALL)?\s*;?\s*$",
+        r"\s+(USABLE|UNUSABLE|REBUILD|DISABLE|ACTIVE)(\s+ALL)?(\s+ASYNC)?"
+        r"\s*;?\s*$",
         re.IGNORECASE,
     )
 
@@ -1356,17 +1619,37 @@ class Engine:
             elif verb == "DISABLE":
                 d.state = "DISABLED"
             else:  # REBUILD: full re-materialization from the base table
-                base = self.managed(d.table)
+                import datetime as _dt
+
+                start = _dt.datetime.now().isoformat()
+                base, chain = self._index_base(d.table)
                 imt = self.managed(d.name)
                 cols = d.covered(base.pk)
                 imt.delete_where(None)
-                build = self._with_index_exprs(base.read(), d)
+                build = base.read()
+                if chain is not None:
+                    build = self._apply_view_chain(build, chain)
+                build = self._with_index_exprs(build, d)
                 if d.where is not None:
                     build = build.filter(self._translate_pred(d.where, d.table))
                 imt.upsert_df(build.select(*cols))
                 imt.compact()
                 self._register(d.name)
                 d.state = "ACTIVE"
+                if am.group(6):  # ASYNC: recorded in SYSTEM.TASK (the
+                    # reference queues TaskType.INDEX_REBUILD=2 in SYSTEM.TASK
+                    # (PTable.java:206-208) for TaskRegionObserver to pick up;
+                    # this engine rebuilds inline, so the task row lands
+                    # COMPLETED — the observable catalog state once the
+                    # reference's background rebuild finishes)
+                    self._add_task(
+                        type=2,
+                        table=d.table,
+                        ts=start,
+                        end_ts=_dt.datetime.now().isoformat(),
+                        status="COMPLETED",
+                        data=f"INDEX_REBUILD {d.name}",
+                    )
             self._save_indexes()
             return 0
         m = re.match(
@@ -1395,12 +1678,29 @@ class Engine:
                 ).strip()
             elif op == "DROP":
                 col = rest.strip().strip('"').lower()
-                if col not in vcols:
-                    raise ValueError(
-                        f"cannot drop {col} through view {name}: not a "
-                        "view-defined column"
-                    )
-                del vcols[col]
+                if col in vcols and vcols[col] is not None:
+                    del vcols[col]
+                else:
+                    # dropping a PARENT column diverges the view from its
+                    # base (MetaDataClient.dropColumn on a view records an
+                    # EXCLUDED_COLUMN link — IT create_diverged_view.sql);
+                    # a None-typed entry marks the exclusion here.  PK
+                    # columns can never be dropped (MetaDataClient rejects:
+                    # the row key is the physical row identity).
+                    if col not in {c.lower() for c in self.table(parent).columns}:
+                        raise ValueError(
+                            f"cannot drop {col} through view {name}: "
+                            "no such column"
+                        )
+                    node = parent
+                    while node in self._views:
+                        node = self._views[node][0]
+                    if col in self.managed(node).pk:
+                        raise ValueError(
+                            f"cannot drop PK column {col} through view "
+                            f"{name}: the row key is the row identity"
+                        )
+                    vcols[col] = None
             else:
                 raise ValueError("ALTER VIEW supports ADD/DROP COLUMN only")
             self._views[vname] = (parent, where, vcols)
@@ -1506,10 +1806,12 @@ class Engine:
             meta = self.catalog.tables[name]
             schema = self.catalog.df(name).schema
             pk, sort_orders, props = list(meta.pk), {}, {}
+        hidden = props.get("HIDDEN_OVERFLOW") and "props"
         cols = ",\n  ".join(
             f"{f.name.upper()} {phx_type(f.dataType)}"
             + (" NOT NULL" if f.name in pk else "")
             for f in schema.fields
+            if f.name != hidden
         )
         pk_parts = ", ".join(
             c.upper() + (f" {sort_orders[c]}" if c in sort_orders else "")
@@ -1587,29 +1889,71 @@ class Engine:
             # the view's equality constants auto-filled (viewConstants)
             base, consts = vc
             mt0 = self.managed(base)
+            hidden0 = (
+                "props"
+                if mt0.meta.get("props", {}).get("HIDDEN_OVERFLOW")
+                else None
+            )
             listed = up.columns or [
-                c for c in mt0.schema.fieldNames() if c not in consts
+                c
+                for c in mt0.schema.fieldNames()
+                if c not in consts and c != hidden0
             ]
-            clash = [c for c in listed if c.split(None, 1)[0] in consts]
-            if clash:
-                raise ValueError(
-                    f"cannot set view-constant column(s) {clash} through "
-                    f"view {up.table}"
-                )
+            values = up.values
+            const_pos = [
+                i
+                for i, c in enumerate(listed)
+                if c.split(None, 1)[0] in consts
+            ]
+            if const_pos:
+                # restating a view-constant column is allowed when the value
+                # EQUALS the constant (UpsertCompiler: viewConstants are
+                # verified, not forbidden — IT create_diverged_view.sql
+                # upserts B=200 through a WHERE B=200 view); a different
+                # value is the reference's CANNOT_UPDATE_VIEW_COLUMN
+                if values is None:
+                    raise ValueError(
+                        f"cannot restate view-constant column(s) through "
+                        f"view {up.table} in UPSERT SELECT"
+                    )
+                for row in values:
+                    for i in const_pos:
+                        cname = listed[i].split(None, 1)[0]
+                        if self._eval_literal(row[i]) != consts[cname]:
+                            raise ValueError(
+                                f"cannot set view-constant column {cname} "
+                                f"to a different value through view "
+                                f"{up.table}"
+                            )
+                drop = set(const_pos)
+                listed = [c for i, c in enumerate(listed) if i not in drop]
+                values = [
+                    [v for i, v in enumerate(row) if i not in drop]
+                    for row in values
+                ]
             # view-defined columns write like dynamic columns: tag listed
             # view columns with their declared type so the overflow-column
-            # routing below picks them up
-            vcols: dict[str, str] = {}
+            # routing below picks them up; None-typed entries are parent
+            # columns EXCLUDED by ALTER VIEW DROP COLUMN (diverged views) —
+            # the view no longer exposes them
+            vcols: dict[str, str | None] = {}
             node = self._qualify(up.table)
             while node in self._views:
                 for cname, ctype in (self._views[node][2] or {}).items():
                     vcols.setdefault(cname, ctype)
                 node = self._views[node][0]
+            gone = [
+                c for c in listed if vcols.get(c.split(None, 1)[0], "") is None
+            ]
+            if gone:
+                raise ValueError(
+                    f"column(s) {gone} were dropped from view {up.table}"
+                )
             listed = [
-                f"{c} {vcols[c]}" if c in vcols else c for c in listed
+                f"{c} {vcols[c]}" if vcols.get(c) else c for c in listed
             ]
             cols = [*listed, *consts]
-            if up.values is not None:
+            if values is not None:
                 lits = [
                     "NULL" if v is None
                     else f"'{v}'" if isinstance(v, str)
@@ -1618,7 +1962,7 @@ class Engine:
                 ]
                 up = D.Upsert(
                     base, cols,
-                    [[*row, *lits] for row in up.values],
+                    [[*row, *lits] for row in values],
                     None, up.on_duplicate, up.returning,
                 )
             else:
@@ -1655,8 +1999,13 @@ class Engine:
                 up.table, parsed, up.values, up.select,
                 up.on_duplicate, up.returning,
             )
+        hidden = (
+            "props"
+            if mt.meta.get("props", {}).get("HIDDEN_OVERFLOW")
+            else None
+        )
         cols = up.columns or [
-            c for c in mt.schema.fieldNames() if c != tcol
+            c for c in mt.schema.fieldNames() if c != tcol and c != hidden
         ]
         if dyn:
             json_col = "props"  # the dynamic-column overflow convention

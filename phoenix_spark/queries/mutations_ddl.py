@@ -591,3 +591,76 @@ REG.add(
     GROUP BY user_id
     """,
 )
+
+
+# --- queryable SYSTEM.CATALOG (PhoenixDatabaseMetaData; the reference's IT
+# scripts read it with plain SQL — query_view_index.sql) ----------------------
+def _system_catalog(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE app.users (tenant CHAR(4) NOT NULL, uid BIGINT NOT NULL, "
+        "score DOUBLE, CONSTRAINT pk PRIMARY KEY (tenant, uid)) "
+        "MULTI_TENANT = true"
+    )
+    e.sql(
+        "CREATE VIEW app.power_users (level BIGINT) "
+        "AS SELECT * FROM app.users WHERE tenant = 'T001'"
+    )
+    e.sql("CREATE INDEX ix_score ON app.users (score DESC) INCLUDE (uid)")
+    return e.sql(
+        """
+        SELECT TABLE_SCHEM, TABLE_NAME, TABLE_TYPE, COLUMN_COUNT,
+               DATA_TABLE_NAME, MULTI_TENANT
+        FROM SYSTEM.CATALOG
+        WHERE COLUMN_COUNT IS NOT NULL
+        ORDER BY TABLE_SCHEM, TABLE_NAME
+        """
+    )
+
+
+REG.add(
+    "ddl_system_catalog",
+    _system_catalog,
+    """
+    SELECT * FROM (VALUES
+      ('APP', 'IX_SCORE',    'i', 3, 'USERS', FALSE),
+      ('APP', 'POWER_USERS', 'v', 1, 'APP.USERS', FALSE),
+      ('APP', 'USERS',       'u', 3, NULL, TRUE)
+    ) AS t(TABLE_SCHEM, TABLE_NAME, TABLE_TYPE, COLUMN_COUNT,
+           DATA_TABLE_NAME, MULTI_TENANT)
+    """,
+)
+
+
+# --- view lifecycle parity: write-through views with restated constants +
+# diverged views (EXCLUDED_COLUMN) — the reference's IT scenario shapes
+# (create_diverged_view.sql / create_add.sql) ---------------------------------
+def _view_diverge(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE vd.t (a INTEGER NOT NULL, b INTEGER, c VARCHAR, "
+        "d INTEGER, CONSTRAINT pk PRIMARY KEY (a))"
+    )
+    e.sql(
+        "CREATE VIEW vd.v (va INTEGER, vb INTEGER) "
+        "AS SELECT * FROM vd.t WHERE b = 200"
+    )
+    # restating the view constant with the SAME value is allowed
+    # (UpsertCompiler viewConstants); the added columns land in the base's
+    # hidden overflow cells
+    e.sql("UPSERT INTO vd.v (a, b, c, d, va, vb) VALUES (2, 200, 'x', -20, 91, 101)")
+    e.sql("UPSERT INTO vd.v (a, c, d, va, vb) VALUES (3, 'y', -30, 92, 102)")
+    e.sql("ALTER VIEW vd.v DROP COLUMN c")  # diverge: base keeps c
+    return e.sql("SELECT a, b, d, va, vb FROM vd.v ORDER BY a")
+
+
+REG.add(
+    "ddl_view_diverge",
+    _view_diverge,
+    """
+    SELECT * FROM (VALUES
+      (2, 200, -20, 91, 101),
+      (3, 200, -30, 92, 102)
+    ) AS t(a, b, d, va, vb)
+    """,
+)

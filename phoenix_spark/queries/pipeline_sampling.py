@@ -233,12 +233,10 @@ REG.add(
 # --- training-mix accounting report ------------------------------------------
 # The bookkeeping step every dataset-assembly run ends with: per-source doc
 # and token counts plus each source's fraction of the corpus.  One map-side-
-# combined groupBy over the scan; the fraction window runs over the
-# AGGREGATED frame (one row per source — driver-scale), so the single
-# partition it uses is a few rows, never the corpus.
+# combined groupBy over the scan; the corpus total joins back as a broadcast
+# scalar (1 row) rather than an unpartitioned window, so no stage ever
+# funnels the aggregated frame through a single partition.
 def _mix_report(spark, sf):
-    from pyspark.sql.window import Window
-
     agg = (
         t(spark, sf, "documents")
         .groupBy("source")
@@ -247,12 +245,12 @@ def _mix_report(spark, sf):
             F.sum(F.expr(_NTOK)).cast("long").alias("n_tokens"),
         )
     )
-    w = Window.partitionBy()
-    return agg.select(
+    total = agg.agg(F.sum("n_tokens").alias("_tot"))
+    return agg.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("token_frac"),
+        (F.col("n_tokens") / F.col("_tot")).alias("token_frac"),
     )
 
 

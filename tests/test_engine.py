@@ -1315,8 +1315,13 @@ def test_schema_ddl_alter_set_and_session(engine, tmp_path):
     engine.sql("ALTER VIEW av DROP COLUMN score")
     with _pt.raises(Exception):
         engine.sql("SELECT score FROM av").collect()
-    with _pt.raises(ValueError, match="view-defined"):
-        engine.sql("ALTER VIEW av DROP COLUMN id")
+    with _pt.raises(ValueError, match="PK column"):
+        engine.sql("ALTER VIEW av DROP COLUMN id")  # row key never drops
+    # dropping a non-PK PARENT column diverges the view (EXCLUDED_COLUMN
+    # link, reference IT create_diverged_view.sql) — the base keeps it
+    engine.sql("ALTER VIEW av DROP COLUMN props")
+    assert "props" not in engine.sql("SELECT * FROM av").columns
+    assert "props" in engine.sql("SELECT * FROM avp").columns
     # ALTER SESSION records properties; GRANT/REVOKE fail loudly; TRACE
     engine.sql("ALTER SESSION SET CONSISTENCY = 'timeline'")
     assert engine.spark.conf.get("phoenix_spark.session.consistency") == "timeline"
