@@ -93,57 +93,56 @@ _PERMANENT = [
     "q9_product_profit",     # TPC-H deep join tree
     "dedup_minhash_lsh",     # the 100 TB dedup path
     "pipeline_curate_e2e",   # fused text curation
+    # Families whose every member is already driver-verified keep a
+    # re-verified anchor here so no family ships without a current-round row.
+    "bson_condition_filter", # §2.8 BSON condition language (r03-green)
+    "bin_encode_decode",     # §2.8 binary/bit functions (r03-green)
+    "source_csv_bulk_load",  # §2.1 bulk load path (r03-green)
+    "mm_binary_meta",        # multimodal binary plumbing (r03-green)
+    "stream_cdc_counts",     # §2.11 real availableNow stream job (r04-green)
 ]
 
-# Round-4 rotation: every name here had NO driver row in r02/r03 (see
-# _verified.py), except the two new-capability entries added this round
-# (ddl_index_uncovered, mutation_upsert_select) which exist to verify
-# round-4 engine work.  Family coverage notes inline.
+# Round-5 rotation: every name here had NO driver row in r02/r03/r04 (see
+# _verified.py).  After r04 the cross-round union was 123 of 170; these 29
+# push it to ~152, leaving an 18-entry tail for round 6.  Family coverage
+# notes inline.
 _ROTATING = [
-    # dataset-assembly family — the one family with no external row in r03
-    "sample_stratified",
-    "text_seq_pack",
-    "text_decontaminate",
-    "pipeline_assemble_e2e",
-    # round-4 new capabilities
-    "ddl_index_uncovered",      # uncovered-index join-back-to-base
-    "mutation_upsert_select",   # single-pass UPSERT SELECT + partial-column RMW
-    # §2.1 sources: dynamic columns (extended this round with UPSERT-side)
-    "source_dynamic_columns",
-    # §2.2 subqueries
-    "subq_in",
-    "subq_scalar_correlated",
+    # §2.6 sorts
+    "sort_nulls_last",
+    # §2.7 set ops + §2.2 subqueries
+    "setop_except",
+    "subq_not_in",
+    "subq_scalar",
+    # §2.4 aggregates (hll/percentile entries are oracle-paired as of r05:
+    # exact value + bounded-error invariant)
+    "agg_salted_skew",
+    "agg_hll_sketch_merge",
+    "agg_percentile_approx",
+    # §2.1/§2.10 salted PK round-trip, catalog, view divergence
+    "scan_salted_roundtrip",
+    "ddl_system_catalog",
+    "ddl_view_diverge",
     # TPC-H tail (never driver-run)
-    "q18_large_volume_customer",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    # §2.11 custom stateful streaming (applyInPandasWithState), hash-verified
-    "stream_stateful_checksum",
-    # §2.6 sorts: NULLS FIRST divergence probe + FETCH FIRST
-    "sort_nulls_first",
-    "sort_fetch_first",
-    # §2.7 set ops
-    "setop_intersect",
-    "setop_union_all_topk",
-    # §2.4 aggregates
-    "agg_cube",
-    # §2.8 scalar sub-families (one never-verified rep each)
-    "str_trim_pad_concat",
-    "math_transcendental",
-    "dt_extract_fields",
-    "arr_construct_ops",
-    "json_exists_filter",
-    "bson_value_type",
-    "bin_bytes_bits",
-    "meta_partition_id",
-    # §2.11 streaming: a real availableNow stream job, hash-verified
-    "stream_cdc_counts",
+    "q19_disjunct_revenue",
+    "q20_part_promotion",
+    # §2.5 windows
+    "window_running_lag",
+    # §2.8 scalar sub-families
+    "str_collation_ci",
+    "math_trig",
+    "dt_format_arith_tz",
+    "arr_any_all",
+    "json_construct",
+    "meta_partition_id",     # oracle-paired as of r05 (invariant form)
     # LLM-pipeline families
-    "text_quality_filter",
-    "dedup_simhash128",
-    "similarity_centroids",
-    "mm_decode_features",
-    "mm_resize_thumbnail",
+    "text_langid",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "dedup_incremental",
+    "similarity_knn_batch",
+    "similarity_ivf_persisted",
+    "sample_split",
+    "assembly_mix_report",
 ]
 
 _TIER1 = _PERMANENT + _ROTATING

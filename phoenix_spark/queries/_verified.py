@@ -64,7 +64,33 @@ R03 = frozenset(
     }
 )
 
-ROUNDS: dict[str, frozenset[str]] = {"r02": R02, "r03": R03}
+# Round 4: 49/50 hash-green (CORRECTNESS_r04.json); the one non-green row
+# was meta_partition_id, recorded "no_oracle" because it shipped rows-only
+# (fixed in round 5: the entry now returns an oracle-checkable invariant).
+R04 = frozenset(
+    {
+        "scan_projection", "engine_sql_roundtrip", "filter_range_pred",
+        "join_broadcast_inner", "join_asof", "agg_ungrouped",
+        "window_session_native", "meta_row_timestamp",
+        "mutation_upsert_compaction", "mutation_snapshot_read",
+        "mutation_cdc_feed", "ddl_view_predicate", "ddl_sequence_rows",
+        "ddl_index_scan", "q1_pricing_summary", "q9_product_profit",
+        "dedup_minhash_lsh", "pipeline_curate_e2e", "sample_stratified",
+        "text_seq_pack", "text_decontaminate", "pipeline_assemble_e2e",
+        "ddl_index_uncovered", "mutation_upsert_select",
+        "source_dynamic_columns", "subq_in", "subq_scalar_correlated",
+        "q18_large_volume_customer", "q21_suppliers_waiting",
+        "q22_sales_opportunity", "stream_stateful_checksum",
+        "sort_nulls_first", "sort_fetch_first", "setop_intersect",
+        "setop_union_all_topk", "agg_cube", "str_trim_pad_concat",
+        "math_transcendental", "dt_extract_fields", "arr_construct_ops",
+        "json_exists_filter", "bson_value_type", "bin_bytes_bits",
+        "stream_cdc_counts", "text_quality_filter", "dedup_simhash128",
+        "similarity_centroids", "mm_decode_features", "mm_resize_thumbnail",
+    }
+)
+
+ROUNDS: dict[str, frozenset[str]] = {"r02": R02, "r03": R03, "r04": R04}
 
 
 def driver_verified() -> frozenset[str]:

@@ -281,15 +281,29 @@ REG.add(
 
 # --- APPROX_COUNT_DISTINCT (HyperLogLog++) ---------------------------------
 # Reference: DistinctCountHyperLogLogAggregateFunction.java:41-49.  Spark's
-# HLL++ sketch differs from DuckDB's approx algorithm, so no value oracle —
-# driver records the weaker rows-only check; exactness is covered by
-# agg_count_distinct above.
+# HLL++ sketch differs from DuckDB's approx algorithm, so the raw estimate
+# has no cross-engine value oracle.  Instead the entry verifies the
+# engine-independent CONTRACT: the estimate lands within the sketch's error
+# bound of the exact count (rsd 0.05 default; 15 % is a comfortable
+# deterministic margin — the sketch has no RNG, so for a fixed dataset the
+# estimate is a fixed value).  The exact count anchors the hash.
 REG.add(
     "agg_approx_count_distinct",
     lambda spark, sf: t(spark, sf, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey").cast("double")
+                - F.countDistinct("l_partkey").cast("double")
+            )
+            <= F.countDistinct("l_partkey").cast("double") * F.lit(0.15)
+        ).alias("approx_within_15pct"),
     ),
-    None,
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS approx_within_15pct
+    FROM lineitem
+    """,
 )
 
 # --- ROLLUP / CUBE / GROUPING SETS (beyond-reference: Phoenix lacks these,

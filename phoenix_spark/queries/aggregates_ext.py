@@ -184,33 +184,75 @@ REG.add(
 # DistinctCountHyperLogLogAggregateFunction.java uses HyperLogLogPlus the
 # same way): per-partition/per-group sketches are REAGGREGATABLE — build
 # per-status sketches, then union them to the global estimate without
-# rescanning.  Sketch bytes are engine-specific → rows-only check; the
-# estimate-vs-exact bound is pinned in tests/test_sketches.py.
+# rescanning.  Sketch bytes are engine-specific, so the oracle pins the
+# REAGGREGATION CONTRACT instead: the merged estimate lands within the
+# sketch error bound of the exact global distinct (deterministic for a
+# fixed dataset — no RNG in the sketch).  Exact counts anchor the hash;
+# the tighter estimate-vs-exact bound is also pinned in
+# tests/test_sketches.py.
 def _hll_merge(spark, sf):
-    per_group = (
-        t(spark, sf, "orders")
-        .groupBy("o_orderstatus")
+    o = t(spark, sf, "orders")
+    merged = (
+        o.groupBy("o_orderstatus")
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+        )
     )
-    return per_group.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
-        F.count(F.lit(1)).alias("n_groups"),
+    exact = o.agg(F.countDistinct("o_custkey").cast("long").alias("exact_custkeys"))
+    return merged.crossJoin(exact).select(
+        "n_groups",
+        "exact_custkeys",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("exact_custkeys").cast("double"))
+            <= F.col("exact_custkeys").cast("double") * F.lit(0.15)
+        ).alias("merged_within_15pct"),
     )
 
 
-REG.add("agg_hll_sketch_merge", _hll_merge, None)
+REG.add(
+    "agg_hll_sketch_merge",
+    _hll_merge,
+    """
+    SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_groups,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           true AS merged_within_15pct
+    FROM orders
+    """,
+)
 
 # --- APPROX_PERCENTILE (bounded-memory sketch; the 100 TB percentile path) ---
+# The KLL/GK sketch value is engine-specific, so the oracle pins the rank
+# CONTRACT instead: with accuracy 10000 the approximate p50/p99 must land
+# between the exact p45..p55 / p97..p99.9 quantiles (rank error <= n/10000,
+# so these are enormous margins — and deterministic: the sketch has no RNG).
+# The exact group count anchors the hash; the exact-percentile path itself
+# is value-checked by agg_percentile in aggregates.py.
 REG.add(
     "agg_percentile_approx",
     lambda spark, sf: t(spark, sf, "lineitem")
     .groupBy("l_returnflag")
     .agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000)
+        .between(
+            F.expr("percentile(l_extendedprice, 0.45)"),
+            F.expr("percentile(l_extendedprice, 0.55)"),
+        )
+        .alias("p50_in_bounds"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000)
+        .between(
+            F.expr("percentile(l_extendedprice, 0.97)"),
+            F.expr("percentile(l_extendedprice, 0.999)"),
+        )
+        .alias("p99_in_bounds"),
     ),
-    None,  # sketch internals are engine-specific; exact path pinned by
-    # agg_percentile in aggregates.py
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           true AS p50_in_bounds, true AS p99_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
 )
 
 

@@ -70,12 +70,24 @@ REG.add(
 )
 
 # --- system/meta: PARTITION_ID() (PartitionIdFunction.java → the physical
-# partition the row came from; value set is engine/parallelism-specific, so
-# the check is shape-only: one row out) ---------------------------------------
+# partition the row came from).  The value SET is engine/parallelism-specific,
+# so the oracle checks the engine-independent invariant instead: every row
+# reports a valid (non-null, non-negative) partition id, and at least one
+# partition exists.  The sketchy part — spark_partition_id() evaluated per
+# row inside the scan — is still fully exercised Spark-side.
 REG.add(
     "meta_partition_id",
     lambda spark, sf: t(spark, sf, "lineitem")
     .select(F.spark_partition_id().alias("pid"))
-    .agg(F.countDistinct("pid").alias("n_partitions")),
-    None,
+    .agg(
+        F.sum(F.when(F.col("pid") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rows_with_pid"),
+        (F.countDistinct("pid") >= F.lit(1)).alias("has_partitions"),
+    ),
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_with_pid,
+           true AS has_partitions
+    FROM lineitem
+    """,
 )
