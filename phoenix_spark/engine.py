@@ -805,10 +805,26 @@ class Engine:
                 f"map_from_arrays(array({', '.join(f'{p}L' for p in pids)}), "
                 f"array({', '.join(f'{b}L' for b in bases)}))"
             )
+            # Runtime guard (r04 advice): the assignment is only valid if
+            # the execution run reproduces the probed partition layout.  A
+            # partition id the probe never saw, or a partition yielding more
+            # rows than probed, would silently hand out values outside the
+            # reserved block (colliding with later allocations) — raise
+            # instead.  element_at on a missing pid is NULL, and NULL < x is
+            # NULL, so one bounds check covers both divergence modes.
+            limits = (
+                f"map_from_arrays(array({', '.join(f'{p}L' for p in pids)}), "
+                f"array({', '.join(f'{c}L' for _, c in counts)}))"
+            )
             assign = (
                 "element_at(transform(array(monotonically_increasing_id()), "
-                f"__m -> element_at({offsets}, shiftright(__m, 33))"
-                f" + (__m & 8589934591) * {stride}L), 1)"
+                f"__m -> if((__m & 8589934591) < "
+                f"element_at({limits}, shiftright(__m, 33)), "
+                f"element_at({offsets}, shiftright(__m, 33))"
+                f" + (__m & 8589934591) * {stride}L, "
+                "cast(raise_error('NEXT VALUE FOR: partition layout diverged "
+                "from the probed plan; sequence block cannot be applied "
+                "safely') as bigint))), 1)"
             )
             text = re.sub(ref_pattern(name, per_row), assign, text, flags=re.I)
         return text
@@ -871,7 +887,17 @@ class Engine:
             return text
         table_ref, d, probe_pred = jb
         table = table_ref.split(".")[-1].lower()
-        base = self.managed(table)
+        # the FROM target may be a VIEW carrying the index (view indexes,
+        # MetaDataClient.createIndex accepts views): resolve the physical
+        # base through the view chain instead of managed(), which only
+        # accepts tables.  table() below replays the chain (predicates +
+        # view columns), so joining its frame on the base PK is sound —
+        # unless a diverged view EXCLUDED a PK column, in which case the
+        # join-back can't anchor and we fall back to the plain view scan.
+        base, _chain = self._index_base(table)
+        target = self.table(table)
+        if not set(base.pk) <= set(target.schema.fieldNames()):
+            return text
         # the _sync_indexes shape: narrow index scan answers the probe, the
         # (small) matching-PK set broadcasts into a semi-join against the
         # base — the base is filtered by the join, never re-scanned per key
@@ -879,7 +905,7 @@ class Engine:
             F.expr(self._translate_pred(probe_pred, d.table))
         )
         keys = F.broadcast(probe.select(*base.pk).distinct())
-        pruned = self.table(table).join(keys, base.pk, "semi")
+        pruned = target.join(keys, base.pk, "semi")
         import hashlib
 
         view = (
@@ -1560,11 +1586,22 @@ class Engine:
                     f"cannot drop table {dr.name}: dependent view(s) "
                     f"{sorted(child_views)} exist — use DROP TABLE ... CASCADE"
                 )
+            # indexes created ON the dropped child views go with them (r04
+            # advice: they otherwise stay ACTIVE with orphaned segments) —
+            # collected BEFORE the views pop so the name match still resolves
+            view_leaves = {v.split(".")[-1].lower() for v in child_views}
+            view_indexes = [
+                d.name
+                for d in self._indexes.values()
+                if d.table.split(".")[-1].lower() in view_leaves
+            ]
             for v in child_views:
                 self._views.pop(v, None)
                 self.spark.catalog.dropTempView(v.split(".")[-1])
                 self._registered.discard(v.split(".")[-1])
             self._save_views()
+            for ix in view_indexes:
+                self._drop_index(ix)
         dependent = [
             d.name
             for d in self._indexes.values()
@@ -1864,7 +1901,11 @@ class Engine:
         while node in self._views:
             parent, where = self._views[node][:2]
             if where:
-                for conj in IX._top_level_conjuncts(where):
+                # conjunct analysis runs on literal-MASKED text (r04
+                # advice): a constant like 'rock AND roll' or 'a<b' must
+                # not read as a compound/inequality predicate
+                masked_where, unmask = self._mask_literals(where)
+                for conj in IX._top_level_conjuncts(masked_where):
                     m = re.match(
                         r"^\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", conj, re.S
                     )
@@ -1873,11 +1914,14 @@ class Engine:
                     ):
                         raise ValueError(
                             f"view {name} is read-only: predicate "
-                            f"{conj.strip()!r} is not a simple equality "
-                            "(ViewType.UPDATABLE requires col = literal)"
+                            f"{unmask(conj).strip()!r} is not a simple "
+                            "equality (ViewType.UPDATABLE requires "
+                            "col = literal)"
                         )
                     col = m.group(1).lower()
-                    consts.setdefault(col, self._eval_literal(m.group(2)))
+                    consts.setdefault(
+                        col, self._eval_literal(unmask(m.group(2)))
+                    )
             node = parent
         return node, consts
 
@@ -1953,13 +1997,11 @@ class Engine:
                 f"{c} {vcols[c]}" if vcols.get(c) else c for c in listed
             ]
             cols = [*listed, *consts]
+            # constants re-render through _render_literal (r04 advice): an
+            # apostrophe inside a view constant must escape, not break the
+            # generated UPSERT SQL
             if values is not None:
-                lits = [
-                    "NULL" if v is None
-                    else f"'{v}'" if isinstance(v, str)
-                    else repr(v)
-                    for v in consts.values()
-                ]
+                lits = [self._render_literal(v) for v in consts.values()]
                 up = D.Upsert(
                     base, cols,
                     [[*row, *lits] for row in values],
@@ -1967,10 +2009,7 @@ class Engine:
                 )
             else:
                 sel_lits = ", ".join(
-                    "NULL" if v is None
-                    else f"'{v}'" if isinstance(v, str)
-                    else repr(v)
-                    for v in consts.values()
+                    self._render_literal(v) for v in consts.values()
                 )
                 up = D.Upsert(
                     base, cols, None,

@@ -622,43 +622,57 @@ def _ivf_persisted(spark, sf):
     )
     # autoBucketedScan only credits joins/aggregates when deciding whether
     # to keep a bucketed scan — it would drop the bucketed read here and
-    # with it the FILTER-based bucket pruning this index exists for
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    stored = spark.table(tbl)
-    qrow = emb.filter(F.col("vec_id") == 1).select(
-        F.col("q").alias("qq"), F.col("qn").alias("qqn")
-    )
-    qdist = F.col("qqn") + F.col("cqn") - F.expr(
-        "2 * aggregate(zip_with(qq, cq, (x, y) -> x * y), cast(0 as bigint),"
-        " (acc, v) -> acc + v)"
-    )
-    probe_cells = [
-        r.cell
-        for r in cents.crossJoin(F.broadcast(qrow))
-        .select("cell", qdist.alias("qd"))
-        .orderBy("qd", "cell")
-        .limit(_N_PROBE)
-        .collect()
-    ]
-    # literal IN-list on the bucket column → static bucket pruning (the
-    # probed-cell ids are index metadata, like the reference's guideposts)
-    cand = stored.filter(
-        F.col("cell").isin(probe_cells) & (F.col("vec_id") != 1)
-    )
-    dot_q = F.expr(
-        "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
-        " (acc, v) -> acc + v)"
-    )
-    return (
-        cand.crossJoin(F.broadcast(qrow))
-        .select(
-            "vec_id",
-            "cell",
-            (dot_q / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias("cosine"),
+    # with it the FILTER-based bucket pruning this index exists for.  The
+    # flag is scoped to this builder (r04 advice: leaving it set silently
+    # re-plans every later query on the shared session): physical planning
+    # of the returned frame is forced INSIDE the window — QueryExecution
+    # caches the executed plan, so the pruned bucketed scan survives the
+    # conf restore while the session sees its previous value again.
+    _ABS = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(_ABS, "true")
+    spark.conf.set(_ABS, "false")
+    try:
+        stored = spark.table(tbl)
+        qrow = emb.filter(F.col("vec_id") == 1).select(
+            F.col("q").alias("qq"), F.col("qn").alias("qqn")
         )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(10)
-    )
+        qdist = F.col("qqn") + F.col("cqn") - F.expr(
+            "2 * aggregate(zip_with(qq, cq, (x, y) -> x * y), cast(0 as bigint),"
+            " (acc, v) -> acc + v)"
+        )
+        probe_cells = [
+            r.cell
+            for r in cents.crossJoin(F.broadcast(qrow))
+            .select("cell", qdist.alias("qd"))
+            .orderBy("qd", "cell")
+            .limit(_N_PROBE)
+            .collect()
+        ]
+        # literal IN-list on the bucket column → static bucket pruning (the
+        # probed-cell ids are index metadata, like the reference's guideposts)
+        cand = stored.filter(
+            F.col("cell").isin(probe_cells) & (F.col("vec_id") != 1)
+        )
+        dot_q = F.expr(
+            "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
+            " (acc, v) -> acc + v)"
+        )
+        out = (
+            cand.crossJoin(F.broadcast(qrow))
+            .select(
+                "vec_id",
+                "cell",
+                (dot_q / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias(
+                    "cosine"
+                ),
+            )
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+        out._jdf.queryExecution().executedPlan()  # pin the pruned plan
+        return out
+    finally:
+        spark.conf.set(_ABS, prev)
 
 
 REG.add("similarity_ivf_persisted", _ivf_persisted, _IVF_ORACLE)

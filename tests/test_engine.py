@@ -1069,6 +1069,27 @@ def test_index_hints_no_index_and_forced(engine):
     assert [(r.a, r.c) for r in rows] == [("x", "p")]
 
 
+def test_view_uncovered_index_join_back(engine):
+    """A SELECT on a VIEW that carries an UNCOVERED index and filters on the
+    index key used to raise ``no managed table <view>`` in the join-back
+    path (r04 advice); the physical base now resolves through the view
+    chain, and the view's predicate still applies to the joined frame."""
+    engine.sql(
+        "CREATE TABLE vb (k BIGINT NOT NULL, kind VARCHAR, a VARCHAR, "
+        "c VARCHAR, CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "UPSERT INTO vb VALUES (1, 'g', 'x', 'p'), (2, 'g', 'y', 'q'), "
+        "(3, 'h', 'x', 'p')"
+    )
+    engine.sql("CREATE VIEW vvix AS SELECT * FROM vb WHERE kind = 'g'")
+    engine.sql("CREATE UNCOVERED INDEX vix ON vvix (c)")
+    # a (not in the index) forces the join-back plan; only the kind='g'
+    # row with c='p' may surface even though the base holds another c='p'
+    rows = engine.sql("SELECT a FROM vvix WHERE c = 'p'").collect()
+    assert [r.a for r in rows] == ["x"]
+
+
 def test_sequence_rewrite_literal_safe(engine):
     """A string literal containing 'NEXT VALUE FOR s' must never trigger the
     sequence rewrite, and a sequence named as a prefix of another must not
@@ -1483,9 +1504,30 @@ def test_drop_table_cascade_views(engine):
                "CONSTRAINT pk PRIMARY KEY (k))")
     engine.sql("CREATE VIEW casc_v AS SELECT * FROM casc WHERE kind = 'a'")
     engine.sql("CREATE VIEW casc_vv AS SELECT * FROM casc_v")
+    # an index ON a dependent view must cascade too (r04 advice: it used
+    # to survive the drop as an ACTIVE orphan)
+    engine.sql("CREATE INDEX casc_vix ON casc_v (kind)")
     with _pt.raises(ValueError, match="CASCADE"):
         engine.sql("DROP TABLE casc")
     engine.sql("DROP TABLE casc CASCADE")
     with _pt.raises(ValueError):
         engine.managed("casc")
     assert "casc_v" not in engine._views and "casc_vv" not in engine._views
+    assert "casc_vix" not in engine._indexes
+
+
+def test_view_constant_apostrophe_and_keyword_literal(engine):
+    """An updatable-view constant containing an apostrophe or the word AND
+    must survive the UPSERT rewrite (r04 advice: the constant was rendered
+    unescaped and the conjunct scan ran on unmasked text)."""
+    engine.sql(
+        "CREATE TABLE vq (k BIGINT NOT NULL, label VARCHAR, v VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql(
+        "CREATE VIEW vq_v AS SELECT * FROM vq "
+        "WHERE label = 'rock ''n'' AND roll'"
+    )
+    engine.sql("UPSERT INTO vq_v (k, v) VALUES (1, 'x')")
+    rows = engine.sql("SELECT k, label, v FROM vq_v").collect()
+    assert [(r.k, r.label, r.v) for r in rows] == [(1, "rock 'n' AND roll", "x")]

@@ -435,8 +435,12 @@ def test_dedup_incremental_broadcasts_new_batch(spark):
 def test_ivf_persisted_bucket_pruning(spark):
     """The persisted IVF index is bucketed by cell: a probe reads ONLY the
     probed buckets (static bucket pruning), with zero shuffles on the
-    candidate read."""
+    candidate read — and the builder leaves the shared session's
+    autoBucketedScan conf exactly as it found it (r04 advice)."""
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    before = spark.conf.get(conf_key, "true")
     df = QUERIES["similarity_ivf_persisted"](spark, SF_TEST_DIR)
+    assert spark.conf.get(conf_key, "true") == before
     formatted = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
