@@ -30,12 +30,12 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "SUM": ("agg", "sum (exact-decimal discipline)", "agg_ungrouped"),
     "PERCENTILE_CONT": ("agg", "percentile_cont WITHIN GROUP", "agg_percentile"),
     "PERCENTILE_DISC": ("agg", "percentile_disc WITHIN GROUP", "agg_percentile"),
-    "PERCENT_RANK": ("agg", "percent_rank window", "agg_percent_rank"),
-    "FIRST_VALUE": ("agg", "min(struct(ord, v)) ordered-set", "agg_first_last_value"),
-    "LAST_VALUE": ("agg", "max(struct(ord, v)) ordered-set", "agg_first_last_value"),
-    "FIRST_VALUES": ("agg", "slice(sort_array(collect_list(struct)), 1, k)", "agg_nth_first_last_values"),
-    "LAST_VALUES": ("agg", "slice(reverse(sort_array(...)), 1, k)", "agg_nth_first_last_values"),
-    "NTH_VALUE": ("agg", "element_at(sort_array(collect_list(struct)), n)", "agg_nth_first_last_values"),
+    "PERCENT_RANK": ("agg", "percent_rank window; WITHIN GROUP form -> count_if ratio (sqlfront)", "agg_percent_rank / test_sql_function_surface"),
+    "FIRST_VALUE": ("agg", "min_by ordered-set (SQL WITHIN GROUP rewrite)", "agg_first_last_value / test_sql_function_surface"),
+    "LAST_VALUE": ("agg", "max_by ordered-set (SQL WITHIN GROUP rewrite)", "agg_first_last_value / test_sql_function_surface"),
+    "FIRST_VALUES": ("agg", "slice(sort_array(collect_list(struct)), 1, k) (SQL WITHIN GROUP rewrite)", "agg_nth_first_last_values / test_sql_function_surface"),
+    "LAST_VALUES": ("agg", "slice(reverse(sort_array(...)), 1, k) (SQL WITHIN GROUP rewrite)", "agg_nth_first_last_values / test_sql_function_surface"),
+    "NTH_VALUE": ("agg", "element_at(sort_array(collect_list(struct)), n) (SQL WITHIN GROUP rewrite)", "agg_nth_first_last_values / test_sql_function_surface"),
     "STDDEV_POP": ("agg", "stddev_pop (exact-decimal moments)", "agg_stddev"),
     "STDDEV_SAMP": ("agg", "stddev_samp (exact-decimal moments)", "agg_stddev"),
     # Numeric
@@ -70,7 +70,7 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "LOWER": ("str", "lower", "str_substr_instr_case"),
     "REVERSE": ("str", "reverse", "str_substr_instr_case"),
     "TO_CHAR": ("str", "date_format / format_number (pattern dialects differ)", "dt_format_arith_tz"),
-    "COLLATION_KEY": ("str", "COLLATE collations (Spark 4 native)", "str_collation_ci"),
+    "COLLATION_KEY": ("str", "collate(x, locale[_CI]) ICU collation (sqlfront rewrite)", "str_collation_ci / test_sql_function_surface"),
     # Time and Date
     "TO_DATE": ("dt", "to_timestamp (Phoenix DATE carries time)", "dt_parse"),
     "TO_TIME": ("dt", "to_timestamp", "dt_parse"),
@@ -101,15 +101,15 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "ALL": ("arr", "forall", "arr_any_all"),
     # General
     "MD5": ("gen", "md5", "str_trim_pad_concat"),
-    "INVERT": ("gen", "sort-order inversion -> .desc() (row-key byte concern)", "doc-only"),
-    "ENCODE": ("gen", "helper encode_base62 (Phoenix BASE62)", "tests/test_functions.py"),
-    "DECODE": ("gen", "unhex (HEX form)", "tests/test_functions.py"),
+    "INVERT": ("gen", "ORDER BY direction flip (sqlfront rewrite); loud error elsewhere", "test_sql_function_surface"),
+    "ENCODE": ("gen", "encode_base62 helper + BASE62/BASE64 SQL rewrite", "test_functions / test_sql_function_surface"),
+    "DECODE": ("gen", "unhex / unbase64 / BASE62 fold (SQL rewrite)", "test_functions / test_sql_function_surface"),
     "COALESCE": ("gen", "coalesce", "filter_case_cast"),
     "GET_BIT": ("gen", "helper get_bit", "bin_bytes_bits / tests"),
     "GET_BYTE": ("gen", "helper get_byte", "bin_bytes_bits / tests"),
     "OCTET_LENGTH": ("gen", "length(binary)", "bin_bytes_bits"),
-    "SET_BIT": ("gen", "helper set_bit", "tests/test_functions.py"),
-    "SET_BYTE": ("gen", "helper set_byte", "tests/test_functions.py"),
+    "SET_BIT": ("gen", "helper set_bit + SQL rewrite", "test_functions / test_sql_function_surface"),
+    "SET_BYTE": ("gen", "helper set_byte + SQL rewrite", "test_functions / test_sql_function_surface"),
     # ---- post-doc reference functions (implemented in the reference under
     # phoenix-core-client/.../expression/function/ but not yet listed in
     # docs/phoenix.csv; counted separately by coverage()) ----
@@ -124,16 +124,16 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     ),
     "ARRAY_REMOVE": ("postdoc", "array_remove", "arr_construct_ops"),
     "JSON_VALUE": ("postdoc", "get_json_object (scalar leaf)", "json_value"),
-    "JSON_QUERY": ("postdoc", "get_json_object (object/array leaf)", "json_value"),
-    "JSON_EXISTS": ("postdoc", "get_json_object IS NOT NULL", "json_exists_filter"),
-    "JSON_MODIFY": ("postdoc", "to_json(named_struct(...)) rebuild", "json_construct"),
+    "JSON_QUERY": ("postdoc", "get_json_object (object/array leaf; sqlfront RENAME)", "json_value / test_sql_function_surface"),
+    "JSON_EXISTS": ("postdoc", "get_json_object IS NOT NULL (SQL rewrite)", "json_exists_filter / test_sql_function_surface"),
+    "JSON_MODIFY": ("postdoc", "variant map rebuild, type-preserving (SQL rewrite; top-level paths)", "json_construct / test_sql_function_surface"),
     "BSON_VALUE": ("postdoc", "typed JSON leaf extraction (BSON stored as JSON)", "bson_condition_filter"),
     "BSON_CONDITION_EXPRESSION": ("postdoc", "phoenix_spark.bson condition grammar → Column", "bson_condition_filter"),
     "ENCODE_BINARY": ("postdoc", "base64 / hex by format arg", "bin_encode_decode"),
     "DECODE_BINARY": ("postdoc", "unbase64 / unhex by format arg", "bin_encode_decode"),
     "SUB_BINARY": ("postdoc", "substring on binary", "bin_bytes_bits"),
     "PHOENIX_ROW_TIMESTAMP": ("postdoc", "change-log commit timestamp column", "meta_row_timestamp"),
-    "PARTITION_ID": ("postdoc", "spark_partition_id (stable bucket id analog)", "meta_partition_id"),
+    "PARTITION_ID": ("postdoc", "spark_partition_id (SQL rewrite)", "meta_partition_id / test_sql_function_surface"),
     "DISTINCT_COUNT": ("postdoc", "count(DISTINCT x) (DistinctCountAggregateFunction)", "agg_count_distinct"),
     "COLLECTDISTINCT": ("postdoc", "sort_array(collect_set(x)) (DistinctValueAggregateFunction)", "tests/test_functions.py"),
     "SUBBINARY": ("postdoc", "substring on binary (NAME-constant spelling of SUB_BINARY; sqlfront RENAME)", "bin_bytes_bits"),

@@ -61,9 +61,11 @@ RENAME = {
     "ARRAY_TO_STRING": "array_join",
     "ARRAY_CAT": "concat",
     "ARRAY_APPEND": "array_append",
-    "ARRAY_PREPEND": "array_prepend",
     "ARRAY_FILL": "array_repeat",
     "JSON_VALUE": "get_json_object",
+    # JSON_QUERY returns the JSON fragment at the path (JsonQueryFunction);
+    # get_json_object returns fragments for objects/arrays untouched
+    "JSON_QUERY": "get_json_object",
     "CURRENT_DATE": "current_timestamp",  # Phoenix DATE carries time (§1.4)
     "CURRENT_TIME": "current_timestamp",
     "OCTET_LENGTH": "octet_length",
@@ -93,6 +95,15 @@ _SHAPE_FNS = (
     "DECODE",
     "GET_BYTE",
     "GET_BIT",
+    "SET_BYTE",
+    "SET_BIT",
+    "ENCODE_BINARY",
+    "DECODE_BINARY",
+    "COLLATION_KEY",
+    "JSON_EXISTS",
+    "JSON_MODIFY",
+    "PARTITION_ID",
+    "ARRAY_PREPEND",  # Phoenix (elem, arr) vs Spark (arr, elem)
 )
 
 _WORD_RE = re.compile(
@@ -535,6 +546,8 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     if up == "WEEK":
         return f"weekofyear({args[0]})"
     if up in ("ENCODE", "DECODE"):
+        from phoenix_spark.functions import _B62
+
         fmt = args[1].strip().strip("'").upper() if len(args) == 2 else None
         if up == "DECODE" and fmt == "HEX":
             return f"unhex({args[0]})"
@@ -542,9 +555,141 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             return f"unbase64({args[0]})"
         if up == "ENCODE" and fmt == "BASE64":
             return f"base64({args[0]})"
+        if up == "ENCODE" and fmt == "BASE62":
+            # EncodeFunction BASE62: bigint → base-62 text; the same 11-step
+            # aggregate fold as phoenix_spark.functions.encode_base62
+            # (62^11 > 2^63), emitted as pure Spark SQL
+            return (
+                f"aggregate(sequence(0, 10), named_struct("
+                f"'rem', cast({args[0]} as bigint), 's', ''), "
+                f"(__acc, __i) -> if(__acc.rem > 0 or __i = 0, named_struct("
+                f"'rem', cast((__acc.rem - pmod(__acc.rem, 62)) / 62 as bigint), "
+                f"'s', concat(substr('{_B62}', "
+                f"cast(pmod(__acc.rem, 62) + 1 as int), 1), __acc.s)), __acc), "
+                f"__acc -> __acc.s)"
+            )
+        if up == "DECODE" and fmt == "BASE62":
+            return (
+                f"aggregate(sequence(1, length({args[0]})), cast(0 as bigint), "
+                f"(__acc, __i) -> __acc * 62 + "
+                f"instr('{_B62}', substr({args[0]}, __i, 1)) - 1)"
+            )
         raise PhoenixTranslationError(
-            f"{up} format {fmt!r} unsupported in SQL; BASE62 is available via "
-            "phoenix_spark.functions.encode_base62"
+            f"{up} format {fmt!r} unsupported in SQL "
+            "(EncodeFormat: HEX/BASE64/BASE62)"
+        )
+    if up == "ENCODE_BINARY":
+        # EncodeBinaryFunction: HEX is HBase Bytes.toHex (lowercase);
+        # HBASE (toStringBinary's printable-ASCII escaping) has no Spark
+        # equivalent and raises rather than silently diverging
+        fmt = args[1].strip().strip("'").upper() if len(args) == 2 else None
+        if fmt == "HEX":
+            return f"lower(hex({args[0]}))"
+        if fmt == "BASE64":
+            return f"base64({args[0]})"
+        raise PhoenixTranslationError(
+            f"ENCODE_BINARY format {fmt!r} unsupported (HEX/BASE64)"
+        )
+    if up == "DECODE_BINARY":
+        fmt = args[1].strip().strip("'").upper() if len(args) == 2 else None
+        if fmt == "HEX":
+            return f"unhex({args[0]})"
+        if fmt == "BASE64":
+            return f"unbase64({args[0]})"
+        raise PhoenixTranslationError(
+            f"DECODE_BINARY format {fmt!r} unsupported (HEX/BASE64)"
+        )
+    if up == "COLLATION_KEY":
+        # CollationKeyFunction(expr, locale[, upperCollator, strength,
+        # decomposition]) returns a binary sort key; the Spark-first analogue
+        # keeps the VALUE and attaches the equivalent ICU collation, which
+        # gives the same ordering/equality behavior in ORDER BY / compares.
+        # Strength PRIMARY(0)/SECONDARY(1) → case-insensitive variant.
+        if len(args) < 2:
+            raise PhoenixTranslationError("COLLATION_KEY requires a locale")
+        loc = _literal_text(args[1])
+        if loc is None:
+            raise PhoenixTranslationError(
+                "COLLATION_KEY locale must be a string literal"
+            )
+        lang = loc.split("_")[0].split("-")[0] or "UNICODE"
+        strength = None
+        if len(args) >= 4:
+            try:
+                strength = int(args[3])
+            except ValueError:
+                raise PhoenixTranslationError(
+                    "COLLATION_KEY strength must be an integer literal"
+                )
+        name = lang + ("_CI" if strength in (0, 1) else "")
+        return f"collate({args[0]}, '{name}')"
+    if up == "JSON_EXISTS":
+        if len(args) != 2:
+            raise PhoenixTranslationError("JSON_EXISTS requires (doc, path)")
+        return f"(get_json_object({args[0]}, {args[1]}) IS NOT NULL)"
+    if up == "JSON_MODIFY":
+        # JsonModifyFunction(doc, path, newValue): newValue is JSON text
+        # (strings arrive quoted, as in the reference's IT queries).  The
+        # variant round-trip preserves the other fields' types; scope is
+        # top-level paths, same as the BSON update language (bson.py).
+        if len(args) != 3:
+            raise PhoenixTranslationError(
+                "JSON_MODIFY requires (doc, path, newValue)"
+            )
+        path = _literal_text(args[1])
+        if path is None or not re.fullmatch(r"\$\.[A-Za-z_]\w*", path):
+            raise PhoenixTranslationError(
+                "JSON_MODIFY supports top-level '$.field' literal paths; "
+                "deep-path document updates go through "
+                "BSON_UPDATE_EXPRESSION"
+            )
+        key = path[2:]
+        # sorted-key rendering (key order is not JSON-semantic; sorting makes
+        # the output deterministic, same as bson_update_expression).  The
+        # comparator sorts entries by key alone — variant values are not
+        # orderable, so the default struct sort would fail.
+        merged = (
+            f"map_concat(map_filter("
+            f"from_json({args[0]}, 'map<string,variant>'), "
+            f"(__k, __v) -> __k != '{key}'), "
+            f"map('{key}', parse_json({args[2]})))"
+        )
+        return (
+            f"to_json(map_from_entries(array_sort(map_entries({merged}), "
+            f"(__a, __b) -> case when __a.key < __b.key then -1 "
+            f"when __a.key > __b.key then 1 else 0 end)))"
+        )
+    if up == "PARTITION_ID":
+        # PartitionIdFunction: the physical partition of the row
+        return "spark_partition_id()"
+    if up == "ARRAY_PREPEND":
+        if len(args) != 2:
+            raise PhoenixTranslationError("ARRAY_PREPEND requires (elem, array)")
+        return f"array_prepend({args[1]}, {args[0]})"
+    if up in ("SET_BYTE", "SET_BIT"):
+        try:
+            off = int(args[1])
+        except (IndexError, ValueError):
+            raise PhoenixTranslationError(f"{up} requires a literal int offset")
+        if len(args) != 3:
+            raise PhoenixTranslationError(f"{up} requires (binary, offset, value)")
+        if up == "SET_BYTE":
+            # splice one byte (SetByteFunction; mirrors functions.set_byte)
+            return (
+                f"concat(substring({args[0]}, 1, {off}), "
+                f"unhex(lpad(hex({args[2]}), 2, '0')), "
+                f"substring({args[0]}, {off + 2}, 2147483647))"
+            )
+        byte = (
+            f"cast(conv(substring(hex({args[0]}), {2 * (off // 8) + 1}, 2), "
+            f"16, 10) as int)"
+        )
+        mask = 1 << (off % 8)
+        return (
+            f"concat(substring({args[0]}, 1, {off // 8}), "
+            f"unhex(lpad(hex(({byte} & {~mask & 0xFF}) | "
+            f"if(({args[2]}) != 0, {mask}, 0)), 2, '0')), "
+            f"substring({args[0]}, {off // 8 + 2}, 2147483647))"
         )
     if up in ("GET_BYTE", "GET_BIT"):
         try:
@@ -731,6 +876,10 @@ def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:
     )
     if ts_columns:
         masked = _rewrite_date_arith(masked, ts_columns)
+    # Ordered-set aggregates and INVERT lower BEFORE the per-call pass so
+    # their argument expressions still flow through the function renames.
+    masked = _rewrite_within_group(masked)
+    masked = _rewrite_invert_orderby(masked)
     # Rewrites need literal args visible (STRING_TO_ARRAY escapes them), so
     # unmask per-argument inside the rewriter via a wrapper.
     rewritten = _rewrite_code_masked(masked, _unmask)
@@ -763,6 +912,155 @@ def _rewrite_array_ctor(masked: str) -> str:
         out.append(inner)
         out.append(")")
         pos = i + 1
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates: NAME(args) WITHIN GROUP (ORDER BY key [ASC|DESC])
+# (FirstValueFunction / LastValueFunction / NthValueFunction /
+# FirstValuesFunction / LastValuesFunction / PercentRankClientAggregator).
+# Spark supports WITHIN GROUP only for percentile_cont/disc/mode, so the
+# rest lower to plain aggregate expressions:
+#   FIRST_VALUE  → min_by/max_by
+#   NTH/FIRST/LAST_VALUES → array_sort(collect_list(struct)) + slice/element_at
+#   PERCENT_RANK(v) → count_if(key <= v)/count(key)  (ASC; the reference sums
+#     distinct-value counts while colValue <= v — PercentRankClientAggregator
+#     .evaluate; DESC counts colValue > v)
+# ---------------------------------------------------------------------------
+
+_WG_FNS = (
+    "FIRST_VALUES",
+    "LAST_VALUES",
+    "FIRST_VALUE",
+    "LAST_VALUE",
+    "NTH_VALUE",
+    "PERCENT_RANK",
+)
+_WG_RE = re.compile(r"\b(" + "|".join(_WG_FNS) + r")\s*\(", re.IGNORECASE)
+_WG_TAIL_RE = re.compile(r"\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+", re.IGNORECASE)
+
+
+def _match_paren(masked: str, start: int) -> int:
+    """Index just past the ')' closing the '(' that precedes ``start``."""
+    i, depth = start, 1
+    while i < len(masked) and depth:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
+def _lower_within_group(name: str, args: list[str], key: str, desc: bool) -> str:
+    if name == "FIRST_VALUE":
+        return f"{'max_by' if desc else 'min_by'}({args[0]}, {key})"
+    if name == "LAST_VALUE":
+        return f"{'min_by' if desc else 'max_by'}({args[0]}, {key})"
+    if name == "PERCENT_RANK":
+        cmp = ">" if desc else "<="
+        return f"(cast(count_if(({key}) {cmp} ({args[0]})) as double) / count({key}))"
+    sorted_asc = (
+        f"array_sort(collect_list(named_struct('_o', {key}, '_v', {args[0]})))"
+    )
+    fwd = f"reverse({sorted_asc})" if desc else sorted_asc
+    bwd = sorted_asc if desc else f"reverse({sorted_asc})"
+    if name == "NTH_VALUE":
+        return f"element_at(transform({fwd}, __s -> __s._v), {args[1]})"
+    if name == "FIRST_VALUES":
+        return f"transform(slice({fwd}, 1, {args[1]}), __s -> __s._v)"
+    # LAST_VALUES: last n, emitted nearest-the-end first (LastValuesFunction)
+    return f"transform(slice({bwd}, 1, {args[1]}), __s -> __s._v)"
+
+
+def _rewrite_within_group(masked: str) -> str:
+    out, pos = [], 0
+    while True:
+        m = _WG_RE.search(masked, pos)
+        if not m:
+            out.append(masked[pos:])
+            return "".join(out)
+        close = _match_paren(masked, m.end())
+        tm = _WG_TAIL_RE.match(masked, close)
+        if not tm:
+            # no WITHIN GROUP: leave for Spark (e.g. window first_value)
+            out.append(masked[pos : m.end()])
+            pos = m.end()
+            continue
+        wg_close = _match_paren(masked, tm.end())
+        order = masked[tm.end() : wg_close - 1].strip()
+        if _split_args(order) != [order]:
+            raise PhoenixTranslationError(
+                f"{m.group(1).upper()} WITHIN GROUP supports a single "
+                "ORDER BY expression (as in the reference grammar)"
+            )
+        dm = re.search(r"\s+(ASC|DESC)\s*$", order, re.IGNORECASE)
+        desc = bool(dm and dm.group(1).upper() == "DESC")
+        key = (order[: dm.start()] if dm else order).strip()
+        args = _split_args(masked[m.end() : close - 1])
+        out.append(masked[pos : m.start()])
+        out.append(_lower_within_group(m.group(1).upper(), args, key, desc))
+        pos = wg_close
+    # unreachable
+
+
+# ---------------------------------------------------------------------------
+# INVERT(expr) (InvertFunction — Phoenix's DESC-sort-order wrapper): inside
+# an ORDER BY list it flips the sort direction of its argument; anywhere
+# else it would have to materialize complement-of-bytes values, which has
+# no Spark analogue and raises loudly instead of mis-sorting.
+# ---------------------------------------------------------------------------
+
+_OB_END_RE = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|WINDOW)\b", re.IGNORECASE
+)
+
+
+def _rewrite_invert_orderby(masked: str) -> str:
+    if not re.search(r"\bINVERT\s*\(", masked, re.IGNORECASE):
+        return masked
+    spans = []
+    for m in re.finditer(r"\bORDER\s+BY\b", masked, re.IGNORECASE):
+        i, depth = m.end(), 0
+        while i < len(masked):
+            c = masked[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and _OB_END_RE.match(masked, i):
+                break
+            i += 1
+        spans.append((m.end(), i))
+    inv = re.compile(r"\bINVERT\s*\(", re.IGNORECASE)
+    for start, end in reversed(spans):
+        clause = masked[start:end]
+        pieces, pos = [], 0
+        while True:
+            im = inv.search(clause, pos)
+            if im is None:
+                pieces.append(clause[pos:])
+                break
+            close = _match_paren(clause, im.end())
+            inner = clause[im.end() : close - 1]
+            dm = re.match(r"\s*(ASC|DESC)\b", clause[close:], re.IGNORECASE)
+            if dm:
+                direction = "ASC" if dm.group(1).upper() == "DESC" else "DESC"
+                close += dm.end()
+            else:
+                direction = "DESC"
+            pieces.append(clause[pos : im.start()])
+            pieces.append(f"{inner} {direction}")
+            pos = close
+        masked = masked[:start] + "".join(pieces) + masked[end:]
+    if re.search(r"\bINVERT\s*\(", masked, re.IGNORECASE):
+        raise PhoenixTranslationError(
+            "INVERT outside an ORDER BY list is not supported (it exists to "
+            "flip sort order; use ORDER BY ... DESC)"
+        )
+    return masked
 
 
 def _rewrite_code_masked(masked: str, unmask) -> str:

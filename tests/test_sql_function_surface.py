@@ -1,0 +1,117 @@
+"""Plain-SQL reachability of the reference's built-in function surface.
+
+Round-5 sweep: every function class registered in ExpressionType.java must
+be callable from Phoenix-dialect SQL through ``Engine.sql`` — not just via
+the DataFrame helpers in phoenix_spark.functions.  These cases pin the 18
+shapes that sweep found unreachable (WITHIN GROUP ordered-set aggregates,
+SET_BIT/SET_BYTE, ENCODE_BINARY/DECODE_BINARY, BASE62, COLLATION_KEY,
+JSON_EXISTS/QUERY/MODIFY, PARTITION_ID, INVERT, ARRAY_PREPEND arg order).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from phoenix_spark.sqlfront import PhoenixTranslationError
+from tests.conftest import SF_TEST_DIR
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from phoenix_spark.engine import Engine
+
+    return Engine(spark, sf_dir=SF_TEST_DIR, warehouse=str(tmp_path / "wh"))
+
+
+def one(engine, sql):
+    return engine.sql(sql).collect()[0][0]
+
+
+def test_binary_set_get_roundtrip(engine):
+    # SetByteFunction / SetBitFunction / EncodeBinaryFunction (HEX is
+    # HBase Bytes.toHex → lowercase) / DecodeBinaryFunction
+    assert one(engine, "SELECT ENCODE_BINARY(SET_BYTE(X'010203', 1, 127), 'HEX') AS v FROM region LIMIT 1") == "017f03"
+    assert one(engine, "SELECT ENCODE_BINARY(SET_BIT(X'00', 0, 1), 'HEX') AS v FROM region LIMIT 1") == "01"
+    assert one(engine, "SELECT ENCODE_BINARY(SET_BIT(X'FF', 7, 0), 'HEX') AS v FROM region LIMIT 1") == "7f"
+    assert one(engine, "SELECT DECODE_BINARY(ENCODE_BINARY(X'010203', 'BASE64'), 'BASE64') = X'010203' AS v FROM region LIMIT 1") is True
+    assert one(engine, "SELECT GET_BYTE(SET_BYTE(X'0102', 0, 9), 0) AS v FROM region LIMIT 1") == 9
+
+
+def test_encode_decode_base62_sql(engine):
+    # EncodeFunction/DecodeFunction BASE62 (bigint <-> base-62 text)
+    assert one(engine, "SELECT ENCODE(125, 'BASE62') AS v FROM region LIMIT 1") == "21"
+    assert one(engine, "SELECT ENCODE(0, 'BASE62') AS v FROM region LIMIT 1") == "0"
+    assert one(engine, "SELECT DECODE('21', 'BASE62') AS v FROM region LIMIT 1") == 125
+    assert (
+        one(engine, "SELECT DECODE(ENCODE(123456789, 'BASE62'), 'BASE62') AS v FROM region LIMIT 1")
+        == 123456789
+    )
+
+
+def test_collation_key(engine):
+    # CollationKeyFunction → Spark ICU collation; strength PRIMARY/SECONDARY
+    # (0/1) maps to the case-insensitive variant
+    assert (
+        one(engine, "SELECT COLLATION_KEY('AbC', 'en_US', false, 1) = COLLATION_KEY('ABC', 'en_US', false, 1) AS v FROM region LIMIT 1")
+        is True
+    )
+    assert (
+        one(engine, "SELECT COLLATION_KEY('AbC', 'en_US') = COLLATION_KEY('ABC', 'en_US') AS v FROM region LIMIT 1")
+        is False
+    )
+    rows = engine.sql(
+        "SELECT r_name FROM region ORDER BY COLLATION_KEY(r_name, 'en_US') LIMIT 2"
+    ).collect()
+    assert [r.r_name for r in rows] == ["AFRICA", "AMERICA"]
+
+
+def test_json_exists_query_modify(engine):
+    assert one(engine, """SELECT JSON_EXISTS('{"a":1}', '$.a') AS v FROM region LIMIT 1""") is True
+    assert one(engine, """SELECT JSON_EXISTS('{"a":1}', '$.b') AS v FROM region LIMIT 1""") is False
+    assert one(engine, """SELECT JSON_QUERY('{"a":[1,2]}', '$.a') AS v FROM region LIMIT 1""") == "[1,2]"
+    # JSON_MODIFY: type-preserving top-level update, sorted-key rendering
+    assert (
+        one(engine, """SELECT JSON_MODIFY('{"a":1,"b":"x"}', '$.a', '2') AS v FROM region LIMIT 1""")
+        == '{"a":2,"b":"x"}'
+    )
+    assert (
+        one(engine, """SELECT JSON_MODIFY('{"a":1}', '$.b', '"y"') AS v FROM region LIMIT 1""")
+        == '{"a":1,"b":"y"}'
+    )
+    with pytest.raises(PhoenixTranslationError, match="top-level"):
+        engine.sql("""SELECT JSON_MODIFY('{"a":{"b":1}}', '$.a.b', '2') AS v FROM region""")
+
+
+def test_partition_id_and_array_prepend(engine):
+    assert one(engine, "SELECT PARTITION_ID() >= 0 AS v FROM region LIMIT 1") is True
+    assert one(engine, "SELECT ARRAY_PREPEND(0, ARRAY[1,2]) AS v FROM region LIMIT 1") == [0, 1, 2]
+
+
+def test_invert_in_order_by(engine):
+    # InvertFunction: flips sort direction inside ORDER BY
+    assert one(engine, "SELECT r_regionkey FROM region ORDER BY INVERT(r_regionkey) LIMIT 1") == 4
+    assert one(engine, "SELECT r_regionkey FROM region ORDER BY INVERT(r_regionkey) DESC LIMIT 1") == 0
+    with pytest.raises(PhoenixTranslationError, match="ORDER BY"):
+        engine.sql("SELECT INVERT(r_regionkey) AS v FROM region")
+
+
+def test_within_group_ordered_set_aggregates(engine):
+    # FirstValue/LastValue/NthValue/FirstValues/LastValues/PercentRank
+    # WITHIN GROUP lowerings (min_by/max_by + array_sort(collect_list))
+    assert one(engine, "SELECT FIRST_VALUE(r_name) WITHIN GROUP (ORDER BY r_regionkey ASC) AS v FROM region") == "AFRICA"
+    assert one(engine, "SELECT FIRST_VALUE(r_name) WITHIN GROUP (ORDER BY r_regionkey DESC) AS v FROM region") == "MIDDLE EAST"
+    assert one(engine, "SELECT LAST_VALUE(r_name) WITHIN GROUP (ORDER BY r_regionkey ASC) AS v FROM region") == "MIDDLE EAST"
+    assert one(engine, "SELECT NTH_VALUE(r_name, 2) WITHIN GROUP (ORDER BY r_regionkey ASC) AS v FROM region") == "AMERICA"
+    assert one(engine, "SELECT FIRST_VALUES(r_regionkey, 2) WITHIN GROUP (ORDER BY r_regionkey DESC) AS v FROM region") == [4, 3]
+    assert one(engine, "SELECT LAST_VALUES(r_regionkey, 2) WITHIN GROUP (ORDER BY r_regionkey ASC) AS v FROM region") == [4, 3]
+    # PercentRankClientAggregator ASC: share of values <= the probe value
+    assert one(engine, "SELECT PERCENT_RANK(2) WITHIN GROUP (ORDER BY r_regionkey ASC) AS v FROM region") == 0.6
+    assert one(engine, "SELECT PERCENT_RANK(2) WITHIN GROUP (ORDER BY r_regionkey DESC) AS v FROM region") == 0.4
+    # grouped use stays an ordinary aggregate
+    rows = engine.sql(
+        "SELECT n_regionkey, FIRST_VALUE(n_name) WITHIN GROUP (ORDER BY n_nationkey ASC) AS first_nation "
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+    ).collect()
+    assert len(rows) == 5 and rows[0].first_nation == "NATION_0"
+    # window-function first_value is untouched by the rewrite
+    assert one(engine, "SELECT first_value(r_name) OVER (ORDER BY r_regionkey) AS v FROM region LIMIT 1") == "AFRICA"
