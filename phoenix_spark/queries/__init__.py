@@ -96,7 +96,6 @@ _PERMANENT = [
     # Families whose every member is already driver-verified keep a
     # re-verified anchor here so no family ships without a current-round row.
     "bson_condition_filter", # §2.8 BSON condition language (r03-green)
-    "bin_encode_decode",     # §2.8 binary/bit functions (r03-green)
     "source_csv_bulk_load",  # §2.1 bulk load path (r03-green)
     "mm_binary_meta",        # multimodal binary plumbing (r03-green)
     "stream_cdc_counts",     # §2.11 real availableNow stream job (r04-green)
@@ -122,9 +121,11 @@ _ROTATING = [
     "scan_salted_roundtrip",
     "ddl_system_catalog",
     "ddl_view_diverge",
-    # TPC-H tail (never driver-run)
+    # TPC-H tail (never driver-run; q20 deferred to r06)
     "q19_disjunct_revenue",
-    "q20_part_promotion",
+    # round-5 SQL function-surface capabilities (never-verified, new)
+    "agg_within_group_sql",  # WITHIN GROUP ordered-set lowering
+    "bin_set_splice",        # SET_BYTE/SET_BIT/ENCODE_BINARY/DECODE_BINARY
     # §2.5 windows
     "window_running_lag",
     # §2.8 scalar sub-families

@@ -288,3 +288,46 @@ REG.add(
     FROM lineitem GROUP BY l_linestatus
     """,
 )
+
+# --- WITHIN GROUP ordered-set aggregates from plain SQL ----------------------
+# Round-5 sqlfront lowering (FirstValueFunction / LastValueFunction /
+# NthValueFunction / PercentRankClientAggregator): the Phoenix WITHIN GROUP
+# syntax flows through Engine.sql into min_by/max_by and
+# array_sort(collect_list(struct)) aggregates.  o_orderkey is unique, so the
+# orderings are tie-free and deterministic on both engines; prices come
+# straight off the parquet scan (no arithmetic), so doubles hash-match.
+def _within_group_sql(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    return e.sql(
+        """
+        SELECT o_orderstatus,
+               FIRST_VALUE(o_totalprice) WITHIN GROUP (ORDER BY o_orderkey ASC)
+                 AS first_price,
+               LAST_VALUE(o_totalprice) WITHIN GROUP (ORDER BY o_orderkey ASC)
+                 AS last_price,
+               NTH_VALUE(o_totalprice, 3) WITHIN GROUP (ORDER BY o_orderkey ASC)
+                 AS third_price,
+               PERCENT_RANK(100000) WITHIN GROUP (ORDER BY o_totalprice ASC)
+                 AS pr_100k
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+REG.add(
+    "agg_within_group_sql",
+    _within_group_sql,
+    """
+    SELECT o_orderstatus,
+           (MIN(struct_pack(o := o_orderkey, p := o_totalprice))).p AS first_price,
+           (MAX(struct_pack(o := o_orderkey, p := o_totalprice))).p AS last_price,
+           (list(o_totalprice ORDER BY o_orderkey))[3] AS third_price,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS DOUBLE)
+             / COUNT(o_totalprice) AS pr_100k
+    FROM orders GROUP BY o_orderstatus
+    """,
+)

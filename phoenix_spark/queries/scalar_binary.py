@@ -91,3 +91,39 @@ REG.add(
     FROM lineitem
     """,
 )
+
+# --- SET_BYTE / SET_BIT / ENCODE_BINARY / DECODE_BINARY from plain SQL -------
+# Round-5 sqlfront lowering (SetByteFunction / SetBitFunction /
+# EncodeBinaryFunction / DecodeBinaryFunction): splice byte 1 of the first
+# four MD5 bytes to 0x7f and re-encode.  The oracle reproduces the splice
+# with plain hex-string surgery; the constant SET_BIT case pins the
+# bit-twiddling path (X'F0' bit0 := 1 -> 0xf1).
+def _bin_set_splice(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    return e.sql(
+        """
+        SELECT doc_id,
+               ENCODE_BINARY(
+                 SET_BYTE(DECODE_BINARY(SUBSTR(MD5(text), 1, 8), 'HEX'), 1, 127),
+                 'HEX') AS spliced,
+               ENCODE_BINARY(SET_BIT(DECODE_BINARY('f0', 'HEX'), 0, 1), 'HEX')
+                 AS bit_set
+        FROM documents
+        """
+    )
+
+
+REG.add(
+    "bin_set_splice",
+    _bin_set_splice,
+    """
+    SELECT doc_id,
+           substr(md5(text), 1, 2) || '7f' || substr(md5(text), 5, 4) AS spliced,
+           'f1' AS bit_set
+    FROM documents
+    """,
+)

@@ -184,3 +184,33 @@ REG.add(
     FROM d
     """,
 )
+
+# --- JSON_MODIFY from plain SQL (JsonModifyFunction) -------------------------
+# Round-5 sqlfront lowering: type-preserving top-level update via a variant
+# map rebuild with sorted-key rendering.  The oracle pins the extraction
+# invariant (the updated leaf reads back) plus a constant-document update
+# whose rendering is fully determined.
+def _json_modify(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    return e.sql(
+        """
+        SELECT event_id,
+               JSON_VALUE(JSON_MODIFY(props, '$.k', '999'), '$.k') AS k_new,
+               JSON_MODIFY('{"a":1}', '$.b', '"y"') AS doc_new
+        FROM events WHERE props IS NOT NULL
+        """
+    )
+
+
+REG.add(
+    "json_modify_value",
+    _json_modify,
+    """
+    SELECT event_id, '999' AS k_new, '{"a":1,"b":"y"}' AS doc_new
+    FROM events WHERE props IS NOT NULL
+    """,
+)
