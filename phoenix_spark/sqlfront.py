@@ -406,6 +406,70 @@ def _regex_escape_literal(lit: str) -> str:
     return "'" + escaped.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+def _parse_json_path(path: str) -> list[object] | None:
+    """'$.a.b[0].c' -> ['a', 'b', 0, 'c']; None if not a simple JSONPath."""
+    if not path.startswith("$"):
+        return None
+    segs: list[object] = []
+    rest = path[1:]
+    while rest:
+        m = re.match(r"\.([A-Za-z_]\w*)", rest)
+        if m:
+            segs.append(m.group(1))
+            rest = rest[m.end() :]
+            continue
+        m = re.match(r"\[(\d+)\]", rest)
+        if m:
+            segs.append(int(m.group(1)))
+            rest = rest[m.end() :]
+            continue
+        return None
+    return segs
+
+
+def _json_modify_expr(doc: str, segs: list[object], nv: str) -> str:
+    """Updated-JSON-text expression for JSON_MODIFY (JsonModifyFunction).
+
+    Each object level rebuilds a map<string,variant> (other fields keep
+    their types; keys render sorted for determinism, as in
+    bson_update_expression); each array level splices the element at the
+    reference's 0-based index via slice+concat."""
+    seg, rest = segs[0], segs[1:]
+    if isinstance(seg, int):
+        arr = f"from_json({doc}, 'array<variant>')"
+        if rest:
+            inner = f"to_json(element_at({arr}, {seg + 1}))"
+            new_text = _json_modify_expr(inner, rest, nv)
+        else:
+            new_text = nv
+        # suffix length = size(arr): any length >= remaining works (start
+        # past the end yields []), while start+length must not overflow int
+        # (a 2147483647 length silently empties the slice)
+        return (
+            f"to_json(concat(slice({arr}, 1, {seg}), "
+            f"array(parse_json({new_text})), "
+            f"slice({arr}, {seg + 2}, size({arr}))))"
+        )
+    if rest:
+        inner = f"coalesce(get_json_object({doc}, '$.{seg}'), '{{}}')"
+        new_text = _json_modify_expr(inner, rest, nv)
+    else:
+        new_text = nv
+    merged = (
+        f"map_concat(map_filter("
+        f"from_json({doc}, 'map<string,variant>'), "
+        f"(__k, __v) -> __k != '{seg}'), "
+        f"map('{seg}', parse_json({new_text})))"
+    )
+    # sorted-key rendering: variant values are not orderable, so the
+    # comparator sorts entries by key alone
+    return (
+        f"to_json(map_from_entries(array_sort(map_entries({merged}), "
+        f"(__a, __b) -> case when __a.key < __b.key then -1 "
+        f"when __a.key > __b.key then 1 else 0 end)))"
+    )
+
+
 def _rewrite_call(name: str, args: list[str]) -> str:
     up = name.upper()
     if up in ("TRUNC", "ROUND", "FLOOR", "CEIL"):
@@ -629,36 +693,23 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"(get_json_object({args[0]}, {args[1]}) IS NOT NULL)"
     if up == "JSON_MODIFY":
         # JsonModifyFunction(doc, path, newValue): newValue is JSON text
-        # (strings arrive quoted, as in the reference's IT queries).  The
-        # variant round-trip preserves the other fields' types; scope is
-        # top-level paths, same as the BSON update language (bson.py).
+        # (strings arrive quoted, as in JsonFunctionsIT's queries).  Deep
+        # paths ('$.info.address.town', '$.info.tags[1]') rebuild each level:
+        # object levels via a variant map rebuild (type-preserving,
+        # sorted-key rendering like bson_update_expression), array levels
+        # via slice-splice at the 0-based reference index.  Missing
+        # intermediate objects are created as {}.
         if len(args) != 3:
             raise PhoenixTranslationError(
                 "JSON_MODIFY requires (doc, path, newValue)"
             )
         path = _literal_text(args[1])
-        if path is None or not re.fullmatch(r"\$\.[A-Za-z_]\w*", path):
+        segs = _parse_json_path(path) if path is not None else None
+        if not segs:
             raise PhoenixTranslationError(
-                "JSON_MODIFY supports top-level '$.field' literal paths; "
-                "deep-path document updates go through "
-                "BSON_UPDATE_EXPRESSION"
+                "JSON_MODIFY path must be a literal like '$.a.b[0].c'"
             )
-        key = path[2:]
-        # sorted-key rendering (key order is not JSON-semantic; sorting makes
-        # the output deterministic, same as bson_update_expression).  The
-        # comparator sorts entries by key alone — variant values are not
-        # orderable, so the default struct sort would fail.
-        merged = (
-            f"map_concat(map_filter("
-            f"from_json({args[0]}, 'map<string,variant>'), "
-            f"(__k, __v) -> __k != '{key}'), "
-            f"map('{key}', parse_json({args[2]})))"
-        )
-        return (
-            f"to_json(map_from_entries(array_sort(map_entries({merged}), "
-            f"(__a, __b) -> case when __a.key < __b.key then -1 "
-            f"when __a.key > __b.key then 1 else 0 end)))"
-        )
+        return _json_modify_expr(args[0], segs, args[2])
     if up == "PARTITION_ID":
         # PartitionIdFunction: the physical partition of the row
         return "spark_partition_id()"

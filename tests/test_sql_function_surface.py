@@ -78,8 +78,27 @@ def test_json_exists_query_modify(engine):
         one(engine, """SELECT JSON_MODIFY('{"a":1}', '$.b', '"y"') AS v FROM region LIMIT 1""")
         == '{"a":1,"b":"y"}'
     )
-    with pytest.raises(PhoenixTranslationError, match="top-level"):
-        engine.sql("""SELECT JSON_MODIFY('{"a":{"b":1}}', '$.a.b', '2') AS v FROM region""")
+    # deep paths: object levels rebuild, array levels splice (0-based index,
+    # as in JsonFunctionsIT's '$.info.tags[1]' updates)
+    assert (
+        one(engine, """SELECT JSON_MODIFY('{"a":{"b":1,"c":true},"d":5}', '$.a.b', '2') AS v FROM region LIMIT 1""")
+        == '{"a":{"b":2,"c":true},"d":5}'
+    )
+    assert (
+        one(engine, """SELECT JSON_MODIFY('{"info":{"tags":["Sport","Water"]}}', '$.info.tags[1]', '"alto1"') AS v FROM region LIMIT 1""")
+        == '{"info":{"tags":["Sport","alto1"]}}'
+    )
+    assert (
+        one(engine, """SELECT JSON_MODIFY('["x","y","z"]', '$[0]', '"w"') AS v FROM region LIMIT 1""")
+        == '["w","y","z"]'
+    )
+    # missing intermediate objects are created
+    assert (
+        one(engine, """SELECT JSON_MODIFY('{"a":1}', '$.b.c', '7') AS v FROM region LIMIT 1""")
+        == '{"a":1,"b":{"c":7}}'
+    )
+    with pytest.raises(PhoenixTranslationError, match="literal"):
+        engine.sql("""SELECT JSON_MODIFY('{"a":1}', '$..b', '2') AS v FROM region""")
 
 
 def test_partition_id_and_array_prepend(engine):
