@@ -1927,6 +1927,22 @@ class Engine:
 
     def _exec_upsert(self, text: str) -> DataFrame | int:
         up = D.parse_upsert(text)
+        if isinstance(up.on_duplicate, dict):
+            # ON DUPLICATE KEY UPDATE expressions are Phoenix-dialect SQL
+            # (JsonFunctionsIT: jsoncol = JSON_MODIFY(jsoncol, ...)); they
+            # evaluate via F.expr over the existing row, so run them through
+            # the same translator the SELECT path uses
+            up = D.Upsert(
+                up.table,
+                up.columns,
+                up.values,
+                up.select,
+                {
+                    c: translate_phoenix_sql(e)
+                    for c, e in up.on_duplicate.items()
+                },
+                up.returning,
+            )
         vc = self._view_constants(up.table)
         if vc is not None:
             # UPSERT through an updatable view: write to the base table with

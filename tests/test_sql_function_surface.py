@@ -134,3 +134,82 @@ def test_within_group_ordered_set_aggregates(engine):
     assert len(rows) == 5 and rows[0].first_nation == "NATION_0"
     # window-function first_value is untouched by the rewrite
     assert one(engine, "SELECT first_value(r_name) OVER (ORDER BY r_regionkey) AS v FROM region LIMIT 1") == "AFRICA"
+
+
+# ---------------------------------------------------------------------------
+# JsonFunctionsIT replay: the reference's own JSON scenario, verbatim
+# (phoenix-core/src/it/java/.../json/JsonFunctionsIT.java:72-165), using its
+# shipped fixture document json_functions_basic.json.
+# ---------------------------------------------------------------------------
+
+_BASIC_JSON_PATH = (
+    "/root/reference/phoenix-core/src/it/resources/json/json_functions_basic.json"
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_BASIC_JSON_PATH),
+    reason="reference json fixtures not present",
+)
+def test_json_functions_it_replay(engine):
+    import json as _json
+
+    basic = _json.dumps(_json.load(open(_BASIC_JSON_PATH))[0])
+    lit = basic.replace("'", "''")
+    engine.sql(
+        "create table jfit (pk integer not null, randomVal integer, col integer, "
+        "jsoncol json, constraint p primary key (pk))"
+    )
+    engine.sql(f"UPSERT INTO jfit VALUES (1, 123, 2, '{lit}')")
+
+    # testSimpleJsonValue's query shape
+    row = engine.sql(
+        "SELECT pk, randomVal, JSON_VALUE(jsoncol, '$.type') AS t, "
+        "JSON_VALUE(jsoncol, '$.info.address.town') AS town, "
+        "JSON_VALUE(jsoncol, '$.info.tags[0]') AS tag0, "
+        "JSON_QUERY(jsoncol, '$.info.tags') AS tags, "
+        "JSON_VALUE(jsoncol, '$.info.tags[1]') AS tag1 "
+        "FROM jfit WHERE JSON_VALUE(jsoncol, '$.name') = 'AndersenFamily'"
+    ).collect()[0]
+    assert (row.pk, row.randomVal, row.t, row.town, row.tag0, row.tag1) == (
+        1, 123, "Basic", "Bristol", "Sport", "Water polo",
+    )
+    assert _json.loads(row.tags) == ["Sport", "Water polo"]
+    # empty match
+    assert (
+        engine.sql(
+            "SELECT pk FROM jfit WHERE JSON_VALUE(jsoncol, '$.name') = 'Windsors'"
+        ).collect()
+        == []
+    )
+
+    # testAtomicUpsertJsonModifyWithAutoCommit's update chain
+    engine.sql(
+        "UPSERT INTO jfit (pk, randomVal, col) VALUES(1, 123, 2) ON DUPLICATE KEY "
+        "UPDATE jsoncol = JSON_MODIFY(jsoncol, '$.info.address.town', '\"Manchester\"')"
+    )
+    assert (
+        engine.sql("SELECT JSON_VALUE(jsoncol, '$.info.address.town') AS v FROM jfit").collect()[0].v
+        == "Manchester"
+    )
+    engine.sql(
+        "UPSERT INTO jfit (pk, randomVal, col) VALUES(1, 123, 2) ON DUPLICATE KEY "
+        "UPDATE jsoncol = JSON_MODIFY(jsoncol, '$.info.tags[1]', '\"alto1\"')"
+    )
+    assert (
+        engine.sql("SELECT JSON_VALUE(jsoncol, '$.info.tags[1]') AS v FROM jfit").collect()[0].v
+        == "alto1"
+    )
+    engine.sql(
+        "UPSERT INTO jfit (pk, randomVal, col) VALUES(1, 123, 2) ON DUPLICATE KEY "
+        "UPDATE jsoncol = JSON_MODIFY(jsoncol, '$.info.tags', '[\"Sport\", \"alto1\", \"Books\"]')"
+    )
+    row = engine.sql(
+        "SELECT JSON_VALUE(jsoncol, '$.type') AS t, "
+        "JSON_VALUE(jsoncol, '$.info.address.town') AS town, "
+        "JSON_VALUE(jsoncol, '$.info.tags[1]') AS tag1, "
+        "JSON_QUERY(jsoncol, '$.info.tags') AS tags "
+        "FROM jfit WHERE JSON_VALUE(jsoncol, '$.name') = 'AndersenFamily'"
+    ).collect()[0]
+    assert (row.t, row.town, row.tag1) == ("Basic", "Manchester", "alto1")
+    assert _json.loads(row.tags) == ["Sport", "alto1", "Books"]
