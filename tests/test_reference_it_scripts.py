@@ -288,3 +288,60 @@ def test_qualified_names_everywhere(engine):
         "SELECT sq.a.v, sq.b.w FROM sq.a JOIN sq.b ON sq.a.k = sq.b.k"
     ).collect()
     assert [(r[0], r[1]) for r in rows] == [("x", "y")]
+
+
+def test_query_create_add_alone(engine):
+    """query_create_add.sql after create_add.sql only (the upgrade harness's
+    pre-add check): base rows a,b plus c written through the view with its
+    name constant auto-filled."""
+    _run(engine, "create_add")
+    res = _run(engine, "query_create_add")
+    assert res[0].collect()[0][0] == 3  # a, b, c
+    assert {(r[0], r[1]) for r in res[1].collect()} == {
+        ("a", "a_name"),
+        ("b", "b_name"),
+        ("c", "a_name"),  # view constant auto-filled
+    }
+    assert {r[0] for r in res[2].collect()} == {"a", "c"}
+    assert res[3].collect()[0][0] == 2  # immutable: a, b
+    assert {(r[0], r[1]) for r in res[4].collect()} == {
+        ("a", "a_name"),
+        ("b", "b_name"),
+    }
+
+
+def test_query_delete_and_drop_cycle(engine):
+    """query_delete.sql, query_delete_for_splitable_syscat.sql (create →
+    upsert → select → DROP over a SALT_BUCKETS table), and
+    query_select_and_drop_table.sql, which selects-then-drops a table an
+    EARLIER harness phase created (replayed here with the same template
+    statement the harness uses, renamed to my_table_delete2)."""
+    res = _run(engine, "query_delete")
+    assert res[2].collect()[0][0] == 1  # COUNT(*) after the single upsert
+    assert res[3].collect()[0] == ("a", "a_name")
+
+    # these scripts DROP the table they select from, so collect each SELECT
+    # eagerly before the next statement runs
+    import pytest as _pt
+
+    def _run_eager(fname):
+        out = []
+        for stmt in _statements(f"{SQL_DIR}/{fname}.sql"):
+            r = engine.sql(stmt)
+            out.append(r.collect() if hasattr(r, "collect") else r)
+        return out
+
+    res = _run_eager("query_delete_for_splitable_syscat")
+    assert res[2][0][0] == 1  # one row before the drop
+    with _pt.raises(ValueError):  # the script ends with DROP TABLE
+        engine.managed("my_schema.my_table_delete5")
+
+    engine.sql(
+        "CREATE TABLE if not exists my_schema.my_table_delete2 "
+        "(id VARCHAR not null primary key, name VARCHAR) SALT_BUCKETS=4"
+    )
+    engine.sql("UPSERT INTO my_schema.my_table_delete2 values ('a','a_name')")
+    res = _run_eager("query_select_and_drop_table")
+    assert res[0][0][0] == 1  # one row before the drop
+    with _pt.raises(ValueError):
+        engine.managed("my_schema.my_table_delete2")
