@@ -213,3 +213,30 @@ def test_json_functions_it_replay(engine):
     ).collect()[0]
     assert (row.t, row.town, row.tag1) == ("Basic", "Manchester", "alto1")
     assert _json.loads(row.tags) == ["Sport", "alto1", "Books"]
+
+
+def test_rewrite_edge_cases(engine):
+    # nested calls inside WITHIN GROUP args and ORDER BY keys
+    assert (
+        one(engine, "SELECT FIRST_VALUE(UPPER(r_name)) WITHIN GROUP (ORDER BY LOWER(r_name) DESC) AS v FROM region")
+        == "MIDDLE EAST"
+    )
+    # string literals containing the trigger words are masked, not rewritten
+    assert (
+        one(engine, "SELECT 'WITHIN GROUP (ORDER BY x)' AS v FROM region LIMIT 1")
+        == "WITHIN GROUP (ORDER BY x)"
+    )
+    assert (
+        one(engine, "SELECT 'INVERT(a)' AS v FROM region ORDER BY r_regionkey LIMIT 1")
+        == "INVERT(a)"
+    )
+    # INVERT inside a subquery's ORDER BY
+    assert (
+        one(engine, "SELECT * FROM (SELECT r_regionkey AS v FROM region ORDER BY INVERT(r_regionkey) LIMIT 1)")
+        == 4
+    )
+    # INVERT on a compound key expression
+    assert (
+        one(engine, "SELECT r_regionkey FROM region ORDER BY INVERT(r_regionkey * 2 + 1) LIMIT 1")
+        == 4
+    )
