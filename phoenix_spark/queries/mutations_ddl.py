@@ -664,3 +664,61 @@ REG.add(
     ) AS t(a, b, d, va, vb)
     """,
 )
+
+# --- streaming exact dedup: dropDuplicates in a real stream job --------------
+# The streaming face of dedup_exact: documents arrive as a file stream and
+# Structured Streaming's dropDuplicates keeps one row per content hash in
+# state (at 100 TB: bound the state with dropDuplicatesWithinWatermark over
+# the ingest-time column; the fixture has no event time on documents, and an
+# availableNow batch holds state only for the run).  Which row of a
+# duplicate group survives is engine order — so the result aggregates only
+# per-group-invariant values (the hash set and the duplicate texts are
+# identical by construction).
+def _stream_dedup_exact(spark, sf):
+    import tempfile
+    import uuid
+
+    path = f"{sf}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    # the fixture table is a single file; the streaming file source wants a
+    # directory, so point it at the sf dir with a glob selecting the table
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .withColumn("h", F.md5("text"))
+        .dropDuplicates(["h"])
+    )
+    sink = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdedup_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("hkey_sum"),
+    )
+
+
+REG.add(
+    "stream_dedup_exact",
+    _stream_dedup_exact,
+    """
+    WITH u AS (
+      SELECT md5(text) AS h, MIN(LENGTH(text)) AS len
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(len) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 8))::BIGINT AS BIGINT)) AS BIGINT)
+             AS hkey_sum
+    FROM u
+    """,
+)
