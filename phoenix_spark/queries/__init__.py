@@ -98,7 +98,7 @@ _PERMANENT = [
     "bson_condition_filter", # §2.8 BSON condition language (r03-green)
     "source_csv_bulk_load",  # §2.1 bulk load path (r03-green)
     "mm_binary_meta",        # multimodal binary plumbing (r03-green)
-    "stream_cdc_counts",     # §2.11 real availableNow stream job (r04-green)
+    "stream_dedup_exact",    # §2.11 streaming dedup (new r05, never-verified)
 ]
 
 # Round-5 rotation: every name here had NO driver row in r02/r03/r04 (see
