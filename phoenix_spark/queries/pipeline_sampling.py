@@ -388,3 +388,69 @@ REG.add(
     FROM clean
     """,
 )
+
+# --- temperature-flattened domain mixing (mT5/XLM-R alpha sampling) ----------
+# Multilingual/multi-domain training flattens the domain distribution with a
+# temperature: target share q_d ∝ n_d^α (α = 0.5 here).  Downsample-only
+# normalization (no upsampling/duplication) collapses to keep-rate
+# r_d = sqrt(n_min / n_d): the smallest domain keeps 100 %, larger domains
+# shrink toward parity.  α = 0.5 is deliberate — sqrt and the division are
+# IEEE correctly-rounded in both engines, so the thresholds (and therefore
+# every sampling decision) are bit-identical and oracle-pairable; a general
+# pow(x, α) is only ulp-accurate and could flip boundary buckets.
+#
+# Plan shape at 100 TB: one tiny per-domain count aggregate (map-side
+# combined), a broadcast of the per-domain thresholds, and a deterministic
+# md5-bucket filter on the scan — the corpus is never shuffled to be
+# sampled.  The bucket reads md5 chars 3..17 so decisions are independent
+# of sample_stratified's bucket (chars 1..15).
+_TBUCKET = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 3, 15), 16, 10)"
+    " as bigint) % 10000"
+)
+_DUCK_TBUCKET = (
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 3, 15))::BIGINT % 10000"
+)
+
+
+def _sample_temperature(spark, sf):
+    docs = t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_d"))
+    nmin = counts.agg(F.min("n_d").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_d")) * 10000
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.expr(_TBUCKET) < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("thr").cast("long").alias("keep_thr_bp"),
+        )
+    )
+
+
+REG.add(
+    "sample_temperature",
+    _sample_temperature,
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_d FROM documents GROUP BY source),
+         m AS (SELECT MIN(n_d) AS n_min FROM c),
+         r AS (SELECT source,
+                      CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE) / n_d) * 10000)
+                           AS BIGINT) AS thr
+               FROM c, m)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(r.thr) AS BIGINT) AS keep_thr_bp
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {_DUCK_TBUCKET} < r.thr
+    GROUP BY d.source
+    """,
+)

@@ -445,3 +445,13 @@ def test_ivf_persisted_bucket_pruning(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "SelectedBucketsCount: 2 out of 8" in formatted
+
+
+def test_sample_temperature_broadcast_no_corpus_shuffle(spark):
+    """Temperature sampling joins the tiny per-domain threshold table via
+    broadcast; the corpus itself is filtered on the scan side, never
+    sort-merge shuffled to be sampled."""
+    plan = plan_of(spark, "sample_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
