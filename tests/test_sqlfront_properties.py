@@ -193,3 +193,40 @@ def test_decimalformat_parity_on_spark(spark, int_part, cents):
     back = to_number_expr(f"'{got}'", "#,##0.00")
     rt = spark.sql(f"SELECT {back} AS r").collect()[0][0]
     assert abs(rt - round(val, 2)) < 1e-9
+
+
+# --- JSON_MODIFY round-trip (deep-path rebuild correctness) ------------------
+
+_JKEY = st.sampled_from(["a", "b", "c", "kk", "x1"])
+_JVAL = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.booleans(),
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7E
+        ),
+        max_size=12,
+    ),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(_JKEY, _JVAL, min_size=1, max_size=4),
+    _JKEY,
+    _JVAL,
+)
+def test_json_modify_roundtrip(spark, doc, key, new_val):
+    """Setting any top-level key through the JSON_MODIFY lowering yields
+    exactly the source dict with that key replaced — every other field keeps
+    its type (ints stay ints, bools stay bools, nulls stay nulls)."""
+    import json
+
+    doc_lit = json.dumps(doc).replace("'", "''")
+    nv_lit = json.dumps(new_val).replace("'", "''")
+    sql = translate_phoenix_sql(
+        f"SELECT JSON_MODIFY('{doc_lit}', '$.{key}', '{nv_lit}') AS v"
+    )
+    out = spark.sql(sql).collect()[0].v
+    assert json.loads(out) == {**doc, key: new_val}
