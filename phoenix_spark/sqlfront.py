@@ -838,7 +838,13 @@ def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:
     for kind, text in segs:
         if kind in ("string", "ident"):
             masked_parts.append(f"\x00{len(stash)}\x00")
-            stash.append(text)
+            if kind == "ident":
+                # ANSI double-quoted identifiers (grammar: case-sensitive
+                # names) → Spark backticks; `""` unescapes to `"`
+                inner = text[1:-1].replace('""', '"').replace("`", "``")
+                stash.append(f"`{inner}`")
+            else:
+                stash.append(text)
         elif kind == "comment":
             if text.startswith("/*+"):
                 masked_parts.append(f"\x01{len(hint_stash)}\x01")

@@ -240,3 +240,21 @@ def test_rewrite_edge_cases(engine):
         one(engine, "SELECT r_regionkey FROM region ORDER BY INVERT(r_regionkey * 2 + 1) LIMIT 1")
         == 4
     )
+
+
+def test_ansi_quoted_identifiers(engine):
+    """ANSI double-quoted identifiers (Phoenix grammar) translate to Spark
+    backticks — aliases with spaces, quoted column/table refs, and the ""
+    escape all work."""
+    row = engine.sql(
+        'SELECT r_name AS "Quoted Name" FROM region ORDER BY r_name LIMIT 1'
+    ).collect()[0]
+    assert row["Quoted Name"] == "AFRICA"
+    assert (
+        one(engine, 'SELECT "r_name" FROM "region" ORDER BY "r_name" LIMIT 1')
+        == "AFRICA"
+    )
+    row = engine.sql(
+        'SELECT r_regionkey AS "a""b" FROM region ORDER BY r_regionkey LIMIT 1'
+    ).collect()[0]
+    assert row['a"b'] == 0
