@@ -933,8 +933,12 @@ def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:
     )
     if ts_columns:
         masked = _rewrite_date_arith(masked, ts_columns)
-    # Ordered-set aggregates and INVERT lower BEFORE the per-call pass so
-    # their argument expressions still flow through the function renames.
+    # 1-based subscripts and quantified comparisons first (their output may
+    # contain functions), then ordered-set aggregates and INVERT — all
+    # BEFORE the per-call pass so argument expressions still flow through
+    # the function renames.
+    masked = _rewrite_subscripts(masked)
+    masked = _rewrite_quantified(masked)
     masked = _rewrite_within_group(masked)
     masked = _rewrite_invert_orderby(masked)
     # Rewrites need literal args visible (STRING_TO_ARRAY escapes them), so
@@ -1058,6 +1062,125 @@ def _rewrite_within_group(masked: str) -> str:
         out.append(masked[pos : m.start()])
         out.append(_lower_within_group(m.group(1).upper(), args, key, desc))
         pos = wg_close
+    # unreachable
+
+
+def _term_start(s: str, i: int) -> int:
+    """Start index of the term ending just before ``i`` (skipping trailing
+    whitespace): a qualified identifier / literal placeholder, optionally a
+    call or parenthesized group with its name."""
+    j = i
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j > 0 and s[j - 1] == ")":
+        depth, k = 0, j - 1
+        while k >= 0:
+            if s[k] == ")":
+                depth += 1
+            elif s[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        j = max(k, 0)
+    while j > 0 and (s[j - 1].isalnum() or s[j - 1] in "_.\x00"):
+        j -= 1
+    return j
+
+
+# ---------------------------------------------------------------------------
+# Array subscripts: term[e] (grammar :1149 arrayElemRef) is ONE-based in
+# Phoenix; Spark's [] is zero-based, so passing it through would silently
+# return the neighboring element.  Lower to element_at (also 1-based).
+# Runs after the ARRAY[...] constructor rewrite, so every remaining '['
+# preceded by a term is a subscript.
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_subscripts(masked: str) -> str:
+    i = 0
+    while True:
+        idx = masked.find("[", i)
+        if idx == -1:
+            return masked
+        j = idx
+        while j > 0 and masked[j - 1].isspace():
+            j -= 1
+        if j == 0 or not (masked[j - 1].isalnum() or masked[j - 1] in "_\x00)"):
+            i = idx + 1
+            continue
+        start = _term_start(masked, idx)
+        depth, k = 1, idx + 1
+        while k < len(masked) and depth:
+            c = masked[k]
+            if c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+            k += 1
+        term = masked[start:j]
+        inner = masked[idx + 1 : k - 1]
+        masked = (
+            masked[:start] + f"element_at({term}, {inner})" + masked[k:]
+        )
+        i = start
+    # unreachable
+
+
+# ---------------------------------------------------------------------------
+# Quantified comparisons (grammar :1087): x op ANY|SOME|ALL (array | subquery).
+#  * arrays (ArrayAnyComparisonExpression / ArrayAllComparisonExpression):
+#    lower to exists()/forall() lambdas — JVM-side, codegen'd.
+#  * subqueries: the reference compiles these to aggregate comparisons; same
+#    here — = ANY → IN, <> ALL → NOT IN, range ops → MIN/MAX scalar subquery
+#    (the exact rewrite the registry documents for subq_all_quantified).
+# ---------------------------------------------------------------------------
+
+_QUANT_RE = re.compile(
+    r"(=|!=|<>|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_quantified(masked: str) -> str:
+    out, pos = [], 0
+    while True:
+        m = _QUANT_RE.search(masked, pos)
+        if not m:
+            out.append(masked[pos:])
+            return "".join(out)
+        close = _match_paren(masked, m.end())
+        inner = masked[m.end() : close - 1].strip()
+        op = {"!=": "<>"}.get(m.group(1), m.group(1))
+        quant = m.group(2).upper().replace("SOME", "ANY")
+        lstart = _term_start(masked, m.start())
+        left = masked[lstart : m.start()].strip()
+        if not left:
+            raise PhoenixTranslationError(
+                f"cannot resolve the left operand of {op} {quant}(...)"
+            )
+        if re.match(r"SELECT\b", inner, re.IGNORECASE):
+            if op == "=" and quant == "ANY":
+                repl = f"{left} IN ({inner})"
+            elif op == "<>" and quant == "ALL":
+                repl = f"{left} NOT IN ({inner})"
+            elif op in ("<", "<=", ">", ">="):
+                # < ANY / <= ANY → MAX;  > ANY / >= ANY → MIN
+                # < ALL / <= ALL → MIN;  > ALL / >= ALL → MAX
+                agg = "MAX" if (quant == "ANY") == (op in ("<", "<=")) else "MIN"
+                repl = (
+                    f"{left} {op} (SELECT {agg}(__c) "
+                    f"FROM ({inner}) AS __q(__c))"
+                )
+            else:
+                raise PhoenixTranslationError(
+                    f"{op} {quant} (subquery) is not supported"
+                )
+        else:
+            fn = "exists" if quant == "ANY" else "forall"
+            repl = f"{fn}({inner}, __e -> ({left}) {op} __e)"
+        out.append(masked[pos:lstart])
+        out.append(repl)
+        pos = close
     # unreachable
 
 

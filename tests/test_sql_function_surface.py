@@ -258,3 +258,34 @@ def test_ansi_quoted_identifiers(engine):
         'SELECT r_regionkey AS "a""b" FROM region ORDER BY r_regionkey LIMIT 1'
     ).collect()[0]
     assert row['a"b'] == 0
+
+
+def test_array_subscript_one_based(engine):
+    """Phoenix array subscripts (grammar arrayElemRef) are ONE-based; a
+    passthrough to Spark's zero-based [] would silently shift every access."""
+    assert one(engine, "SELECT (ARRAY[10,20,30])[1] AS v FROM region LIMIT 1") == 10
+    assert one(engine, "SELECT (ARRAY[10,20,30])[3] AS v FROM region LIMIT 1") == 30
+    assert one(engine, "SELECT STRING_TO_ARRAY('a,b,c', ',')[2] AS v FROM region LIMIT 1") == "b"
+    # chained through an expression index
+    assert one(engine, "SELECT (ARRAY[10,20,30])[1 + 1] AS v FROM region LIMIT 1") == 20
+
+
+def test_quantified_comparisons(engine):
+    # ArrayAnyComparisonExpression / ArrayAllComparisonExpression
+    assert engine.sql("SELECT r_name FROM region WHERE 10 = ANY(ARRAY[10,20]) ORDER BY r_name LIMIT 1").collect()[0].r_name == "AFRICA"
+    assert engine.sql("SELECT r_name FROM region WHERE 15 < ALL(ARRAY[10,20])").collect() == []
+    assert engine.sql("SELECT r_name FROM region WHERE 5 < ALL(ARRAY[10,20]) ORDER BY r_name LIMIT 1").collect()[0].r_name == "AFRICA"
+    # subquery forms: = ANY -> IN, <> ALL -> NOT IN, range ops -> MIN/MAX
+    assert [r.r_regionkey for r in engine.sql(
+        "SELECT r_regionkey FROM region WHERE r_regionkey = ANY(SELECT n_regionkey FROM nation WHERE n_nationkey < 3) ORDER BY r_regionkey"
+    ).collect()] == [0, 1, 2]
+    assert [r.r_regionkey for r in engine.sql(
+        "SELECT r_regionkey FROM region WHERE r_regionkey <> ALL(SELECT n_regionkey FROM nation WHERE n_nationkey < 3) ORDER BY r_regionkey"
+    ).collect()] == [3, 4]
+    assert [r.r_regionkey for r in engine.sql(
+        "SELECT r_regionkey FROM region WHERE r_regionkey < ANY(SELECT n_regionkey FROM nation) ORDER BY r_regionkey LIMIT 2"
+    ).collect()] == [0, 1]
+    # SOME is an ANY synonym (grammar :114)
+    assert [r.r_regionkey for r in engine.sql(
+        "SELECT r_regionkey FROM region WHERE r_regionkey = SOME(SELECT n_regionkey FROM nation WHERE n_nationkey < 2) ORDER BY r_regionkey"
+    ).collect()] == [0, 1]
