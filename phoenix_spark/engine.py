@@ -266,6 +266,31 @@ class Engine:
                 cols |= ts_cols
         return cols
 
+    def _int_columns_for(self, text: str) -> set[str]:
+        """Integral-typed column names scoped to the referenced tables —
+        catalog knowledge for the truncating-division rewrite
+        (LongDivideExpression: long/long division truncates in the
+        dialect, while Spark's / returns a double)."""
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        tokens = {m.lower() for m in re.findall(r"[A-Za-z_]\w*", text)}
+        cols: set[str] = set()
+        sources: list[tuple[str, DataFrame]] = []
+        if self.catalog is not None:
+            sources += [(n, self.catalog.df(n)) for n in self.catalog.tables]
+        sources += [(n, self.spark.table(n)) for n in self._registered]
+        for name, df in sources:
+            if name.split(".")[-1].lower() not in tokens:
+                continue
+            cols |= {
+                f.name
+                for f in df.schema.fields
+                if isinstance(
+                    f.dataType, (ByteType, ShortType, IntegerType, LongType)
+                )
+            }
+        return cols
+
     # -- sequences (SequenceRegionObserver analogue) -----------------------
 
     def _sequences(self) -> dict:
@@ -499,7 +524,11 @@ class Engine:
         # predicate matching compares literal-containing conjuncts
         text = self._maybe_use_index(text)
         return self.spark.sql(
-            translate_phoenix_sql(text, ts_columns=self._ts_columns_for(text))
+            translate_phoenix_sql(
+                text,
+                ts_columns=self._ts_columns_for(text),
+                int_columns=self._int_columns_for(text),
+            )
         )
 
     # SELECT DISTINCT ... GROUP BY g1,g2 ORDER BY g1,g2 where a sort key is
@@ -770,7 +799,9 @@ class Engine:
         probe_sql = unmask(probe)
         pdf = self.spark.sql(
             translate_phoenix_sql(
-                probe_sql, ts_columns=self._ts_columns_for(probe_sql)
+                probe_sql,
+                ts_columns=self._ts_columns_for(probe_sql),
+                int_columns=self._int_columns_for(probe_sql),
             )
         )
         # per-partition row counts: one tiny aggregate (num-partitions rows)

@@ -791,6 +791,38 @@ _DATE_DIFF_RE = re.compile(
 )
 
 
+# Phoenix integer/long division truncates (LongDivideExpression.java:35-55
+# runs Java's long `/=`), while Spark's `/` always yields a double.  When
+# BOTH operands are directly recognizable as integral — a bare integer
+# literal or a column the catalog knows to be integral — rewrite to Spark's
+# `div` (also Java truncation toward zero, verified on negatives).  Nested
+# arithmetic operands are left alone: a textual front-end cannot type them,
+# and a double where a truncated long was expected is at least VISIBLE in
+# the result type, unlike a silently shifted value.
+_INT_DIV_RE = re.compile(
+    r"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|(?<![\w.])\d+)"  # col or int literal
+    r"\s*/\s*"
+    r"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+(?![\w.]))"
+)
+
+
+def _rewrite_int_division(masked: str, int_columns: set[str]) -> str:
+    low = {c.lower() for c in int_columns}
+
+    def _integral(tok: str) -> bool:
+        if tok.isdigit():
+            return True
+        return tok.split(".")[-1].lower() in low
+
+    def _sub(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        if _integral(a) and _integral(b):
+            return f"{a} div {b}"
+        return m.group(0)
+
+    return _INT_DIV_RE.sub(_sub, masked)
+
+
 def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
     """Phoenix date arithmetic (DateAddExpression / DateSubtractExpression)
     for columns known (from the catalog) to be date/timestamp typed:
@@ -822,11 +854,18 @@ def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
     return _DATE_ARITH_RE.sub(sub_int, _DATE_DIFF_RE.sub(sub_diff, masked))
 
 
-def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:
+def translate_phoenix_sql(
+    sql: str,
+    ts_columns: set[str] | None = None,
+    int_columns: set[str] | None = None,
+) -> str:
     """Rewrite Phoenix-dialect SQL into Spark SQL (literal-safe).
 
     ``ts_columns``: names of date/timestamp-typed columns (the caller's
     catalog knowledge) — enables the Phoenix ``date ± int`` (days) rewrite.
+    ``int_columns``: names of integral-typed columns — enables the
+    truncating-division rewrite (LongDivideExpression: long/long ``/``
+    truncates in the dialect; Spark's ``/`` returns a double).
     """
     # Reassemble with rewrites applied to code segments only.  Function calls
     # may span literal boundaries (an argument IS a literal), so rather than
@@ -933,6 +972,8 @@ def translate_phoenix_sql(sql: str, ts_columns: set[str] | None = None) -> str:
     )
     if ts_columns:
         masked = _rewrite_date_arith(masked, ts_columns)
+    if int_columns:
+        masked = _rewrite_int_division(masked, int_columns)
     # 1-based subscripts and quantified comparisons first (their output may
     # contain functions), then ordered-set aggregates and INVERT — all
     # BEFORE the per-call pass so argument expressions still flow through

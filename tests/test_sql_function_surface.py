@@ -289,3 +289,18 @@ def test_quantified_comparisons(engine):
     assert [r.r_regionkey for r in engine.sql(
         "SELECT r_regionkey FROM region WHERE r_regionkey = SOME(SELECT n_regionkey FROM nation WHERE n_nationkey < 2) ORDER BY r_regionkey"
     ).collect()] == [0, 1]
+
+
+def test_integer_division_truncates(engine):
+    """LongDivideExpression: integral / integral truncates (Java long
+    division) in the dialect; Spark's / would return a double.  The
+    catalog-driven rewrite applies when both operands are directly
+    integral (column or literal); typed expressions keep Spark behavior."""
+    assert one(engine, "SELECT o_orderkey / 10 AS v FROM orders WHERE o_orderkey = 7") == 0
+    assert one(engine, "SELECT o_orderkey / 2 AS v FROM orders WHERE o_orderkey = 7") == 3
+    assert one(engine, "SELECT 7 / 2 AS v FROM region LIMIT 1") == 3
+    # decimal operands keep fractional division
+    v = one(engine, "SELECT o_totalprice / 2 AS v FROM orders WHERE o_orderkey = 7")
+    assert v != int(v) or isinstance(v, float)
+    # a decimal literal keeps fractional division
+    assert one(engine, "SELECT 7 / 2.0 AS v FROM region LIMIT 1") == 3.5
