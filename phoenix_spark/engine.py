@@ -266,13 +266,9 @@ class Engine:
                 cols |= ts_cols
         return cols
 
-    def _int_columns_for(self, text: str) -> set[str]:
-        """Integral-typed column names scoped to the referenced tables —
-        catalog knowledge for the truncating-division rewrite
-        (LongDivideExpression: long/long division truncates in the
-        dialect, while Spark's / returns a double)."""
-        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
+    def _typed_columns_for(self, text: str, types: tuple) -> set[str]:
+        """Column names of the given Spark types, scoped to the referenced
+        tables — catalog knowledge for type-sensitive dialect rewrites."""
         tokens = {m.lower() for m in re.findall(r"[A-Za-z_]\w*", text)}
         cols: set[str] = set()
         sources: list[tuple[str, DataFrame]] = []
@@ -285,11 +281,27 @@ class Engine:
             cols |= {
                 f.name
                 for f in df.schema.fields
-                if isinstance(
-                    f.dataType, (ByteType, ShortType, IntegerType, LongType)
-                )
+                if isinstance(f.dataType, types)
             }
         return cols
+
+    def _int_columns_for(self, text: str) -> set[str]:
+        """Integral-typed columns — for the truncating-division rewrite
+        (LongDivideExpression: long/long division truncates in the
+        dialect, while Spark's / returns a double)."""
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        return self._typed_columns_for(
+            text, (ByteType, ShortType, IntegerType, LongType)
+        )
+
+    def _str_columns_for(self, text: str) -> set[str]:
+        """String-typed columns — for the NULL-as-empty concat rewrite
+        (StringConcatExpression skips null children; Spark concat
+        propagates NULL)."""
+        from pyspark.sql.types import StringType
+
+        return self._typed_columns_for(text, (StringType,))
 
     # -- sequences (SequenceRegionObserver analogue) -----------------------
 
@@ -528,6 +540,7 @@ class Engine:
                 text,
                 ts_columns=self._ts_columns_for(text),
                 int_columns=self._int_columns_for(text),
+                str_columns=self._str_columns_for(text),
             )
         )
 
@@ -802,6 +815,7 @@ class Engine:
                 probe_sql,
                 ts_columns=self._ts_columns_for(probe_sql),
                 int_columns=self._int_columns_for(probe_sql),
+                str_columns=self._str_columns_for(probe_sql),
             )
         )
         # per-partition row counts: one tiny aggregate (num-partitions rows)

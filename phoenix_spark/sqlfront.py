@@ -823,6 +823,40 @@ def _rewrite_int_division(masked: str, int_columns: set[str]) -> str:
     return _INT_DIV_RE.sub(_sub, masked)
 
 
+# Phoenix `||` treats NULL children as empty strings
+# (StringConcatExpression.java:69-77 skips non-evaluating children), while
+# Spark's concat propagates NULL.  When EVERY operand of a || chain is
+# directly recognizable as a string — a string literal (placeholder) or a
+# column the catalog knows to be VARCHAR/CHAR — rewrite to concat_ws('',
+# ...), which skips NULLs.  Chains with untyped operands (function calls,
+# arrays — Phoenix || also concatenates arrays) pass through to Spark's
+# concat untouched.
+_CONCAT_OPERAND = r"(?:(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\x00\d+\x00)"
+_CONCAT_CHAIN_RE = re.compile(
+    rf"({_CONCAT_OPERAND})((?:\s*\|\|\s*{_CONCAT_OPERAND})+)"
+)
+
+
+def _rewrite_str_concat(
+    masked: str, str_columns: set[str], stash: list[str]
+) -> str:
+    low = {c.lower() for c in str_columns}
+
+    def _stringish(tok: str) -> bool:
+        m = re.fullmatch(r"\x00(\d+)\x00", tok)
+        if m:
+            return stash[int(m.group(1))].startswith("'")
+        return tok.split(".")[-1].lower() in low
+
+    def _sub(m: re.Match) -> str:
+        ops = [m.group(1)] + re.split(r"\s*\|\|\s*", m.group(2).strip())[1:]
+        if all(_stringish(o) for o in ops):
+            return f"concat_ws('', {', '.join(ops)})"
+        return m.group(0)
+
+    return _CONCAT_CHAIN_RE.sub(_sub, masked)
+
+
 def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
     """Phoenix date arithmetic (DateAddExpression / DateSubtractExpression)
     for columns known (from the catalog) to be date/timestamp typed:
@@ -858,6 +892,7 @@ def translate_phoenix_sql(
     sql: str,
     ts_columns: set[str] | None = None,
     int_columns: set[str] | None = None,
+    str_columns: set[str] | None = None,
 ) -> str:
     """Rewrite Phoenix-dialect SQL into Spark SQL (literal-safe).
 
@@ -866,6 +901,9 @@ def translate_phoenix_sql(
     ``int_columns``: names of integral-typed columns — enables the
     truncating-division rewrite (LongDivideExpression: long/long ``/``
     truncates in the dialect; Spark's ``/`` returns a double).
+    ``str_columns``: names of string-typed columns — enables the
+    NULL-as-empty ``||`` rewrite (StringConcatExpression skips null
+    children; Spark's concat propagates NULL).
     """
     # Reassemble with rewrites applied to code segments only.  Function calls
     # may span literal boundaries (an argument IS a literal), so rather than
@@ -974,6 +1012,8 @@ def translate_phoenix_sql(
         masked = _rewrite_date_arith(masked, ts_columns)
     if int_columns:
         masked = _rewrite_int_division(masked, int_columns)
+    if str_columns:
+        masked = _rewrite_str_concat(masked, str_columns, stash)
     # 1-based subscripts and quantified comparisons first (their output may
     # contain functions), then ordered-set aggregates and INVERT — all
     # BEFORE the per-call pass so argument expressions still flow through

@@ -304,3 +304,19 @@ def test_integer_division_truncates(engine):
     assert v != int(v) or isinstance(v, float)
     # a decimal literal keeps fractional division
     assert one(engine, "SELECT 7 / 2.0 AS v FROM region LIMIT 1") == 3.5
+
+
+def test_string_concat_null_as_empty(engine):
+    """StringConcatExpression skips NULL children (NULL acts as '');
+    Spark's concat would return NULL.  Applies when every || operand is a
+    string literal or catalog-known VARCHAR column."""
+    engine.sql(
+        "CREATE TABLE ct (k BIGINT NOT NULL, a VARCHAR, b VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO ct (k, a) VALUES (1, 'x')")  # b stays NULL
+    assert one(engine, "SELECT a || b AS v FROM ct") == "x"
+    assert one(engine, "SELECT a || '-' || b AS v FROM ct") == "x-"
+    assert one(engine, "SELECT 'L' || a || b || 'R' AS v FROM ct") == "LxR"
+    # an untyped operand (function call) conservatively keeps Spark concat
+    assert one(engine, "SELECT UPPER(a) || b AS v FROM ct") is None
