@@ -320,3 +320,45 @@ def test_string_concat_null_as_empty(engine):
     assert one(engine, "SELECT 'L' || a || b || 'R' AS v FROM ct") == "LxR"
     # an untyped operand (function call) conservatively keeps Spark concat
     assert one(engine, "SELECT UPPER(a) || b AS v FROM ct") is None
+
+
+def test_arithmetic_query_it_order_of_operations(engine):
+    """ArithmeticQueryIT's order-of-operations suite, replayed verbatim
+    (initIntegerTable: six=6, four=4, three=3).  These pin the dialect's
+    TRUNCATING integer division composed with +,-,*,% at Java precedence —
+    e.g. six / four % three = (6/4)%3 = 1, four / three * six = 1*6 = 6."""
+    engine.sql(
+        "CREATE TABLE arith_it (six INTEGER NOT NULL, four INTEGER, "
+        "three INTEGER, CONSTRAINT pk PRIMARY KEY (six))"
+    )
+    engine.sql("UPSERT INTO arith_it VALUES(6, 4, 3)")
+    cases = {
+        "four % three * six": 6,
+        "four % three + six": 7,
+        "four % three - six": -5,
+        "four % three / six": 0,
+        "four * three + six": 18,
+        "four * three - six": 6,
+        "four - three + six": 7,
+        "four / three * six": 6,
+        "four / three + six": 7,
+        "four / three - six": -5,
+        "six * four % three": 0,
+        "six * four / three": 8,
+        "six + four % three": 7,
+        "six + four * three": 18,
+        "six + four - three": 7,
+        "six + four / three": 7,
+        "six - four % three": 5,
+        "six - four * three": -6,
+        "six - four / three": 5,
+        "six / four % three": 1,
+    }
+    for expr, want in cases.items():
+        got = one(engine, f"SELECT {expr} AS v FROM arith_it")
+        assert got == want, (expr, got, want)
+    # decimal-typed mixes keep fractional division (testIntDivideDecimal)
+    assert (
+        abs(float(one(engine, "SELECT six / (four + 0.5) AS v FROM arith_it")) - 6 / 4.5)
+        < 1e-9
+    )
