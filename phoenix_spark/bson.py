@@ -26,19 +26,25 @@ _TOKEN_RE = re.compile(
       | (?P<op><=|>=|<>|!=|=|<|>)
       | (?P<string>'(?:[^']|'')*')
       | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<placeholder>:[A-Za-z_]\w*)
       | (?P<word>[A-Za-z_][\w.\[\]]*)
     )""",
     re.VERBOSE,
 )
 
 _KEYWORDS = {"AND", "OR", "NOT", "BETWEEN", "IN"}
+# field_exists / field_not_exists / attribute_type are the SQL-style
+# spellings (SQLComparisonExpressionUtils; Bson1IT uses both dialects)
 _FUNCS = {
     "ATTRIBUTE_EXISTS",
     "ATTRIBUTE_NOT_EXISTS",
+    "FIELD_EXISTS",
+    "FIELD_NOT_EXISTS",
     "BEGINS_WITH",
     "CONTAINS",
     "SIZE",
     "FIELD_TYPE",
+    "ATTRIBUTE_TYPE",
 }
 
 
@@ -64,9 +70,163 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
     return out
 
 
-class _Parser:
-    def __init__(self, doc: Column, text: str):
+class _ColumnOps:
+    """Builds Column expressions (the DataFrame execution backend)."""
+
+    def __init__(self, doc: Column):
         self.doc = doc
+
+    def extract(self, path: str):
+        # a.b[0].c → $.a.b[0].c (JSONPath is also 0-based for arrays)
+        return F.get_json_object(self.doc, f"$.{path}")
+
+    def exists(self, x):
+        return x.isNotNull()
+
+    def not_exists(self, x):
+        return x.isNull()
+
+    def begins_with(self, x, s):
+        return x.startswith(s)
+
+    def contains(self, x, s):
+        return x.contains(s)
+
+    def rlike(self, x, pat):
+        return x.rlike(pat)
+
+    def size(self, x):
+        return F.length(x).cast("double")
+
+    def num(self, x):
+        return x.cast("double")
+
+    def cmp(self, op, x, v, kind):
+        if kind == "num":
+            left, right = x.cast("double"), F.lit(float(v))
+        elif kind == "bool":
+            left, right = x, F.lit("true" if v else "false")
+        else:
+            left, right = x, F.lit(v)
+        return {
+            "=": left == right,
+            "<>": left != right,
+            "<": left < right,
+            "<=": left <= right,
+            ">": left > right,
+            ">=": left >= right,
+        }[op]
+
+    def between(self, x, lo, hi):
+        return x.cast("double").between(lo, hi)
+
+    def isin(self, x, vals, numeric):
+        if numeric:
+            return x.cast("double").isin(*[float(v) for v in vals])
+        return x.isin(*vals)
+
+    def and_(self, a, b):
+        return a & b
+
+    def or_(self, a, b):
+        return a | b
+
+    def not_(self, a):
+        return ~a
+
+
+class _SqlOps:
+    """Builds Spark SQL text (the sqlfront translation backend) — same
+    semantics as _ColumnOps expression-for-expression."""
+
+    def __init__(self, doc_sql: str):
+        self.doc = doc_sql
+
+    @staticmethod
+    def _slit(s) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    def extract(self, path: str):
+        return f"get_json_object({self.doc}, '$.{path}')"
+
+    def exists(self, x):
+        return f"({x} IS NOT NULL)"
+
+    def not_exists(self, x):
+        return f"({x} IS NULL)"
+
+    def begins_with(self, x, s):
+        return f"startswith({x}, {self._slit(s)})"
+
+    def contains(self, x, s):
+        return f"contains({x}, {self._slit(s)})"
+
+    def rlike(self, x, pat):
+        return f"({x} RLIKE '" + pat.replace("\\", "\\\\") + "')"
+
+    def size(self, x):
+        return f"cast(length({x}) as double)"
+
+    def num(self, x):
+        return f"cast({x} as double)"
+
+    def cmp(self, op, x, v, kind):
+        if kind == "num":
+            left, right = self.num(x), repr(float(v))
+        elif kind == "bool":
+            left, right = x, self._slit("true" if v else "false")
+        else:
+            left, right = x, self._slit(v)
+        return f"({left} {op} {right})"
+
+    def between(self, x, lo, hi):
+        return f"({self.num(x)} BETWEEN {float(lo)!r} AND {float(hi)!r})"
+
+    def isin(self, x, vals, numeric):
+        if numeric:
+            items = ", ".join(repr(float(v)) for v in vals)
+            return f"({self.num(x)} IN ({items}))"
+        items = ", ".join(self._slit(v) for v in vals)
+        return f"({x} IN ({items}))"
+
+    def and_(self, a, b):
+        return f"({a} AND {b})"
+
+    def or_(self, a, b):
+        return f"({a} OR {b})"
+
+    def not_(self, a):
+        return f"(NOT {a})"
+
+
+def _unwrap_condition(condition: str) -> tuple[str, dict]:
+    """Accept either a bare expression or the reference's condition
+    DOCUMENT form (BsonConditionExpressionFunction:99-101):
+    ``{"$EXPR": expr, "$VAL": {":ph": value, ...}, "$KEYS": {"#a": path}}``
+    — $KEYS aliases substitute into the expression, $VAL placeholder
+    values resolve at :name references."""
+    cond = condition.strip()
+    if not cond.startswith("{"):
+        return cond, {}
+    import json as _json
+
+    try:
+        d = _json.loads(cond)
+    except ValueError as e:
+        raise BsonConditionError(f"bad condition document: {e}") from None
+    expr = d.get("$EXPR")
+    if not isinstance(expr, str):
+        raise BsonConditionError("condition document requires a string $EXPR")
+    vals = d.get("$VAL") or {}
+    for alias in sorted(d.get("$KEYS") or {}, key=len, reverse=True):
+        expr = expr.replace(alias, (d["$KEYS"])[alias])
+    return expr, vals
+
+
+class _Parser:
+    def __init__(self, ops, text: str, vals: dict | None = None):
+        self.ops = ops
+        self.vals = vals or {}
         self.toks = _tokenize(text)
         self.i = 0
 
@@ -80,37 +240,32 @@ class _Parser:
         self.i += 1
         return k, v
 
-    # path → extracted string value (None when absent)
-    def _extract(self, path: str) -> Column:
-        # a.b[0].c → $.a.b[0].c (JSONPath is also 0-based for arrays)
-        return F.get_json_object(self.doc, f"$.{path}")
-
-    def parse(self) -> Column:
+    def parse(self):
         c = self._or()
         self.take("eof")
         return c
 
-    def _or(self) -> Column:
+    def _or(self):
         left = self._and()
         while self.peek()[0] == "OR":
             self.take()
-            left = left | self._and()
+            left = self.ops.or_(left, self._and())
         return left
 
-    def _and(self) -> Column:
+    def _and(self):
         left = self._not()
         while self.peek()[0] == "AND":
             self.take()
-            left = left & self._not()
+            left = self.ops.and_(left, self._not())
         return left
 
-    def _not(self) -> Column:
+    def _not(self):
         if self.peek()[0] == "NOT":
             self.take()
-            return ~self._not()
+            return self.ops.not_(self._not())
         return self._primary()
 
-    def _primary(self) -> Column:
+    def _primary(self):
         k, v = self.peek()
         if k == "lpar":
             self.take()
@@ -121,51 +276,61 @@ class _Parser:
             return self._func_or_comparison()
         return self._comparison(self._operand())
 
-    def _func_or_comparison(self) -> Column:
+    def _func_or_comparison(self):
         _, name = self.take("word")
         up = name.upper()
         self.take("lpar")
         _, path = self.take("word")
-        if up == "ATTRIBUTE_EXISTS":
+        ex = self.ops.extract(path)
+        if up in ("ATTRIBUTE_EXISTS", "FIELD_EXISTS"):
             self.take("rpar")
-            return self._extract(path).isNotNull()
-        if up == "ATTRIBUTE_NOT_EXISTS":
+            return self.ops.exists(ex)
+        if up in ("ATTRIBUTE_NOT_EXISTS", "FIELD_NOT_EXISTS"):
             self.take("rpar")
-            return self._extract(path).isNull()
+            return self.ops.not_exists(ex)
         if up == "BEGINS_WITH":
             self.take("comma")
             lit = self._literal()
             self.take("rpar")
-            return self._extract(path).startswith(lit)
+            return self.ops.begins_with(ex, lit)
         if up == "CONTAINS":
             self.take("comma")
             lit = self._literal()
             self.take("rpar")
-            return self._extract(path).contains(lit)
-        if up == "FIELD_TYPE":
+            return self.ops.contains(ex, lit)
+        if up in ("FIELD_TYPE", "ATTRIBUTE_TYPE"):
             self.take("comma")
             lit = self._literal()
             self.take("rpar")
-            v = self._extract(path)
             if lit == "N":
-                return v.rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+                return self.ops.rlike(ex, r"^-?[0-9]+(\.[0-9]+)?$")
             if lit == "S":
-                return v.isNotNull() & ~v.rlike(r"^-?[0-9]+(\.[0-9]+)?$|^\[|^\{")
+                return self.ops.and_(
+                    self.ops.exists(ex),
+                    self.ops.not_(
+                        self.ops.rlike(
+                            ex, r"^-?[0-9]+(\.[0-9]+)?$|^\[|^\{"
+                        )
+                    ),
+                )
             if lit == "L":
-                return v.startswith("[")
+                return self.ops.begins_with(ex, "[")
             if lit == "M":
-                return v.startswith("{")
-            raise BsonConditionError(f"unknown field type {lit!r}")
+                return self.ops.begins_with(ex, "{")
+            # other DynamoDB type tags (SS/NS/BS/B/BOOL/NULL) have no JSON
+            # shape to probe distinctly → no row matches, like the
+            # reference's attribute_type on a non-matching tag
+            return self.ops.and_(self.ops.exists(ex), self.ops.not_exists(ex))
         if up == "SIZE":
             self.take("rpar")
-            return self._comparison(F.length(self._extract(path)).cast("double"))
+            return self._comparison(self.ops.size(ex), numeric=True)
         raise BsonConditionError(f"unknown function {name}")
 
-    def _operand(self) -> Column:
+    def _operand(self):
         k, v = self.peek()
         if k == "word":
             self.take()
-            return self._extract(v)
+            return self.ops.extract(v)
         raise BsonConditionError(f"expected a document path, got {v!r}")
 
     def _literal(self):
@@ -174,30 +339,29 @@ class _Parser:
             return v[1:-1].replace("''", "'")
         if k == "number":
             return float(v) if "." in v else int(v)
+        if k == "placeholder":
+            if v not in self.vals:
+                raise BsonConditionError(f"unbound placeholder {v!r}")
+            return self.vals[v]
         raise BsonConditionError(f"expected a literal, got {v!r}")
 
-    def _comparison(self, left: Column) -> Column:
+    def _comparison(self, left, numeric: bool = False):
         k, v = self.take()
         if k == "op":
             lit = self._literal()
-            right = F.lit(lit)
-            if isinstance(lit, (int, float)):
-                left = left.cast("double")
-                right = right.cast("double")
-            return {
-                "=": left == right,
-                "<>": left != right,
-                "!=": left != right,
-                "<": left < right,
-                "<=": left <= right,
-                ">": left > right,
-                ">=": left >= right,
-            }[v]
+            op = "<>" if v == "!=" else v
+            if isinstance(lit, bool):
+                kind = "bool"
+            elif isinstance(lit, (int, float)) or numeric:
+                kind = "num"
+            else:
+                kind = "str"
+            return self.ops.cmp(op, left, lit, kind)
         if k == "BETWEEN":
             lo = self._literal()
             self.take("AND")
             hi = self._literal()
-            return left.cast("double").between(lo, hi)
+            return self.ops.between(left, lo, hi)
         if k == "IN":
             self.take("lpar")
             lits = [self._literal()]
@@ -205,18 +369,32 @@ class _Parser:
                 self.take()
                 lits.append(self._literal())
             self.take("rpar")
-            if all(isinstance(x, (int, float)) for x in lits):
-                return left.cast("double").isin(*[float(x) for x in lits])
-            return left.isin(*lits)
+            num = all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in lits
+            )
+            return self.ops.isin(left, lits, num)
         raise BsonConditionError(f"expected a comparison, got {v!r}")
 
 
 def bson_condition(doc: Column | str, condition: str) -> Column:
     """Compile a BSON/DynamoDB-style condition expression into a Column
-    predicate over a JSON document column."""
+    predicate over a JSON document column.  Accepts both the bare
+    expression and the reference's ``{"$EXPR", "$VAL", "$KEYS"}`` document
+    form."""
     if isinstance(doc, str):
         doc = F.col(doc)
-    return _Parser(doc, condition).parse()
+    expr, vals = _unwrap_condition(condition)
+    return _Parser(_ColumnOps(doc), expr, vals).parse()
+
+
+def bson_condition_sql(doc_sql: str, condition: str) -> str:
+    """Compile the same condition language to Spark SQL TEXT — the
+    sqlfront backend for ``BSON_CONDITION_EXPRESSION(doc, '...')`` in
+    plain SQL.  ``doc_sql`` is the already-translated document
+    expression."""
+    expr, vals = _unwrap_condition(condition)
+    return _Parser(_SqlOps(doc_sql), expr, vals).parse()
 
 
 # ---------------------------------------------------------------------------

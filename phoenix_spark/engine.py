@@ -1976,16 +1976,32 @@ class Engine:
             # ON DUPLICATE KEY UPDATE expressions are Phoenix-dialect SQL
             # (JsonFunctionsIT: jsoncol = JSON_MODIFY(jsoncol, ...)); they
             # evaluate via F.expr over the existing row, so run them through
-            # the same translator the SELECT path uses
+            # the same translator the SELECT path uses.
+            # BSON_UPDATE_EXPRESSION (the reference's atomic document
+            # update, PhoenixIndexBuilder ON DUPLICATE KEY) binds straight
+            # to the bson.py compiler — its output is a Column, which
+            # upsert_df accepts alongside SQL strings.
+            def _dup_expr(e: str):
+                m = re.fullmatch(
+                    r"\s*BSON_UPDATE_EXPRESSION\s*\(\s*([\w.]+)\s*,\s*"
+                    r"'((?:[^']|'')*)'\s*\)\s*",
+                    e,
+                    flags=re.IGNORECASE | re.DOTALL,
+                )
+                if m:
+                    from phoenix_spark.bson import bson_update_expression
+
+                    return bson_update_expression(
+                        m.group(1), m.group(2).replace("''", "'")
+                    )
+                return translate_phoenix_sql(e)
+
             up = D.Upsert(
                 up.table,
                 up.columns,
                 up.values,
                 up.select,
-                {
-                    c: translate_phoenix_sql(e)
-                    for c, e in up.on_duplicate.items()
-                },
+                {c: _dup_expr(e) for c, e in up.on_duplicate.items()},
                 up.returning,
             )
         vc = self._view_constants(up.table)

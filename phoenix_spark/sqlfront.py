@@ -104,6 +104,9 @@ _SHAPE_FNS = (
     "JSON_MODIFY",
     "PARTITION_ID",
     "ARRAY_PREPEND",  # Phoenix (elem, arr) vs Spark (arr, elem)
+    "BSON_CONDITION_EXPRESSION",
+    "BSON_VALUE",
+    "BSON_VALUE_TYPE",
 )
 
 _WORD_RE = re.compile(
@@ -713,6 +716,71 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     if up == "PARTITION_ID":
         # PartitionIdFunction: the physical partition of the row
         return "spark_partition_id()"
+    if up == "BSON_CONDITION_EXPRESSION":
+        # BsonConditionExpressionFunction: second arg is the condition —
+        # either a bare expression or the {"$EXPR","$VAL","$KEYS"} document
+        # (Bson1IT) — compiled to pure Spark SQL by the bson grammar's SQL
+        # backend (phoenix_spark.bson._SqlOps)
+        from phoenix_spark.bson import BsonConditionError, bson_condition_sql
+
+        if len(args) != 2:
+            raise PhoenixTranslationError(
+                "BSON_CONDITION_EXPRESSION requires (doc, condition)"
+            )
+        cond = _literal_text(args[1])
+        if cond is None:
+            raise PhoenixTranslationError(
+                "BSON_CONDITION_EXPRESSION condition must be a string literal"
+            )
+        try:
+            return bson_condition_sql(args[0], cond)
+        except BsonConditionError as e:
+            raise PhoenixTranslationError(str(e)) from None
+    if up == "BSON_VALUE":
+        # BsonValueFunction(doc, fieldKey, sqlType): typed leaf extraction
+        from phoenix_spark.types import parse_type
+
+        if len(args) != 3:
+            raise PhoenixTranslationError(
+                "BSON_VALUE requires (doc, field, type)"
+            )
+        field, typ = _literal_text(args[1]), _literal_text(args[2])
+        if field is None or typ is None:
+            raise PhoenixTranslationError(
+                "BSON_VALUE field and type must be string literals"
+            )
+        if typ.upper() in ("BSON", "JSON"):
+            return f"get_json_object({args[0]}, '$.{field}')"
+        spark_t = parse_type(typ).simpleString()
+        return f"cast(get_json_object({args[0]}, '$.{field}') as {spark_t})"
+    if up == "BSON_VALUE_TYPE":
+        # BsonValueTypeFunction:121-143 — Phoenix SQL type name of the
+        # field; SQL rendering of functions.bson_value_type's variant probe
+        if len(args) != 2:
+            raise PhoenixTranslationError(
+                "BSON_VALUE_TYPE requires (doc, field)"
+            )
+        field = _literal_text(args[1])
+        if field is None:
+            raise PhoenixTranslationError(
+                "BSON_VALUE_TYPE field must be a string literal"
+            )
+        v = f"try_variant_get(parse_json({args[0]}), '$.{field}', 'variant')"
+        t = f"schema_of_variant({v})"
+        as_long = f"try_variant_get(parse_json({args[0]}), '$.{field}', 'long')"
+        return (
+            f"CASE WHEN {v} IS NULL THEN cast(NULL as string) "
+            f"WHEN {t} = 'VOID' THEN 'NULL' "
+            f"WHEN {t} = 'STRING' THEN 'VARCHAR' "
+            f"WHEN {t} = 'BOOLEAN' THEN 'BOOLEAN' "
+            f"WHEN {t} IN ('TINYINT', 'SMALLINT', 'INT', 'BIGINT') THEN "
+            f"(CASE WHEN {as_long} BETWEEN -2147483648 AND 2147483647 "
+            f"THEN 'INTEGER' ELSE 'BIGINT' END) "
+            f"WHEN {t} LIKE 'DECIMAL%' OR {t} IN ('DOUBLE', 'FLOAT') "
+            f"THEN 'DOUBLE' "
+            f"WHEN {t} LIKE 'OBJECT%' OR {t} LIKE 'ARRAY%' OR {t} LIKE 'MAP%' "
+            f"THEN 'BSON' ELSE 'VARCHAR' END"
+        )
     if up == "ARRAY_PREPEND":
         if len(args) != 2:
             raise PhoenixTranslationError("ARRAY_PREPEND requires (elem, array)")

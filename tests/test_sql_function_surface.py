@@ -362,3 +362,135 @@ def test_arithmetic_query_it_order_of_operations(engine):
         abs(float(one(engine, "SELECT six / (four + 0.5) AS v FROM arith_it")) - 6 / 4.5)
         < 1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# Bson1IT replay: the reference's BSON condition-expression scenario
+# (testBsonOpsWithSortedKeys — Bson1IT.java:93-290), documents reconstructed
+# from its getDocument1/getDocument2 fixtures (binary subfields omitted:
+# documents are JSON text in this engine), conditions passed VERBATIM in the
+# {"$EXPR","$VAL","$KEYS"} document form through plain SQL.
+# ---------------------------------------------------------------------------
+
+
+def test_bson1_it_condition_expressions(engine):
+    import json as _json
+
+    doc1 = {
+        "attr_6": {"n_attr_0": "str_val_0", "n_attr_1": 1295.03,
+                   "n_attr_3": True, "n_attr_4": None},
+        "attr_5": [1234, "str001"],
+        "attr_4": None, "attr_3": True,
+        "attr_1": 1295.03, "attr_0": "str_val_0",
+    }
+    doc2 = {
+        "InPublication": False, "ISBN": "111-1111111111",
+        "NestedList1": [-485.34, "1234abcd",
+                        ["xyz0123", {"InPublication": False,
+                                     "ISBN": "111-1111111111",
+                                     "Title": "Book 101 Title", "Id": 101.01}]],
+        "NestedMap1": {"InPublication": False, "ISBN": "111-1111111111",
+                       "Title": "Book 101 Title", "Id": 101.01,
+                       "NList1": ["NListVal01", -23.4]},
+        "Id": 101.01, "Id2": 101.01, "IdS": "101.01",
+        "Title": "Book 101 Title",
+        "attr_6": {"n_attr_0": "str_val_0", "n_attr_1": 1295.03},
+        "attr_5": [1234, "str001"],
+        "attr_0": "str_val_0", "attr_1": 1295.03,
+    }
+    vals = {
+        ":NestedList1_485": -485.33, ":ISBN": "111-1111111111",
+        ":Title": "Book 101 Title", ":TitlePrefix": "Book ",
+        ":Id": 101.01, ":Id2": 12, ":Id1": 120, ":Ids1": "12",
+        ":NMap1_NList1": "NListVal01", ":InPublication": False,
+        ":NestedList1_xyz0123": "xyz0123", ":Attr5Value": "str001",
+        ":NestedList1String": "1234abcd", ":NonExistentValue": "does_not_exist",
+        ":L": "L", ":NS": "NS", ":size3": 3,
+    }
+    engine.sql(
+        "CREATE TABLE bson1 (PK1 VARCHAR NOT NULL, PK2 DOUBLE NOT NULL, "
+        "COL BSON, CONSTRAINT pk PRIMARY KEY (PK1, PK2))"
+    )
+    for pk1, pk2, doc in (("pk0001", 123985.0, doc1), ("pk0002", 4596.354, doc2)):
+        lit = _json.dumps(doc).replace("'", "''")
+        engine.sql(f"UPSERT INTO bson1 VALUES ('{pk1}', {pk2}, '{lit}')")
+
+    def matches(expr, keys=None):
+        cond = {"$EXPR": expr, "$VAL": vals}
+        if keys:
+            cond["$KEYS"] = keys
+        cond_lit = _json.dumps(cond).replace("'", "''")
+        rows = engine.sql(
+            "SELECT PK1 FROM bson1 WHERE "
+            f"BSON_CONDITION_EXPRESSION(COL, '{cond_lit}') ORDER BY PK1"
+        ).collect()
+        return [r.PK1 for r in rows]
+
+    # the IT's conditions, verbatim, with its asserted row sets
+    assert matches(
+        "(field_exists(Id) OR field_exists(attr_3)) AND field_exists(attr_6)"
+        " AND field_exists(attr_6.n_attr_1)"
+    ) == ["pk0001", "pk0002"]
+    assert matches(
+        "(field_exists(Id) OR field_exists(attr_3)) AND field_exists(attr_6)"
+        " AND field_exists(attr_6.n_attr_10)"
+    ) == []
+    assert matches("(field_exists(ISBN))") == ["pk0002"]
+    assert matches(
+        "NestedList1[0] <= :NestedList1_485 AND "
+        "NestedList1[2][0] >= :NestedList1_xyz0123 AND "
+        "NestedList1[2][1].Id < :Id1 AND IdS < :Ids1 AND Id2 > :Id2"
+    ) == ["pk0002"]
+    assert matches(
+        "NestedList1[0] <= :NestedList1_485 AND "
+        "NestedList1[2][0] >= :NestedList1_xyz0123 AND "
+        "NestedList1[2][1].Id < :Id1 AND IdS < :Ids1 AND Id2 > :Id2 "
+        "AND begins_with(Title, :TitlePrefix)"
+    ) == ["pk0002"]
+    assert matches(
+        "begins_with(Title, :TitlePrefix) AND contains(#attr_5, :Attr5Value) "
+        "AND contains(#0, :NestedList1String)",
+        keys={"#attr_5": "attr_5", "#0": "NestedList1"},
+    ) == ["pk0002"]
+    assert matches(
+        "contains(attr_5, :NonExistentValue) OR begins_with(Title, :TitlePrefix)"
+    ) == ["pk0002"]
+    assert matches("field_type(#attr_5, :L)", keys={"#attr_5": "attr_5"}) == [
+        "pk0001", "pk0002",
+    ]
+    assert matches("attribute_type(attr_5, :NS)") == []
+    assert matches("size(#Title) > :size3", keys={"#Title": "Title"}) == ["pk0002"]
+
+
+def test_bson_update_expression_in_sql_upsert(engine):
+    """BSON_UPDATE_EXPRESSION reachable from plain-SQL ON DUPLICATE KEY
+    UPDATE (the reference's atomic document update, PhoenixIndexBuilder)."""
+    engine.sql(
+        "CREATE TABLE bup (pk BIGINT NOT NULL, doc BSON, "
+        "CONSTRAINT p PRIMARY KEY (pk))"
+    )
+    engine.sql("""UPSERT INTO bup VALUES (1, '{"a": 1, "tags": [2]}')""")
+    engine.sql(
+        """UPSERT INTO bup VALUES (1, '') ON DUPLICATE KEY UPDATE doc = """
+        """BSON_UPDATE_EXPRESSION(doc, '{"$SET": {"a": 5}, "$ADD": {"n": 3}}')"""
+    )
+    row = engine.sql(
+        "SELECT JSON_VALUE(doc, '$.a') AS a, JSON_VALUE(doc, '$.n') AS n, "
+        "JSON_VALUE(doc, '$.tags[0]') AS t0 FROM bup"
+    ).collect()[0]
+    assert (row.a, row.n, row.t0) == ("5", "3", "2")
+
+
+def test_bson_value_and_type_in_sql(engine):
+    """BSON_VALUE (typed leaf extraction) and BSON_VALUE_TYPE (Phoenix SQL
+    type probe) from plain SQL."""
+    doc = '{"s": "x", "i": 7, "big": 3000000000, "d": 1.5, "b": true, "m": {"k": 1}}'
+    assert one(engine, f"SELECT BSON_VALUE('{doc}', 'i', 'BIGINT') AS v FROM region LIMIT 1") == 7
+    assert one(engine, f"SELECT BSON_VALUE('{doc}', 's', 'VARCHAR') AS v FROM region LIMIT 1") == "x"
+    assert one(engine, f"SELECT BSON_VALUE('{doc}', 'd', 'DOUBLE') AS v FROM region LIMIT 1") == 1.5
+    for field, want in (
+        ("s", "VARCHAR"), ("i", "INTEGER"), ("big", "BIGINT"),
+        ("d", "DOUBLE"), ("b", "BOOLEAN"), ("m", "BSON"), ("nope", None),
+    ):
+        got = one(engine, f"SELECT BSON_VALUE_TYPE('{doc}', '{field}') AS v FROM region LIMIT 1")
+        assert got == want, (field, got, want)
