@@ -95,7 +95,9 @@ _PERMANENT = [
     "pipeline_curate_e2e",   # fused text curation
     # Families whose every member is already driver-verified keep a
     # re-verified anchor here so no family ships without a current-round row.
-    "bson_condition_filter", # §2.8 BSON condition language (r03-green)
+    "bson_condition_sql",    # §2.8 BSON condition language from plain SQL
+    #                          (new r05 — the r03-green bson_condition_filter
+    #                          rotates out for its never-verified SQL twin)
     "source_csv_bulk_load",  # §2.1 bulk load path (r03-green)
     "mm_binary_meta",        # multimodal binary plumbing (r03-green)
     "stream_dedup_exact",    # §2.11 streaming dedup (new r05, never-verified)

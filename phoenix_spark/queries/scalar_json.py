@@ -214,3 +214,40 @@ REG.add(
     FROM events WHERE props IS NOT NULL
     """,
 )
+
+# --- the same condition grammar from PLAIN SQL, in the reference's document
+# form (round 5: bson.py's SQL-text backend + {"$EXPR","$VAL"} handling,
+# exactly as Bson1IT ships conditions).  Same oracle semantics as
+# bson_condition_filter with placeholder-bound values.
+def _bson_condition_sql(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    cond = (
+        '{"$EXPR": "field_exists(k) AND field_type(k, :N) '
+        "AND (k BETWEEN :lo AND :hi OR k IN (77, 88, 99)) "
+        'AND NOT size(k) > :w AND field_not_exists(missing)", '
+        '"$VAL": {":N": "N", ":lo": 20, ":hi": 40, ":w": 2}}'
+    )
+    return e.sql(
+        "SELECT event_id, event_type, JSON_VALUE(props, '$.k') AS k "
+        f"FROM events WHERE BSON_CONDITION_EXPRESSION(props, '{cond}')"
+    )
+
+
+REG.add(
+    "bson_condition_sql",
+    _bson_condition_sql,
+    """
+    SELECT event_id, event_type, json_extract_string(props, '$.k') AS k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+      AND regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+(\\.[0-9]+)?$')
+      AND (CAST(json_extract_string(props, '$.k') AS DOUBLE) BETWEEN 20 AND 40
+           OR CAST(json_extract_string(props, '$.k') AS DOUBLE) IN (77, 88, 99))
+      AND NOT length(json_extract_string(props, '$.k')) > 2
+      AND json_extract(props, '$.missing') IS NULL
+    """,
+)
