@@ -127,8 +127,8 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "JSON_QUERY": ("postdoc", "get_json_object (object/array leaf; sqlfront RENAME)", "json_value / test_sql_function_surface"),
     "JSON_EXISTS": ("postdoc", "get_json_object IS NOT NULL (SQL rewrite)", "json_exists_filter / test_sql_function_surface"),
     "JSON_MODIFY": ("postdoc", "variant map rebuild, type-preserving (SQL rewrite; top-level paths)", "json_construct / test_sql_function_surface"),
-    "BSON_VALUE": ("postdoc", "typed JSON leaf extraction (BSON stored as JSON)", "bson_condition_filter"),
-    "BSON_CONDITION_EXPRESSION": ("postdoc", "phoenix_spark.bson condition grammar → Column", "bson_condition_filter"),
+    "BSON_VALUE": ("postdoc", "typed JSON leaf extraction (SQL rewrite via catalog types)", "bson_condition_filter / test_sql_function_surface"),
+    "BSON_CONDITION_EXPRESSION": ("postdoc", "bson condition grammar → Column or SQL text (dual backend; $EXPR/$VAL/$KEYS form)", "bson_condition_filter / bson_condition_sql"),
     "ENCODE_BINARY": ("postdoc", "base64 / hex by format arg", "bin_encode_decode"),
     "DECODE_BINARY": ("postdoc", "unbase64 / unhex by format arg", "bin_encode_decode"),
     "SUB_BINARY": ("postdoc", "substring on binary", "bin_bytes_bits"),
@@ -137,8 +137,8 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "DISTINCT_COUNT": ("postdoc", "count(DISTINCT x) (DistinctCountAggregateFunction)", "agg_count_distinct"),
     "COLLECTDISTINCT": ("postdoc", "sort_array(collect_set(x)) (DistinctValueAggregateFunction)", "tests/test_functions.py"),
     "SUBBINARY": ("postdoc", "substring on binary (NAME-constant spelling of SUB_BINARY; sqlfront RENAME)", "bin_bytes_bits"),
-    "BSON_VALUE_TYPE": ("postdoc", "helper bson_value_type — variant type probe → Phoenix SQL type name", "bson_value_type"),
-    "BSON_UPDATE_EXPRESSION": ("postdoc", "phoenix_spark.bson.bson_update_expression ($SET/$UNSET/$ADD/$DELETE_FROM_SET)", "tests/test_bson.py"),
+    "BSON_VALUE_TYPE": ("postdoc", "helper bson_value_type + SQL CASE rendering of the variant probe", "bson_value_type / test_sql_function_surface"),
+    "BSON_UPDATE_EXPRESSION": ("postdoc", "bson_update_expression; binds in plain-SQL ON DUPLICATE KEY UPDATE", "test_bson / test_sql_function_surface"),
     "ROW_SIZE": ("postdoc", "helper row_size — serialized-row byte length", "tests/test_functions.py"),
     "RAW_ROW_SIZE": ("postdoc", "helper row_size (HBase cell overhead has no parquet analog; same value)", "tests/test_functions.py"),
     "ROWKEY_BYTES_STRING": ("postdoc", "helper rowkey_bytes_string — \\x00-joined PK rendering", "tests/test_functions.py"),

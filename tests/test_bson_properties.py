@@ -109,3 +109,61 @@ def test_update_expression_matches_model(spark, doc, spec):
         return
     assert expected != "ERROR", f"engine succeeded where model errors: {got}"
     assert got == {k: v for k, v in sorted(expected.items())}
+
+
+# --- dual-backend equivalence (round 5) --------------------------------------
+# The condition grammar compiles through TWO backends: Column expressions
+# (bson_condition) and Spark SQL text (bson_condition_sql, the sqlfront
+# path).  For arbitrary documents and a spread of condition shapes, both
+# must select exactly the same rows.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_COND_TEMPLATES = [
+    "attribute_exists(k)",
+    "field_not_exists(missing)",
+    "k >= {n}",
+    "k < {n} OR s = '{w}'",
+    "begins_with(s, '{p}') AND k BETWEEN {n} AND {m}",
+    "contains(s, '{p}')",
+    "field_type(k, 'N') AND NOT size(s) > {n}",
+    "k IN ({n}, {m}, 99)",
+]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=150),
+            st.text(alphabet="abcxyz", min_size=0, max_size=6),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from(_COND_TEMPLATES),
+    st.integers(min_value=-10, max_value=60),
+    st.integers(min_value=0, max_value=120),
+    st.sampled_from(["a", "xy", "bc"]),
+)
+def test_condition_backends_agree(spark, rows, template, n, m, p):
+    import json
+
+    from phoenix_spark.bson import bson_condition, bson_condition_sql
+
+    cond = template.format(n=n, m=m, w=p, p=p)
+    docs = [
+        (i, json.dumps({"k": k, "s": s})) for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(docs, "id: long, props: string")
+    via_column = {r.id for r in df.filter(bson_condition("props", cond)).collect()}
+    df.createOrReplaceTempView("bson_prop_docs")
+    sql_pred = bson_condition_sql("props", cond)
+    via_sql = {
+        r.id
+        for r in spark.sql(
+            f"SELECT id FROM bson_prop_docs WHERE {sql_pred}"
+        ).collect()
+    }
+    assert via_column == via_sql, (cond, via_column, via_sql)
