@@ -913,7 +913,12 @@ def _rewrite_str_concat(
     def _stringish(tok: str) -> bool:
         m = re.fullmatch(r"\x00(\d+)\x00", tok)
         if m:
-            return stash[int(m.group(1))].startswith("'")
+            s = stash[int(m.group(1))]
+            if s.startswith("'"):
+                return True
+            if s.startswith("`"):  # quoted identifier → catalog lookup
+                return s[1:-1].replace("``", "`").lower() in low
+            return False
         return tok.split(".")[-1].lower() in low
 
     def _sub(m: re.Match) -> str:
