@@ -107,6 +107,8 @@ _SHAPE_FNS = (
     "BSON_CONDITION_EXPRESSION",
     "BSON_VALUE",
     "BSON_VALUE_TYPE",
+    "UPPER",   # optional locale argument
+    "LOWER",
 )
 
 _WORD_RE = re.compile(
@@ -713,6 +715,25 @@ def _rewrite_call(name: str, args: list[str]) -> str:
                 "JSON_MODIFY path must be a literal like '$.a.b[0].c'"
             )
         return _json_modify_expr(args[0], segs, args[2])
+    if up in ("UPPER", "LOWER"):
+        # UpperFunction/LowerFunction accept an optional locale ISO code
+        # (UpperFunction.java:52-74, Java toUpperCase(locale)).  Java's
+        # locale-cased result equals the root-locale result for every
+        # locale except Turkish/Azeri (dotted i) and Lithuanian — those
+        # raise rather than silently case-fold wrong.
+        if len(args) == 1:
+            return f"{up.lower()}({args[0]})"
+        loc = _literal_text(args[1]) if len(args) == 2 else None
+        if loc is None:
+            raise PhoenixTranslationError(
+                f"{up} locale must be a string literal"
+            )
+        if loc.split("_")[0].split("-")[0].lower() in ("tr", "az", "lt"):
+            raise PhoenixTranslationError(
+                f"{up} with locale {loc!r}: Turkish/Azeri/Lithuanian case "
+                "mappings differ from the root locale and are not supported"
+            )
+        return f"{up.lower()}({args[0]})"
     if up == "PARTITION_ID":
         # PartitionIdFunction: the physical partition of the row
         return "spark_partition_id()"

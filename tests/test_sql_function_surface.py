@@ -494,3 +494,13 @@ def test_bson_value_and_type_in_sql(engine):
     ):
         got = one(engine, f"SELECT BSON_VALUE_TYPE('{doc}', '{field}') AS v FROM region LIMIT 1")
         assert got == want, (field, got, want)
+
+
+def test_upper_lower_locale_arg(engine):
+    """UPPER/LOWER accept an optional locale ISO code (UpperFunction:52-74);
+    every locale except tr/az/lt case-folds like the root locale, and those
+    three raise rather than silently diverging on dotted-i."""
+    assert one(engine, "SELECT UPPER(r_name, 'en_US') AS v FROM region ORDER BY r_name LIMIT 1") == "AFRICA"
+    assert one(engine, "SELECT LOWER('AbC', 'de') AS v FROM region LIMIT 1") == "abc"
+    with pytest.raises(PhoenixTranslationError, match="Turkish"):
+        engine.sql("SELECT UPPER('istanbul', 'tr') AS v FROM region")
