@@ -38,6 +38,11 @@ class CreateTable:
     # engine records the mapping for catalog fidelity and addresses columns
     # by their unqualified name, exactly how Phoenix queries reference them.
     families: dict = None  # col -> family
+    # DEFAULT expressions (grammar :816 `DEFAULT df=expression`).  The
+    # reference evaluates these at READ time when the cell is absent
+    # (DefaultValueExpression wraps the column ref), so an explicit NULL
+    # write reads as the default again — mirrored by coalesce-at-read.
+    defaults: dict = None  # col -> raw default expression text
 
 
 @dataclass
@@ -164,6 +169,7 @@ def parse_create_table(sql: str) -> CreateTable:
 
     fields: list[T.StructField] = []
     pk: list[str] = []
+    defaults: dict[str, str] = {}
     sort_orders: dict[str, str] = {}
     row_timestamp: str | None = None
     families: dict[str, str] = {}
@@ -209,6 +215,10 @@ def parse_create_table(sql: str) -> CreateTable:
             mm = re.search(r"PRIMARY\s+KEY\s+(ASC|DESC)", up)
             if mm:
                 sort_orders[col] = mm.group(1)
+        dm = re.search(r"\bDEFAULT\s+(.+?)\s*$", rest, flags=re.I | re.S)
+        if dm:
+            defaults[col] = dm.group(1).strip()
+            rest = rest[: dm.start()]
         rest = re.sub(r"\bNOT\s+NULL\b|\bNULL\b|\bROW_TIMESTAMP\b", "", rest, flags=re.I)
         if re.search(r"\bROW_TIMESTAMP\b", up):
             row_timestamp = col
@@ -231,6 +241,7 @@ def parse_create_table(sql: str) -> CreateTable:
         props=props,
         if_not_exists=bool(m.group("ine")),
         families=families,
+        defaults=defaults,
     )
 
 

@@ -1022,6 +1022,10 @@ class Engine:
             sort_orders=ct.sort_orders,
             props=ct.props,
             if_not_exists=ct.if_not_exists,
+            defaults={
+                c: translate_phoenix_sql(e)
+                for c, e in (ct.defaults or {}).items()
+            },
         )
         self._register(name)
         return 0

@@ -69,6 +69,7 @@ class ManagedTable:
         sort_orders: dict[str, str] | None = None,
         props: dict | None = None,
         if_not_exists: bool = False,
+        defaults: dict | None = None,
     ) -> "ManagedTable":
         tbl = cls(spark, warehouse, name)
         if os.path.exists(tbl.meta_path):
@@ -86,6 +87,10 @@ class ManagedTable:
             "sort_orders": sort_orders or {},
             "props": props or {},  # SALT_BUCKETS et al: parsed-and-recorded;
             # hash partitioning is Spark-native (SaltingUtil analogue is a no-op)
+            # column DEFAULTs as TRANSLATED Spark SQL expression text — the
+            # read path coalesces absent cells to these
+            # (DefaultValueExpression analogue)
+            "defaults": defaults or {},
         }
         with open(tbl.meta_path, "w") as f:
             json.dump(meta, f, indent=1)
@@ -283,9 +288,19 @@ class ManagedTable:
         # missing from old segments read as NULL; dropped columns are simply
         # not projected.
         data_cols = []
+        dfl = self.meta.get("defaults", {})
         for f in self.schema.fields:
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            if f.name in dfl:
+                # DefaultValueExpression: an absent (or explicitly nulled)
+                # cell reads as the declared default
+                df = df.withColumn(
+                    f.name,
+                    F.coalesce(
+                        F.col(f.name), F.expr(dfl[f.name]).cast(f.dataType)
+                    ),
+                )
             data_cols.append(f.name)
         if with_row_timestamp:
             data_cols.append("phoenix_row_timestamp")

@@ -1531,3 +1531,23 @@ def test_view_constant_apostrophe_and_keyword_literal(engine):
     engine.sql("UPSERT INTO vq_v (k, v) VALUES (1, 'x')")
     rows = engine.sql("SELECT k, label, v FROM vq_v").collect()
     assert [(r.k, r.label, r.v) for r in rows] == [(1, "rock 'n' AND roll", "x")]
+
+
+def test_column_default_values(engine):
+    """CREATE TABLE ... DEFAULT expr (grammar :816): the reference evaluates
+    defaults at READ time when the cell is absent (DefaultValueExpression
+    wraps the column ref), so unsupplied columns AND explicitly-nulled
+    cells both read as the default."""
+    engine.sql(
+        "CREATE TABLE dft (k BIGINT NOT NULL, v VARCHAR DEFAULT 'dflt', "
+        "n INTEGER DEFAULT 7, CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    engine.sql("UPSERT INTO dft (k) VALUES (1)")
+    engine.sql("UPSERT INTO dft (k, v) VALUES (2, 'x')")
+    got = {(r.k, r.v, r.n) for r in engine.sql("SELECT k, v, n FROM dft").collect()}
+    assert got == {(1, "dflt", 7), (2, "x", 7)}
+    # explicit NULL deletes the cell in the reference → reads as default
+    engine.sql("UPSERT INTO dft (k, v) VALUES (2, NULL)")
+    assert engine.sql("SELECT v FROM dft WHERE k = 2").collect()[0].v == "dflt"
+    # defaults participate in predicates too
+    assert engine.sql("SELECT k FROM dft WHERE n = 7 ORDER BY k").collect()[0].k == 1
