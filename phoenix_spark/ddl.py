@@ -76,13 +76,23 @@ class CreateSequence:
     if_not_exists: bool = False
 
 
+class UpdateOnly(dict):
+    """ON DUPLICATE KEY UPDATE_ONLY assignments (grammar PhoenixSQL.g:899,911
+    — UpsertStatement.OnDuplicateKeyType.UPDATE_ONLY): apply the update
+    expressions to EXISTING rows; rows whose PK is absent are dropped, never
+    inserted (IndexRegionObserver.java:2305-2311 "If row doesn't exist, do
+    nothing").  A dict subclass so every {col: expr} code path (expression
+    translation, upsert_df) handles both flavors; the type carries the
+    no-insert semantics."""
+
+
 @dataclass
 class Upsert:
     table: str
     columns: list[str]  # empty = all, in schema order
     values: list[list[str]] | None  # literal rows (as SQL expr strings)
     select: str | None  # UPSERT ... SELECT text
-    on_duplicate: str | dict | None  # None | 'ignore' | {col: expr}
+    on_duplicate: str | dict | None  # None | 'ignore' | {col: expr} | UpdateOnly
     returning: bool = False  # RETURNING * (grammar :901)
 
 
@@ -336,7 +346,7 @@ _UPSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ON_DUP_RE = re.compile(
-    r"\s+ON\s+DUPLICATE\s+KEY\s+(?P<what>IGNORE|UPDATE\s+.*)$",
+    r"\s+ON\s+DUPLICATE\s+KEY\s+(?P<what>IGNORE|UPDATE_ONLY\s+.*|UPDATE\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -364,8 +374,10 @@ def parse_upsert(sql: str) -> Upsert:
         if what.upper() == "IGNORE":
             on_dup = "ignore"
         else:
-            assigns = {}
-            for a in _split_top(what[len("UPDATE") :].strip()):
+            update_only = what.upper().startswith("UPDATE_ONLY")
+            kw = "UPDATE_ONLY" if update_only else "UPDATE"
+            assigns = UpdateOnly() if update_only else {}
+            for a in _split_top(what[len(kw) :].strip()):
                 col, expr = a.split("=", 1)
                 assigns[col.strip().strip('"').lower()] = expr.strip()
             on_dup = assigns

@@ -2005,7 +2005,10 @@ class Engine:
                 up.columns,
                 up.values,
                 up.select,
-                {c: _dup_expr(e) for c, e in up.on_duplicate.items()},
+                # type(...) keeps UpdateOnly's no-insert semantics intact
+                type(up.on_duplicate)(
+                    {c: _dup_expr(e) for c, e in up.on_duplicate.items()}
+                ),
                 up.returning,
             )
         vc = self._view_constants(up.table)

@@ -193,6 +193,10 @@ class ManagedTable:
                         reference's atomic BSON document updates
                         (UpsertCompiler + PhoenixIndexBuilder ON DUPLICATE
                         KEY UPDATE b = BSON_UPDATE_EXPRESSION(b, '...'))
+          * ddl.UpdateOnly({col: expr}) — ON DUPLICATE KEY UPDATE_ONLY
+                        (grammar :899,911): matched PKs update as above;
+                        unmatched rows are DROPPED, never inserted
+                        (IndexRegionObserver.java:2305-2311)
         """
         ts = self._next_ts()
         if on_duplicate is None:
@@ -209,6 +213,11 @@ class ManagedTable:
                 for col, expr in on_duplicate.items()
             }
         )
+        from phoenix_spark.ddl import UpdateOnly
+
+        if isinstance(on_duplicate, UpdateOnly):
+            # UPDATE_ONLY: unmatched incoming rows vanish — no insert
+            return self._append_segment(updated, ts)
         fresh = df.join(current.select(self.pk), on=self.pk, how="left_anti")
         return self._append_segment(updated.unionByName(fresh), ts)
 

@@ -96,56 +96,52 @@ _PERMANENT = [
     # Families whose every member is already driver-verified keep a
     # re-verified anchor here so no family ships without a current-round row.
     "bson_condition_sql",    # §2.8 BSON condition language from plain SQL
-    #                          (new r05 — the r03-green bson_condition_filter
-    #                          rotates out for its never-verified SQL twin)
-    "source_csv_bulk_load",  # §2.1 bulk load path (r03-green)
-    "mm_binary_meta",        # multimodal binary plumbing (r03-green)
-    "stream_dedup_exact",    # §2.11 streaming dedup (new r05, never-verified)
+    "source_csv_bulk_load",  # §2.1 bulk load path (r03/r05-green)
+    "mm_binary_meta",        # multimodal binary plumbing (r03/r05-green)
+    # stream_dedup_exact went r05-green and rotates out; streaming keeps its
+    # anchor via mutation_cdc_feed (batch) + the r04-green stream_* entries.
 ]
 
-# Round-5 rotation: every name here had NO driver row in r02/r03/r04 (see
-# _verified.py).  After r04 the cross-round union was 123 of 170; these 29
-# push it to ~152, leaving an 18-entry tail for round 6.  Family coverage
-# notes inline.
+# Round-6 rotation: after r05 the cross-round union is 153 of 176; exactly 23
+# registry entries have never had a driver row in ANY round.  All 23 are here,
+# so a green round closes the registry at 176/176 cumulative.  Plus: the four
+# NEW round-6 capabilities (TTL, UDF surface, UPDATE_ONLY, typed int-division
+# — each lands with an oracle this round), and two stale r03-green
+# re-verifications chosen for window family coverage (dt_, bin_ — neither
+# family appears in the 23-entry tail).
 _ROTATING = [
-    # §2.6 sorts
-    "sort_nulls_last",
-    # §2.7 set ops + §2.2 subqueries
-    "setop_except",
-    "subq_not_in",
-    "subq_scalar",
-    # §2.4 aggregates (hll/percentile entries are oracle-paired as of r05:
-    # exact value + bounded-error invariant)
-    "agg_salted_skew",
-    "agg_hll_sketch_merge",
-    "agg_percentile_approx",
-    # §2.1/§2.10 salted PK round-trip, catalog, view divergence
-    "scan_salted_roundtrip",
-    "ddl_system_catalog",
-    "ddl_view_diverge",
-    # TPC-H tail (never driver-run; q20 deferred to r06)
-    "q19_disjunct_revenue",
-    # round-5 SQL function-surface capabilities (never-verified, new)
-    "agg_within_group_sql",  # WITHIN GROUP ordered-set lowering
-    "bin_set_splice",        # SET_BYTE/SET_BIT/ENCODE_BINARY/DECODE_BINARY
-    # §2.5 windows
-    "window_running_lag",
-    # §2.8 scalar sub-families
-    "str_collation_ci",
-    "math_trig",
-    "dt_format_arith_tz",
-    "arr_any_all",
-    "json_construct",
-    "meta_partition_id",     # oracle-paired as of r05 (invariant form)
-    # LLM-pipeline families
-    "text_langid",
-    "text_fingerprint",
-    "text_repetition_stats",
-    "dedup_incremental",
-    "similarity_knn_batch",
-    "similarity_ivf_persisted",
-    "sample_split",
-    "assembly_mix_report",
+    # the 23-entry never-driver-verified tail
+    "q20_part_promotion",
+    "sort_limit_cap",
+    "sort_offset",            # the one §2 row never externally verified
+    "subq_not_exists",
+    "subq_all_quantified",
+    "setop_intersect_all",
+    "setop_except_all",
+    "agg_percent_rank",
+    "agg_nth_first_last_values",
+    "agg_filter_clause",
+    "str_substr_instr_case",
+    "str_char_padding",
+    "math_to_number_fmt",
+    "arr_elem_len",
+    "json_modify_value",
+    "window_first_last_nth",
+    "window_dist_ntile",
+    "text_chunking",
+    "text_vocab_topk",
+    "text_tokenize_bpe",
+    "text_redact",
+    "similarity_label_affinity",
+    "sample_temperature",
+    # new round-6 capabilities (registry entries added this round)
+    "ttl_retention_view",          # §2.11 TTL / max-lookback
+    "udf_create_function",         # §2.12 UDF surface via Engine.sql
+    "mutation_upsert_update_only", # §2.9 ON DUPLICATE KEY UPDATE_ONLY
+    "sql_int_div_nested",          # typed dialect rewrite: nested int division
+    # stale re-verifications for window family coverage
+    "dt_trunc_round",        # §2.8 datetime (r03-green)
+    "bin_encode_decode",     # §2.8 binary (r03-green)
 ]
 
 _TIER1 = _PERMANENT + _ROTATING

@@ -90,7 +90,33 @@ R04 = frozenset(
     }
 )
 
-ROUNDS: dict[str, frozenset[str]] = {"r02": R02, "r03": R03, "r04": R04}
+# Round 5: 50/50 hash-green (CORRECTNESS_r05.json) — the full window including
+# all four formerly rows-only entries in their oracle-invariant form.
+R05 = frozenset(
+    {
+        "scan_projection", "engine_sql_roundtrip", "filter_range_pred",
+        "join_broadcast_inner", "join_asof", "agg_ungrouped",
+        "window_session_native", "meta_row_timestamp",
+        "mutation_upsert_compaction", "mutation_snapshot_read",
+        "mutation_cdc_feed", "ddl_view_predicate", "ddl_sequence_rows",
+        "ddl_index_scan", "q1_pricing_summary", "q9_product_profit",
+        "dedup_minhash_lsh", "pipeline_curate_e2e", "bson_condition_sql",
+        "source_csv_bulk_load", "mm_binary_meta", "stream_dedup_exact",
+        "sort_nulls_last", "setop_except", "subq_not_in", "subq_scalar",
+        "agg_salted_skew", "agg_hll_sketch_merge", "agg_percentile_approx",
+        "scan_salted_roundtrip", "ddl_system_catalog", "ddl_view_diverge",
+        "q19_disjunct_revenue", "agg_within_group_sql", "bin_set_splice",
+        "window_running_lag", "str_collation_ci", "math_trig",
+        "dt_format_arith_tz", "arr_any_all", "json_construct",
+        "meta_partition_id", "text_langid", "text_fingerprint",
+        "text_repetition_stats", "dedup_incremental", "similarity_knn_batch",
+        "similarity_ivf_persisted", "sample_split", "assembly_mix_report",
+    }
+)
+
+ROUNDS: dict[str, frozenset[str]] = {
+    "r02": R02, "r03": R03, "r04": R04, "r05": R05,
+}
 
 
 def driver_verified() -> frozenset[str]:

@@ -722,3 +722,143 @@ REG.add(
     FROM u
     """,
 )
+
+# --- TTL / max-lookback: physical expiry at compaction ------------------------
+# SURVEY §2.11 TTL row (PhoenixTTLRegionObserver + CompactionScanner): rows
+# older than the retention horizon are hidden by the logical `ttl_view` and
+# physically reclaimed by `compact_with_ttl`.  This entry pins the PHYSICAL
+# path — write the events table, expire with a pinned 'now' (the reference
+# similarly evaluates TTL against a per-operation timestamp), and return the
+# surviving table state.  The logical-view twin is pinned by
+# tests/test_streaming.py::test_ttl_view_retention.  The expiry delete is a
+# distributed predicate scan + tombstone append — no driver materialization.
+def _ttl_retention_view(spark, sf):
+    from phoenix_spark.streaming import compact_with_ttl
+
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_ttl (event_id BIGINT NOT NULL, ts TIMESTAMP, "
+        "value DOUBLE, CONSTRAINT pk PRIMARY KEY (event_id)) TTL=864000"
+    )
+    e.sql("UPSERT INTO t_ttl SELECT event_id, ts, value FROM events")
+    # TTL=864000 s = 10 days; 'now' pinned for determinism
+    compact_with_ttl(
+        e.managed("t_ttl"), "ts", "10 DAYS", "TIMESTAMP '2024-02-01 00:00:00'"
+    )
+    return e.table("t_ttl").select(
+        "event_id", "ts", F.col("value").cast("double").alias("value")
+    )
+
+
+REG.add(
+    "ttl_retention_view",
+    _ttl_retention_view,
+    """
+    SELECT event_id, ts, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 10 DAY
+    """,
+)
+
+# --- UDF surface: CREATE FUNCTION → registered Python callable ----------------
+# SURVEY §2.12 (grammar PhoenixSQL.g:737-745; UDFExpression.java:47-59): the
+# reference binds scalar UDFs from JARs; the Spark-native binding registers a
+# Python callable under the SQL name.  math.sqrt and the oracle's SQRT are
+# both correctly-rounded IEEE doubles, so the hash compare is exact.  Python
+# UDFs are deliberately the slow path (engine docstring) — this entry pins
+# the BINDING surface, not a recommended hot-path pattern.
+def _udf_create_function(spark, sf):
+    e = _engine(spark, sf)
+    e.sql("CREATE FUNCTION py_sqrt AS 'math:sqrt' RETURNS DOUBLE")
+    return e.sql(
+        "SELECT o_orderkey, py_sqrt(o_totalprice) AS root FROM orders "
+        "WHERE o_orderkey <= 300"
+    )
+
+
+REG.add(
+    "udf_create_function",
+    _udf_create_function,
+    """
+    SELECT o_orderkey, SQRT(o_totalprice) AS root FROM orders
+    WHERE o_orderkey <= 300
+    """,
+)
+
+# --- ON DUPLICATE KEY UPDATE_ONLY: update-if-exists, never insert --------------
+# Grammar PhoenixSQL.g:899,911 (OnDuplicateKeyType.UPDATE_ONLY);
+# IndexRegionObserver.java:2305-2311: a row whose PK is absent is dropped,
+# never inserted.  Script: seed odd keys <= 40, then UPDATE_ONLY-upsert keys
+# <= 60 — even keys (absent) must NOT appear; odd seeded keys get the update
+# expression applied over the EXISTING row.
+def _upsert_update_only(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_uponly (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, "
+        "cnt BIGINT, CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_uponly SELECT o_orderkey, o_totalprice, 1 FROM orders "
+        "WHERE o_orderkey <= 40 AND o_orderkey % 2 = 1"
+    )
+    for k in (7, 8):  # 7 exists (updates), 8 does not (dropped)
+        e.sql(
+            f"UPSERT INTO t_uponly VALUES ({k}, 0.0, 0) "
+            "ON DUPLICATE KEY UPDATE_ONLY o_totalprice = o_totalprice * 2, "
+            "cnt = cnt + 1"
+        )
+    return e.table("t_uponly").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+REG.add(
+    "mutation_upsert_update_only",
+    _upsert_update_only,
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey = 7 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
+           CAST(CASE WHEN o_orderkey = 7 THEN 2 ELSE 1 END AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_orderkey <= 40 AND o_orderkey % 2 = 1
+    """,
+)
+
+# --- typed dialect rewrites: nested integral division + typed || chains ------
+# Round-6 expression-level typing (sqlfront._TypedRewriter): Phoenix integral
+# division truncates even when the operands are NESTED arithmetic or
+# aggregates (LongDivideExpression.java:35-55 — `sum(x)/count(*)`, `(a+b)/7`),
+# and || chains type through string functions (StringConcatExpression.java:
+# 69-77 NULL-skip).  The DuckDB oracle spells truncation with `//` (all
+# values positive, so floor == trunc) and the NULL-skip with the surviving
+# operand.
+def _sql_int_div_nested(spark, sf):
+    e = _engine(spark, sf)
+    return e.sql(
+        "SELECT o_orderstatus, "
+        "SUM(o_orderkey) / COUNT(*) AS avg_key_trunc, "
+        "MIN((o_orderkey + o_custkey) / 7) AS min_div7, "
+        "MAX(o_orderkey / (o_custkey + 1)) AS max_ratio, "
+        "MIN(UPPER(o_orderpriority) || NULLIF(o_orderstatus, o_orderstatus)) "
+        "AS tag "
+        "FROM orders WHERE o_orderkey <= 2000 "
+        "GROUP BY o_orderstatus"
+    )
+
+
+REG.add(
+    "sql_int_div_nested",
+    _sql_int_div_nested,
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(o_orderkey) // COUNT(*) AS BIGINT) AS avg_key_trunc,
+           CAST(MIN((o_orderkey + o_custkey) // 7) AS BIGINT) AS min_div7,
+           CAST(MAX(o_orderkey // (o_custkey + 1)) AS BIGINT) AS max_ratio,
+           MIN(UPPER(o_orderpriority)) AS tag
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus
+    """,
+)

@@ -881,74 +881,332 @@ _DATE_DIFF_RE = re.compile(
 
 
 # Phoenix integer/long division truncates (LongDivideExpression.java:35-55
-# runs Java's long `/=`), while Spark's `/` always yields a double.  When
-# BOTH operands are directly recognizable as integral — a bare integer
-# literal or a column the catalog knows to be integral — rewrite to Spark's
-# `div` (also Java truncation toward zero, verified on negatives).  Nested
-# arithmetic operands are left alone: a textual front-end cannot type them,
-# and a double where a truncated long was expected is at least VISIBLE in
-# the result type, unlike a silently shifted value.
-_INT_DIV_RE = re.compile(
-    r"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|(?<![\w.])\d+)"  # col or int literal
-    r"\s*/\s*"
-    r"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+(?![\w.]))"
-)
-
-
-def _rewrite_int_division(masked: str, int_columns: set[str]) -> str:
-    low = {c.lower() for c in int_columns}
-
-    def _integral(tok: str) -> bool:
-        if tok.isdigit():
-            return True
-        return tok.split(".")[-1].lower() in low
-
-    def _sub(m: re.Match) -> str:
-        a, b = m.group(1), m.group(2)
-        if _integral(a) and _integral(b):
-            return f"{a} div {b}"
-        return m.group(0)
-
-    return _INT_DIV_RE.sub(_sub, masked)
-
-
-# Phoenix `||` treats NULL children as empty strings
+# runs Java's long `/=`), and `||` treats NULL children as empty strings
 # (StringConcatExpression.java:69-77 skips non-evaluating children), while
-# Spark's concat propagates NULL.  When EVERY operand of a || chain is
-# directly recognizable as a string — a string literal (placeholder) or a
-# column the catalog knows to be VARCHAR/CHAR — rewrite to concat_ws('',
-# ...), which skips NULLs.  Chains with untyped operands (function calls,
-# arrays — Phoenix || also concatenates arrays) pass through to Spark's
-# concat untouched.
-_CONCAT_OPERAND = r"(?:(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\x00\d+\x00)"
-_CONCAT_CHAIN_RE = re.compile(
-    rf"({_CONCAT_OPERAND})((?:\s*\|\|\s*{_CONCAT_OPERAND})+)"
+# Spark's `/` always yields a double and its concat propagates NULL.  A
+# bottom-up typed parse of the (literal-masked) expression text drives both
+# rewrites COMPOSITIONALLY: `(a+b)/2` and `sum(x)/count(*)` over integral
+# columns rewrite to Spark's `div` (also Java truncation toward zero,
+# verified on negatives), and || chains whose every operand is string-typed
+# — including through string functions, CAST, and nested concatenation —
+# rewrite to concat_ws('', ...), which skips NULLs.  Anything the parser
+# cannot type (subqueries as operands, CASE, unknown functions) stays
+# untouched: a visible double / NULL beats a silently shifted value.
+# Rewrites splice MINIMAL spans into the original text (`/` → `div`, the
+# full || chain → one concat_ws call), so untouched SQL passes through
+# byte-identical (the hypothesis passthrough property).
+
+_TYPED_TOK_RE = re.compile(
+    r"\x00\d+\x00"                  # masked literal / quoted identifier
+    r"|\d+\.\d*(?:[eE][+-]?\d+)?"   # 1.5   1.
+    r"|\.\d+(?:[eE][+-]?\d+)?"      # .5
+    r"|\d+[eE][+-]?\d+"             # 1e3
+    r"|\d+"                         # 42
+    r"|[A-Za-z_]\w*"                # ident / keyword
+    r"|\|\||<=|>=|<>|!=|::"
+    r"|\S"                          # any single char (operators, parens, ...)
 )
 
+# Keywords that terminate a scalar expression; comparison operators and
+# anything else unrecognized end a parse naturally (the driver loop then
+# advances token-by-token, so inner regions are still scanned for rewrites).
+_EXPR_BOUNDARY_KW = frozenset(
+    """SELECT FROM WHERE GROUP BY HAVING ORDER LIMIT OFFSET FETCH UNION
+    INTERSECT EXCEPT ALL DISTINCT AS AND OR NOT IN IS LIKE ILIKE BETWEEN
+    EXISTS ANY SOME JOIN LEFT RIGHT FULL INNER OUTER CROSS ON USING CASE
+    WHEN THEN ELSE END ASC DESC NULLS FIRST LAST INTERVAL OVER PARTITION
+    ROWS RANGE CURRENT PRECEDING FOLLOWING UNBOUNDED WITHIN FILTER VALUES
+    INTO ONLY ROW WITH ESCAPE""".split()
+)
 
-def _rewrite_str_concat(
-    masked: str, str_columns: set[str], stash: list[str]
+_INT_CAST_TYPES = frozenset(
+    {"INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "LONG",
+     "UNSIGNED_INT", "UNSIGNED_LONG", "UNSIGNED_SMALLINT", "UNSIGNED_TINYINT"}
+)
+_STR_CAST_TYPES = frozenset({"VARCHAR", "CHAR", "STRING"})
+_NUM_CAST_TYPES = frozenset({"DECIMAL", "NUMERIC", "DOUBLE", "FLOAT", "REAL"})
+
+# Functions with a fixed integral result in BOTH dialects (Spark's length /
+# instr / ascii return INT, count returns BIGINT — matching the reference's
+# INTEGER/LONG results).
+_INT_RESULT_FNS = frozenset({"COUNT", "LENGTH", "CHAR_LENGTH", "INSTR", "ASCII"})
+# Functions with a string result in both dialects (Phoenix and Spark names —
+# this pass runs before the per-call rename).
+_STR_RESULT_FNS = frozenset(
+    {"TRIM", "LTRIM", "RTRIM", "UPPER", "LOWER", "SUBSTR", "SUBSTRING",
+     "REVERSE", "TRANSLATE", "REPLACE", "REGEXP_REPLACE", "REGEXP_SUBSTR",
+     "LPAD", "RPAD", "CONCAT", "CHR", "REPEAT", "INITCAP", "TO_CHAR", "SPACE"}
+)
+# Type flows through the arguments: SUM of an integral column is a long in
+# both engines; MIN/MAX/ABS/COALESCE/... preserve their input type.  The
+# merged type applies only when every (non-NULL-literal) argument agrees.
+_ARG_TYPED_FNS = frozenset(
+    {"SUM", "MIN", "MAX", "ABS", "COALESCE", "NULLIF", "GREATEST", "LEAST",
+     "MOD", "IFNULL", "NVL", "FIRST_VALUE", "LAST_VALUE"}
+)
+
+_T_INT, _T_NUM, _T_STR, _T_NULL, _T_UNK = "int", "num", "str", "null", "?"
+
+
+class _TypedRewriter:
+    """One left-to-right pass over the masked statement: attempt a typed
+    expression parse at every position, record span replacements where the
+    dialect semantics diverge.  Any successfully parsed SUBexpression's
+    rewrite is locally valid even when the enclosing parse fails, so there
+    is no rollback — failed regions are simply re-scanned token-by-token."""
+
+    def __init__(self, masked, int_cols, str_cols, stash):
+        self.src = masked
+        self.toks = [
+            (m.group(0), m.start(), m.end())
+            for m in _TYPED_TOK_RE.finditer(masked)
+        ]
+        self.int_cols = {c.lower() for c in int_cols}
+        self.str_cols = {c.lower() for c in str_cols}
+        self.stash = stash
+        self.repls: dict[tuple[int, int], str] = {}
+
+    def run(self) -> str:
+        i, n = 0, len(self.toks)
+        while i < n:
+            j, _t = self._concat(i)
+            i = j if j > i else i + 1
+        if not self.repls:
+            return self.src
+        out, pos = [], 0
+        for (s, e), txt in sorted(self.repls.items()):
+            if s < pos:  # overlapping duplicate from a re-scan — keep first
+                continue
+            out.append(self.src[pos:s])
+            out.append(txt)
+            pos = e
+        out.append(self.src[pos:])
+        return "".join(out)
+
+    # Every rule returns (next_index, type); next_index == start means "no
+    # parse from here".  Binary rules return the longest valid prefix.
+
+    def _concat(self, i):
+        j, t = self._add(i)
+        if j == i:
+            return i, _T_UNK
+        ops = [(i, j, t)]
+        k = j
+        while k < len(self.toks) and self.toks[k][0] == "||":
+            m, t2 = self._add(k + 1)
+            if m == k + 1:
+                return k, _T_UNK  # dangling || — stop before it
+            ops.append((k + 1, m, t2))
+            k = m
+        if len(ops) > 1:
+            types = [t3 for _a, _b, t3 in ops]
+            allstr = all(t3 in (_T_STR, _T_NULL) for t3 in types)
+            if self.str_cols and allstr and _T_STR in types:
+                start = self.toks[ops[0][0]][1]
+                end = self.toks[ops[-1][1] - 1][2]
+                parts = ", ".join(
+                    self.src[self.toks[a][1] : self.toks[b - 1][2]]
+                    for a, b, _t3 in ops
+                )
+                self.repls[(start, end)] = f"concat_ws('', {parts})"
+            return k, _T_STR if allstr else _T_UNK
+        return j, t
+
+    def _add(self, i):
+        j, t = self._mul(i)
+        if j == i:
+            return i, _T_UNK
+        k = j
+        while k < len(self.toks) and self.toks[k][0] in ("+", "-"):
+            m, t2 = self._mul(k + 1)
+            if m == k + 1:
+                return k, _T_UNK
+            t = self._merge_num(t, t2)
+            k = m
+        return k, t
+
+    def _mul(self, i):
+        j, t = self._unary(i)
+        if j == i:
+            return i, _T_UNK
+        k = j
+        while k < len(self.toks) and self.toks[k][0] in ("*", "/", "%"):
+            op, s, e = self.toks[k]
+            m, t2 = self._unary(k + 1)
+            if m == k + 1:
+                return k, _T_UNK
+            if op == "/":
+                if self.int_cols and t == _T_INT and t2 == _T_INT:
+                    self.repls[(s, e)] = " div "
+                    t = _T_INT
+                else:
+                    t = (
+                        _T_NUM
+                        if t in (_T_INT, _T_NUM) and t2 in (_T_INT, _T_NUM)
+                        else _T_UNK
+                    )
+            else:
+                t = self._merge_num(t, t2)
+            k = m
+        return k, t
+
+    def _unary(self, i):
+        if i < len(self.toks) and self.toks[i][0] in ("+", "-"):
+            j, t = self._unary(i + 1)
+            return (i, _T_UNK) if j == i + 1 else (j, t)
+        return self._primary(i)
+
+    def _primary(self, i):
+        if i >= len(self.toks):
+            return i, _T_UNK
+        tok, _s, _e = self.toks[i]
+        if tok.startswith("\x00"):
+            return i + 1, self._placeholder_type(tok)
+        if tok[0].isdigit() or tok[0] == ".":
+            return i + 1, _T_INT if tok.isdigit() else _T_NUM
+        if tok == "(":
+            j, t = self._concat(i + 1)
+            if j > i + 1 and j < len(self.toks) and self.toks[j][0] == ")":
+                return self._postfix(j + 1, t)
+            return i, _T_UNK  # subquery / row constructor / unparseable
+        if not re.match(r"[A-Za-z_]", tok):
+            return i, _T_UNK
+        up = tok.upper()
+        if up == "NULL":
+            return i + 1, _T_NULL
+        if up == "CAST":
+            return self._cast(i)
+        if up in _EXPR_BOUNDARY_KW:
+            return i, _T_UNK
+        if i + 1 < len(self.toks) and self.toks[i + 1][0] == "(":
+            return self._call(i, up)
+        # (qualified) column reference; type by the last name segment, the
+        # same convention the catalog sets use
+        j, last = i + 1, tok
+        while (
+            j + 1 < len(self.toks)
+            and self.toks[j][0] == "."
+            and re.match(r"[A-Za-z_\x00*]", self.toks[j + 1][0])
+        ):
+            nxt = self.toks[j + 1][0]
+            j += 2
+            if nxt == "*":
+                return j, _T_UNK
+            last = nxt
+        if last.startswith("\x00"):
+            return self._postfix(j, self._placeholder_type(last))
+        name = last.lower()
+        t = (
+            _T_INT
+            if name in self.int_cols
+            else _T_STR if name in self.str_cols else _T_UNK
+        )
+        return self._postfix(j, t)
+
+    def _postfix(self, i, t):
+        # array subscript: expr[idx] (1-based rewrite happens later)
+        while i < len(self.toks) and self.toks[i][0] == "[":
+            j, _t2 = self._concat(i + 1)
+            if j > i + 1 and j < len(self.toks) and self.toks[j][0] == "]":
+                i, t = j + 1, _T_UNK
+            else:
+                return i, _T_UNK
+        return i, t
+
+    def _cast(self, i):
+        if i + 1 >= len(self.toks) or self.toks[i + 1][0] != "(":
+            return i, _T_UNK
+        j, _t = self._concat(i + 2)
+        if (
+            j > i + 2
+            and j < len(self.toks)
+            and self.toks[j][0].upper() == "AS"
+            and j + 1 < len(self.toks)
+        ):
+            ty = self.toks[j + 1][0].upper()
+            k = j + 2
+            if k < len(self.toks) and self.toks[k][0] == "(":
+                while k < len(self.toks) and self.toks[k][0] != ")":
+                    k += 1
+                k += 1
+            if k < len(self.toks) and self.toks[k][0] == ")":
+                t = (
+                    _T_INT
+                    if ty in _INT_CAST_TYPES
+                    else _T_STR
+                    if ty in _STR_CAST_TYPES
+                    else _T_NUM if ty in _NUM_CAST_TYPES else _T_UNK
+                )
+                return self._postfix(k + 1, t)
+        return i, _T_UNK
+
+    def _call(self, i, up):
+        j = i + 2
+        n = len(self.toks)
+        if j < n and self.toks[j][0] == ")":
+            return self._postfix(j + 1, self._fn_type(up, []))
+        if (
+            up == "COUNT"
+            and j + 1 < n
+            and self.toks[j][0] == "*"
+            and self.toks[j + 1][0] == ")"
+        ):
+            return self._postfix(j + 2, _T_INT)
+        arg_types = []
+        while j < n:
+            if self.toks[j][0].upper() in ("DISTINCT", "ALL"):
+                j += 1
+            k, t = self._concat(j)
+            if k == j:
+                return i, _T_UNK  # unparseable arg; region re-scans itself
+            arg_types.append(t)
+            if k >= n:
+                return i, _T_UNK
+            nxt = self.toks[k][0]
+            if nxt == ",":
+                j = k + 1
+                continue
+            if nxt == ")":
+                return self._postfix(k + 1, self._fn_type(up, arg_types))
+            return i, _T_UNK
+        return i, _T_UNK
+
+    def _fn_type(self, up, arg_types):
+        if up in _INT_RESULT_FNS:
+            return _T_INT
+        if up in _STR_RESULT_FNS:
+            return _T_STR
+        if up in _ARG_TYPED_FNS and arg_types:
+            ts = [t for t in arg_types if t != _T_NULL]
+            if ts and all(t == ts[0] for t in ts) and ts[0] != _T_UNK:
+                return ts[0]
+        return _T_UNK
+
+    def _placeholder_type(self, tok):
+        sv = self.stash[int(tok.strip("\x00"))]
+        if sv.startswith("'"):
+            return _T_STR
+        if sv.startswith("`"):  # quoted identifier → catalog lookup
+            name = sv[1:-1].replace("``", "`").lower()
+            if name in self.str_cols:
+                return _T_STR
+            if name in self.int_cols:
+                return _T_INT
+        return _T_UNK
+
+    @staticmethod
+    def _merge_num(t, t2):
+        if t == _T_INT and t2 == _T_INT:
+            return _T_INT
+        if t in (_T_INT, _T_NUM) and t2 in (_T_INT, _T_NUM):
+            return _T_NUM
+        return _T_UNK
+
+
+def _rewrite_typed_expressions(
+    masked: str, int_columns: set[str], str_columns: set[str], stash: list[str]
 ) -> str:
-    low = {c.lower() for c in str_columns}
-
-    def _stringish(tok: str) -> bool:
-        m = re.fullmatch(r"\x00(\d+)\x00", tok)
-        if m:
-            s = stash[int(m.group(1))]
-            if s.startswith("'"):
-                return True
-            if s.startswith("`"):  # quoted identifier → catalog lookup
-                return s[1:-1].replace("``", "`").lower() in low
-            return False
-        return tok.split(".")[-1].lower() in low
-
-    def _sub(m: re.Match) -> str:
-        ops = [m.group(1)] + re.split(r"\s*\|\|\s*", m.group(2).strip())[1:]
-        if all(_stringish(o) for o in ops):
-            return f"concat_ws('', {', '.join(ops)})"
-        return m.group(0)
-
-    return _CONCAT_CHAIN_RE.sub(_sub, masked)
+    return _TypedRewriter(masked, int_columns, str_columns, stash).run()
 
 
 def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
@@ -1104,10 +1362,10 @@ def translate_phoenix_sql(
     )
     if ts_columns:
         masked = _rewrite_date_arith(masked, ts_columns)
-    if int_columns:
-        masked = _rewrite_int_division(masked, int_columns)
-    if str_columns:
-        masked = _rewrite_str_concat(masked, str_columns, stash)
+    if int_columns or str_columns:
+        masked = _rewrite_typed_expressions(
+            masked, int_columns or set(), str_columns or set(), stash
+        )
     # 1-based subscripts and quantified comparisons first (their output may
     # contain functions), then ordered-set aggregates and INVERT — all
     # BEFORE the per-call pass so argument expressions still flow through

@@ -135,6 +135,13 @@ def test_on_duplicate_key_ignore_and_update(engine):
     engine.sql("UPSERT INTO c VALUES (1, 0), (3, 30) ON DUPLICATE KEY UPDATE n = n + 1")
     got = {r.k: r.n for r in engine.table("c").collect()}
     assert got == {1: 11, 2: 20, 3: 30}  # matched incremented, unmatched inserted
+    # UPDATE_ONLY (grammar :899,911; IndexRegionObserver:2305-2311): matched
+    # rows update, absent PKs are dropped — never inserted
+    engine.sql(
+        "UPSERT INTO c VALUES (2, 0), (9, 90) ON DUPLICATE KEY UPDATE_ONLY n = n + 100"
+    )
+    got = {r.k: r.n for r in engine.table("c").collect()}
+    assert got == {1: 11, 2: 120, 3: 30}  # k=9 not inserted
 
 
 def test_upsert_select_and_delete(engine):

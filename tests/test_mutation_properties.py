@@ -18,11 +18,19 @@ from pyspark.sql import types as T
 KEYS = st.integers(min_value=0, max_value=6)
 VALS = st.integers(min_value=-100, max_value=100)
 
+_BATCH = st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4)
 OPS = st.lists(
     st.one_of(
-        st.tuples(st.just("upsert"), st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4)),
+        st.tuples(st.just("upsert"), _BATCH),
         st.tuples(st.just("delete_le"), KEYS),
         st.tuples(st.just("compact"), st.just(None)),
+        # ON DUPLICATE KEY flavors (UpsertStatement.OnDuplicateKeyType):
+        # IGNORE inserts only absent PKs; UPDATE applies the expression over
+        # the EXISTING row for matched PKs and inserts unmatched; UPDATE_ONLY
+        # (grammar :899,911) applies the expression and DROPS unmatched.
+        st.tuples(st.just("dup_ignore"), _BATCH),
+        st.tuples(st.just("dup_update"), _BATCH),
+        st.tuples(st.just("dup_update_only"), _BATCH),
     ),
     min_size=1,
     max_size=6,
@@ -56,6 +64,30 @@ def test_changelog_matches_dict_model(spark, tmp_path_factory, ops):
         elif op == "delete_le":
             mt.delete_where(f"k <= {arg}")
             model = {k: v for k, v in model.items() if k > arg}
+        elif op == "dup_ignore":
+            batch = {k: v for k, v in arg}
+            mt.upsert_rows(
+                [{"k": k, "v": v} for k, v in batch.items()],
+                on_duplicate="ignore",
+            )
+            for k, v in batch.items():
+                model.setdefault(k, v)
+        elif op in ("dup_update", "dup_update_only"):
+            from phoenix_spark.ddl import UpdateOnly
+
+            batch = {k: v for k, v in arg}
+            assigns = {"v": "v + 1"}
+            mt.upsert_rows(
+                [{"k": k, "v": v} for k, v in batch.items()],
+                on_duplicate=(
+                    UpdateOnly(assigns) if op == "dup_update_only" else assigns
+                ),
+            )
+            for k, v in batch.items():
+                if k in model:
+                    model[k] = model[k] + 1  # expression over the EXISTING row
+                elif op == "dup_update":
+                    model[k] = v  # UPDATE inserts unmatched; UPDATE_ONLY drops
         else:
             mt.compact()
     got = {r.k: r.v for r in mt.read().collect()}

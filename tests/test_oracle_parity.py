@@ -52,3 +52,18 @@ def test_tier1_names_exist():
 
     missing = [n for n in _TIER1 if n not in QUERIES]
     assert missing in ([], ["ddl_index_scan"]), f"unknown tier-1 names: {missing}"
+
+
+def test_readme_registry_count_in_sync():
+    """Docs-sync pin (r6): the README's advertised entry count must match
+    len(build_registry().queries) — the manifest, README, and SURVEY must
+    tell the same story."""
+    import re
+
+    from phoenix_spark.queries import build_registry
+
+    n = len(build_registry().queries)
+    readme = open("README.md").read()
+    m = re.search(r"(\d+) entries, ALL value-hash", readme)
+    assert m, "README no longer states the registry entry count"
+    assert int(m.group(1)) == n, f"README says {m.group(1)}, registry has {n}"

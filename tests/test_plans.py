@@ -144,8 +144,12 @@ def test_extension_joins_no_cartesian(spark):
 # explicitly-Pandas / explicitly-cartesian ones are excluded from the sweep.
 _SWEEP_EXCLUDE_PREFIXES = ("mutation_", "ddl_", "source_", "engine_", "scan_salted", "meta_row")
 _ALLOWED_NESTED_LOOP = {"join_cross"}  # explicit CROSS JOIN of two tiny dims
-# The declared Pandas-UDF plumbing: mapInPandas-backed multimodal operators.
-_ALLOWED_PYTHON = {"mm_decode_features", "mm_frame_sample", "mm_resize_thumbnail"}
+# The declared Pandas-UDF plumbing: mapInPandas-backed multimodal operators;
+# plus the §2.12 UDF-binding surface, whose whole point is Python evaluation.
+_ALLOWED_PYTHON = {
+    "mm_decode_features", "mm_frame_sample", "mm_resize_thumbnail",
+    "udf_create_function",
+}
 
 
 def test_plan_audit_all_queries(spark):

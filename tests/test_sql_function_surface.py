@@ -318,8 +318,12 @@ def test_string_concat_null_as_empty(engine):
     assert one(engine, "SELECT a || b AS v FROM ct") == "x"
     assert one(engine, "SELECT a || '-' || b AS v FROM ct") == "x-"
     assert one(engine, "SELECT 'L' || a || b || 'R' AS v FROM ct") == "LxR"
-    # an untyped operand (function call) conservatively keeps Spark concat
-    assert one(engine, "SELECT UPPER(a) || b AS v FROM ct") is None
+    # expression-level typing (r6): string-returning function operands are
+    # typed through, matching StringConcatExpression's NULL-skip
+    assert one(engine, "SELECT UPPER(a) || b AS v FROM ct") == "X"
+    assert one(engine, "SELECT TRIM(a) || CAST(k AS VARCHAR) || b AS v FROM ct") == "x1"
+    # a genuinely untypable operand (unknown function) keeps Spark concat
+    assert one(engine, "SELECT a || CURRENT_DATE() || b AS v FROM ct") is None
 
 
 def test_arithmetic_query_it_order_of_operations(engine):
@@ -504,3 +508,76 @@ def test_upper_lower_locale_arg(engine):
     assert one(engine, "SELECT LOWER('AbC', 'de') AS v FROM region LIMIT 1") == "abc"
     with pytest.raises(PhoenixTranslationError, match="Turkish"):
         engine.sql("SELECT UPPER('istanbul', 'tr') AS v FROM region")
+
+
+# --- property test: nested integral arithmetic vs the reference semantics ----
+# LongDivideExpression.java:35-55 runs Java's truncating long division at any
+# nesting depth; round 6's typed rewriter (sqlfront._TypedRewriter) must
+# reproduce it compositionally — not only when both `/` operands are directly
+# a column or literal.  Generates random parenthesized trees over catalog
+# integral columns and literals and compares Engine.sql against a Java-
+# semantics evaluator (trunc-toward-zero division, sign-of-dividend %).
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+_COLVALS = {"six": 6, "four": 4, "three": 3}
+
+
+def _gen_node(draw, depth):
+    if depth <= 0 or draw(st.booleans()):
+        if draw(st.booleans()):
+            return ("col", draw(st.sampled_from(sorted(_COLVALS))))
+        return ("lit", draw(st.integers(min_value=1, max_value=9)))
+    op = draw(st.sampled_from("+-*/%"))
+    return (op, _gen_node(draw, depth - 1), _gen_node(draw, depth - 1))
+
+
+def _render(n):
+    if n[0] == "lit":
+        return str(n[1])
+    if n[0] == "col":
+        return n[1]
+    return f"({_render(n[1])} {n[0]} {_render(n[2])})"
+
+
+def _jeval(n):
+    if n[0] == "lit":
+        return n[1]
+    if n[0] == "col":
+        return _COLVALS[n[1]]
+    a, b = _jeval(n[1]), _jeval(n[2])
+    op = n[0]
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    assume(b != 0)
+    if op == "/":
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    r = abs(a) % abs(b)
+    return r if a >= 0 else -r
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_nested_integral_arithmetic_property(engine, data):
+    if not getattr(engine, "_arith_prop_ready", False):
+        engine.sql(
+            "CREATE TABLE arith_prop (six INTEGER NOT NULL, four INTEGER, "
+            "three INTEGER, CONSTRAINT pk PRIMARY KEY (six))"
+        )
+        engine.sql("UPSERT INTO arith_prop VALUES (6, 4, 3)")
+        engine._arith_prop_ready = True
+    node = _gen_node(data.draw, depth=3)
+    want = _jeval(node)
+    got = one(engine, f"SELECT {_render(node)} AS v FROM arith_prop")
+    assert got == want, (_render(node), got, want)
+    # the dialect's integral arithmetic never silently becomes a double
+    assert not isinstance(got, float), _render(node)
