@@ -1998,6 +1998,40 @@ class Engine:
                     return bson_update_expression(
                         m.group(1), m.group(2).replace("''", "'")
                     )
+                # Conditional atomic update (Bson4IT.java:652-662):
+                #   CASE WHEN <cond> THEN <expr> ELSE <expr> END
+                # where a branch may itself be a BSON_UPDATE_EXPRESSION —
+                # a Column, which plain SQL text cannot embed, so the CASE
+                # composes as F.when over the recursively-bound branches.
+                # Keyword scan runs on literal-MASKED text (a condition
+                # document could contain ' THEN ' inside a string).
+                masked, unmask = self._mask_literals(e)
+                cm = re.fullmatch(
+                    r"\s*CASE\s+WHEN\s+(.+?)\s+THEN\s+(.+?)"
+                    r"\s+ELSE\s+(.+?)\s+END\s*",
+                    masked,
+                    flags=re.IGNORECASE | re.DOTALL,
+                )
+                # single non-nested CASE only: a nested CASE would defeat
+                # the lazy THEN/ELSE split — fall back to the translator,
+                # which fails loudly on an embedded BSON_UPDATE_EXPRESSION
+                # instead of silently mis-splitting
+                if cm and len(re.findall(r"\bCASE\b", masked, re.I)) == 1:
+                    cond, then, els = (unmask(g) for g in cm.groups())
+                    then_c, els_c = _dup_expr(then), _dup_expr(els)
+                    if isinstance(then_c, F.Column) or isinstance(
+                        els_c, F.Column
+                    ):
+                        def _col(x):
+                            return (
+                                x
+                                if isinstance(x, F.Column)
+                                else F.expr(x)
+                            )
+
+                        return F.when(
+                            F.expr(translate_phoenix_sql(cond)), _col(then_c)
+                        ).otherwise(_col(els_c))
                 return translate_phoenix_sql(e)
 
             up = D.Upsert(
@@ -2252,7 +2286,19 @@ class Engine:
         self._register(up.table)
         self._sync_indexes(up.table, written.select(*mt.pk), prev_ts)
         if up.returning:
-            # RETURNING * (grammar :901): the written slice as full rows
+            # RETURNING * (grammar :901): the written slice as full rows.
+            # With ON DUPLICATE KEY the reference returns the POST-operation
+            # row state (IndexRegionObserver context.returnResult: the
+            # existing row for IGNORE, the updated row for UPDATE[_ONLY],
+            # and nothing for UPDATE_ONLY on an absent PK) — read back the
+            # stored rows for the incoming PKs rather than echoing the
+            # incoming values.
+            if up.on_duplicate is not None:
+                return (
+                    mt.read()
+                    .join(df.select(*mt.pk), on=list(mt.pk), how="left_semi")
+                    .select(*mt.schema.fieldNames())
+                )
             return written.select(*mt.schema.fieldNames())
         return n
 

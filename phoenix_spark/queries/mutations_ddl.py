@@ -745,8 +745,14 @@ def _ttl_retention_view(spark, sf):
     compact_with_ttl(
         e.managed("t_ttl"), "ts", "10 DAYS", "TIMESTAMP '2024-02-01 00:00:00'"
     )
+    # Phoenix TIMESTAMP maps to Spark LTZ (types.py); the returned column
+    # casts back to NTZ so collect-time values are naive like DuckDB's.
+    # The NTZ→LTZ→NTZ round-trip runs inside ONE session, so the session
+    # zone cancels exactly whatever it is.
     return e.table("t_ttl").select(
-        "event_id", "ts", F.col("value").cast("double").alias("value")
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("value").cast("double").alias("value"),
     )
 
 

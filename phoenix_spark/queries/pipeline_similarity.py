@@ -329,12 +329,26 @@ def _lsh_pairs(
     n_planes: int = _NPLANES,
     n_bands: int = _SIM_BANDS,
     candidates_only: bool = False,
+    persist_bands: bool = True,
 ):
     """``candidates_only``: return the pre-verify candidate pair set — the
     quantity whose growth rate IS the LSH scale contract (measured at 1x and
     10x, for both fixture and sign_lsh_params configs, by
-    scripts/scale_smoke.py)."""
+    scripts/scale_smoke.py).
+
+    ``persist_bands``: cache the banded keys (MEMORY_AND_DISK) before the
+    self-join so the quantized scan + 64 sign projections + their shuffle
+    run ONCE instead of once per join side.  Measured at sf0.1 (3 rounds,
+    round 6): recompute ~4.0 s, localCheckpoint ~3.3-3.9 s, persist ~2.9 s
+    — persist wins and is the scale-safe variant (lineage kept, so executor
+    loss recomputes instead of failing the job; blocks spill to disk and
+    the ContextCleaner unpersists when the plan is GC'd).  Lazy, so
+    schema/plan-only calls stay job-free."""
     bands = _sim_bands(spark, sf, n_planes, n_bands)
+    if persist_bands:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bands.alias("a"), bands.alias("b")
     # First-matching-band dedup (no earlier band key equal) replaces the
     # candidate distinct() — one full shuffle removed; both sides' band

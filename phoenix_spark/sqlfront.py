@@ -1076,6 +1076,8 @@ class _TypedRewriter:
             return i + 1, _T_NULL
         if up == "CAST":
             return self._cast(i)
+        if up == "CASE":
+            return self._case(i)
         if up in _EXPR_BOUNDARY_KW:
             return i, _T_UNK
         if i + 1 < len(self.toks) and self.toks[i + 1][0] == "(":
@@ -1112,6 +1114,79 @@ class _TypedRewriter:
             else:
                 return i, _T_UNK
         return i, t
+
+    def _case(self, i):
+        """CASE typing: the branch VALUES (THEN/ELSE) determine the result
+        type — `SUM(CASE WHEN ... THEN 1 ELSE 0 END) / COUNT(*)` is the
+        reference's canonical conditional-count shape (CaseExpression +
+        LongDivideExpression) and must truncate.  Conditions are skipped
+        with nesting-aware scanning that still harvests rewrites inside."""
+        n = len(self.toks)
+        j = i + 1
+        k, _t = self._concat(j)  # optional simple-CASE operand
+        if k > j:
+            j = k
+        types = []
+        saw_else = False
+        while True:
+            j = self._scan_region_until(j, {"WHEN", "ELSE", "END"})
+            if j >= n or self.toks[j][0] == ")":
+                return i, _T_UNK  # unterminated — region already scanned
+            kw = self.toks[j][0].upper()
+            if kw == "END":
+                if not saw_else:
+                    types.append(_T_NULL)  # implicit ELSE NULL
+                return self._postfix(j + 1, self._merge_branches(types))
+            if kw == "WHEN":
+                j = self._scan_region_until(j + 1, {"THEN"})
+                if j >= n or self.toks[j][0] == ")":
+                    return i, _T_UNK
+                j += 1  # past THEN
+            else:  # ELSE
+                saw_else = True
+                j += 1
+            k, t = self._concat(j)
+            types.append(t if k > j else _T_UNK)
+            start = max(k, j)
+            j = self._scan_region_until(start, {"WHEN", "ELSE", "END"})
+            if j > start:
+                types[-1] = _T_UNK  # leftover untyped tokens in the branch
+
+    def _scan_region_until(self, i, stops):
+        """Advance to the next token in ``stops`` at the current nesting
+        level (parens and nested CASE...END), typed-parsing along the way so
+        rewrites inside the skipped region still land."""
+        n = len(self.toks)
+        depth_p = depth_c = 0
+        while i < n:
+            up = self.toks[i][0].upper()
+            if depth_p == 0 and depth_c == 0 and (up in stops or up == ")"):
+                return i
+            j, _t = self._concat(i)
+            if j > i:
+                i = j
+                continue
+            if up == "(":
+                depth_p += 1
+            elif up == ")":
+                depth_p -= 1
+            elif up == "CASE":
+                depth_c += 1
+            elif up == "END":
+                depth_c -= 1
+            i += 1
+        return i
+
+    @staticmethod
+    def _merge_branches(types):
+        ts = [t for t in types if t != _T_NULL]
+        if not ts:
+            return _T_NULL
+        if all(t == ts[0] for t in ts) and ts[0] != _T_UNK:
+            return ts[0]
+        if all(t in (_T_INT, _T_NUM) for t in ts):
+            return _T_NUM
+        return _T_UNK
 
     def _cast(self, i):
         if i + 1 >= len(self.toks) or self.toks[i + 1][0] != "(":

@@ -265,6 +265,18 @@ def test_upsert_delete_returning(engine):
     out = engine.sql("DELETE FROM rt WHERE k = 1 RETURNING *")
     assert [(r.k, r.v) for r in out.collect()] == [(1, "a")]
     assert {r.k for r in engine.table("rt").collect()} == {2}
+    # RETURNING with ON DUPLICATE KEY returns the POST-operation row state
+    # (IndexRegionObserver returnResult), not an echo of the incoming values
+    out = engine.sql("UPSERT INTO rt VALUES (2, 'zz') ON DUPLICATE KEY IGNORE RETURNING *")
+    assert [(r.k, r.v) for r in out.collect()] == [(2, "b")]  # existing row
+    out = engine.sql(
+        "UPSERT INTO rt VALUES (2, 'x') ON DUPLICATE KEY UPDATE v = v || '!' RETURNING *"
+    )
+    assert [(r.k, r.v) for r in out.collect()] == [(2, "b!")]  # updated row
+    out = engine.sql(
+        "UPSERT INTO rt VALUES (9, 'n') ON DUPLICATE KEY UPDATE_ONLY v = v RETURNING *"
+    )
+    assert out.collect() == []  # absent PK: nothing written, nothing returned
 
 
 def test_multi_tenant_connections(engine):

@@ -304,6 +304,19 @@ def test_integer_division_truncates(engine):
     assert v != int(v) or isinstance(v, float)
     # a decimal literal keeps fractional division
     assert one(engine, "SELECT 7 / 2.0 AS v FROM region LIMIT 1") == 3.5
+    # r6 typed rewriter: nested arithmetic and aggregates truncate too
+    assert one(engine, "SELECT (o_orderkey + 1) / 4 AS v FROM orders WHERE o_orderkey = 6") == 1
+    assert one(engine, "SELECT SUM(r_regionkey) / COUNT(*) AS v FROM region") == 2
+    # CaseExpression typing: the conditional-count shape truncates
+    assert (
+        one(engine, "SELECT SUM(CASE WHEN r_regionkey > 1 THEN 1 ELSE 0 END) / COUNT(*) AS v FROM region")
+        == 0
+    )
+    # a CASE with a non-integral branch keeps fractional division
+    assert (
+        one(engine, "SELECT CASE WHEN r_regionkey > 1 THEN 1.5 ELSE 0 END / 2 AS v FROM region WHERE r_regionkey = 0")
+        == 0.0
+    )
 
 
 def test_string_concat_null_as_empty(engine):
@@ -581,3 +594,50 @@ def test_nested_integral_arithmetic_property(engine, data):
     assert got == want, (_render(node), got, want)
     # the dialect's integral arithmetic never silently becomes a double
     assert not isinstance(got, float), _render(node)
+
+
+def test_bson4_it_update_only_conditional(engine):
+    """Bson4IT.java:652-662 statement shape, replayed: conditional atomic
+    update through `ON DUPLICATE KEY UPDATE_ONLY col = CASE WHEN
+    BSON_CONDITION_EXPRESSION(...) THEN BSON_UPDATE_EXPRESSION(...) ELSE col
+    END, c1 = ... RETURNING *` — condition-true updates the document and
+    returns the post-state, condition-false leaves it untouched, and an
+    absent PK writes (and returns) nothing.  Documents are flat (bson.py's
+    update scope is top-level fields; deep paths raise loudly)."""
+    import json as _json
+
+    engine.sql(
+        "CREATE TABLE b4 (pk VARCHAR NOT NULL, c1 VARCHAR, col BSON, "
+        "CONSTRAINT p PRIMARY KEY (pk))"
+    )
+    doc = {"title": "Book 101", "rating": 4, "samples": ["s1", "s2"]}
+    engine.sql(
+        f"UPSERT INTO b4 VALUES ('pk0001', '0002', "
+        f"'{_json.dumps(doc).replace(chr(39), chr(39) * 2)}')"
+    )
+
+    def upd(pk, c1, cond_expr, update):
+        cond = _json.dumps({"$EXPR": cond_expr, "$VAL": {}}).replace("'", "''")
+        up = _json.dumps(update).replace("'", "''")
+        return engine.sql(
+            f"UPSERT INTO b4 VALUES ('{pk}', '{c1}', NULL) "
+            f"ON DUPLICATE KEY UPDATE_ONLY "
+            f"col = CASE WHEN BSON_CONDITION_EXPRESSION(col, '{cond}') "
+            f"THEN BSON_UPDATE_EXPRESSION(col, '{up}') ELSE col END, "
+            f"c1 = '{c1}' RETURNING *"
+        ).collect()
+
+    # condition true: rating bumps, samples set-unions, RETURNING shows post
+    rows = upd("pk0001", "0003", "field_exists(title)",
+               {"$ADD": {"rating": 2, "samples": ["s3"]}})
+    assert len(rows) == 1 and rows[0].c1 == "0003"
+    got = _json.loads(rows[0].col)
+    assert got["rating"] == 6 and sorted(got["samples"]) == ["s1", "s2", "s3"]
+    # condition false: document untouched (c1 still updates — Bson4IT's
+    # unconditional second assignment applies either way)
+    rows = upd("pk0001", "0004", "field_exists(no_such_field)",
+               {"$SET": {"rating": 99}})
+    assert _json.loads(rows[0].col)["rating"] == 6 and rows[0].c1 == "0004"
+    # absent PK under UPDATE_ONLY: nothing written, nothing returned
+    assert upd("pk9999", "0005", "field_exists(title)", {"$SET": {"x": 1}}) == []
+    assert {r.pk for r in engine.table("b4").collect()} == {"pk0001"}

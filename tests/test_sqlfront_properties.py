@@ -230,3 +230,35 @@ def test_json_modify_roundtrip(spark, doc, key, new_val):
     )
     out = spark.sql(sql).collect()[0].v
     assert json.loads(out) == {**doc, key: new_val}
+
+
+# --- typed || chain rewrite decision (r6) ------------------------------------
+# The concat_ws('', ...) rewrite must fire iff EVERY operand is string-typed
+# (literal, catalog VARCHAR column, string function, string CAST, or NULL —
+# with at least one non-NULL), matching StringConcatExpression.java:69-77's
+# NULL-skip being safe only for string children.
+
+_CHAIN_OPERANDS = st.sampled_from(
+    [
+        ("'lit'", "str"),
+        ("name", "str"),            # catalog VARCHAR
+        ("TRIM(name)", "str"),      # string function
+        ("CAST(x AS VARCHAR)", "str"),
+        ("NULL", "null"),
+        ("arrcol", "other"),        # not in the catalog
+        ("CURRENT_DATE()", "other"),  # unknown function
+        ("x", "other"),             # integral column
+    ]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_CHAIN_OPERANDS, min_size=2, max_size=5))
+def test_concat_chain_rewrite_iff_all_string(ops):
+    sql = "SELECT " + " || ".join(o for o, _ in ops) + " AS v FROM t"
+    out = translate_phoenix_sql(
+        sql, str_columns={"name"}, int_columns={"x"}
+    )
+    kinds = [k for _, k in ops]
+    should = all(k in ("str", "null") for k in kinds) and "str" in kinds
+    assert ("concat_ws" in out) == should, out
