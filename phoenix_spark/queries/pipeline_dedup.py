@@ -237,10 +237,18 @@ _A = [(2654435761 * (2 * i + 1)) % _P or 1 for i in range(_K)]
 _B = [(0x9E3779B97F4A7C15 * (i + 1)) % _P for i in range(_K)]
 
 
-def _minhash_lsh(spark, sf, candidates_only: bool = False):
+def _minhash_lsh(
+    spark, sf, candidates_only: bool = False, persist_bands: bool = True
+):
     """``candidates_only``: return the pre-verify candidate pair set — the
     quantity whose growth rate IS the LSH scale contract (measured at 1x and
-    10x by scripts/scale_smoke.py)."""
+    10x by scripts/scale_smoke.py).
+
+    ``persist_bands``: cache the banded signatures (MEMORY_AND_DISK) before
+    the self-join so the shingle md5 + 32 affine-permutation mins run ONCE
+    instead of once per join side (the same measured win as
+    similarity_lsh_pairs' band cache; lineage kept for executor-loss
+    recovery, lazy so plan-only calls stay job-free)."""
     docs = _shingled(spark, sf).select("doc_id", "sh")
     # Per-row signature: min over the shingle array per permutation — a pure
     # map (array_min ∘ transform), NO explode/groupBy shuffle.  At 100 TB the
@@ -294,6 +302,10 @@ def _minhash_lsh(spark, sf, candidates_only: bool = False):
             )
         ).alias("bb"),
     ).select("doc_id", *[f"k{j}" for j in range(_BANDS)], "bb.band", "bb.bkey")
+    if persist_bands:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     # Candidate pairs: equi-join on (band, bkey) — never a cartesian product.
     # First-matching-band dedup (no earlier band key equal) replaces the
     # candidate distinct(): one full shuffle removed, every pair emitted
@@ -632,15 +644,18 @@ def _simhash_fp(spark, sf, n_bits: int = 64, n_chunks: int = 4) -> DataFrame:
 
 
 def _simhash(
-    spark, sf, n_bits: int = 64, n_chunks: int = 4, candidates_only: bool = False
+    spark,
+    sf,
+    n_bits: int = 64,
+    n_chunks: int = 4,
+    candidates_only: bool = False,
+    persist_bands: bool = True,
 ):
     fp = _simhash_fp(spark, sf, n_bits, n_chunks)
     # Carry the n_chunks chunk columns THROUGH the band explode: the candidate
     # self-join then yields both sides' full fingerprints directly — no
     # join-back to fp, which would re-run the expensive fingerprint map two
-    # more times (diamond DAG).  Both join inputs are byte-identical plans
-    # shuffled on the same keys, so Spark reuses one exchange
-    # (ReusedExchange) and the fingerprint map runs ONCE.
+    # more times (diamond DAG).
     bands = fp.select(
         "doc_id",
         *[f"c{c}" for c in range(n_chunks)],
@@ -653,6 +668,14 @@ def _simhash(
             )
         ).alias("bb"),
     ).select("doc_id", *[f"c{c}" for c in range(n_chunks)], "bb.band", "bb.val")
+    if persist_bands:
+        # Exchange reuse dedupes the self-join's shuffle WRITE, but the
+        # post-shuffle fingerprint aggregation still ran per side — caching
+        # the banded fingerprints (MEMORY_AND_DISK, lineage kept) measured
+        # 2.5 s → 2.0 s cold / 0.8 s warm at sf0.1 (round 6).
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
         F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
