@@ -1985,6 +1985,20 @@ class Engine:
             # update, PhoenixIndexBuilder ON DUPLICATE KEY) binds straight
             # to the bson.py compiler — its output is a Column, which
             # upsert_df accepts alongside SQL strings.
+            def _tr(s: str) -> str:
+                # dup-update expressions evaluate over the EXISTING row, so
+                # the catalog-typed dialect rewrites (|| NULL-skip, int
+                # division, date±int) apply exactly as in a SELECT over the
+                # same table (OnDuplicateKeyIT: counter1 = counter1 || ...,
+                # counter1 = counter1 + 1); the full statement text carries
+                # the table name the _for helpers scope on
+                return translate_phoenix_sql(
+                    s,
+                    ts_columns=self._ts_columns_for(text),
+                    int_columns=self._int_columns_for(text),
+                    str_columns=self._str_columns_for(text),
+                )
+
             def _dup_expr(e: str):
                 m = re.fullmatch(
                     r"\s*BSON_UPDATE_EXPRESSION\s*\(\s*([\w.]+)\s*,\s*"
@@ -2030,9 +2044,9 @@ class Engine:
                             )
 
                         return F.when(
-                            F.expr(translate_phoenix_sql(cond)), _col(then_c)
+                            F.expr(_tr(cond)), _col(then_c)
                         ).otherwise(_col(els_c))
-                return translate_phoenix_sql(e)
+                return _tr(e)
 
             up = D.Upsert(
                 up.table,
@@ -2164,6 +2178,17 @@ class Engine:
         cols = up.columns or [
             c for c in mt.schema.fieldNames() if c != tcol and c != hidden
         ]
+        if not up.columns and up.values is not None and up.values:
+            # A short VALUES list with no column list maps positionally onto
+            # the LEADING schema columns (UpsertCompiler: trailing columns
+            # are simply not set — OnDuplicateKeyIT writes VALUES('a',0)
+            # into 3-column tables throughout); the partial-column
+            # read-modify-write below then preserves/NULL-fills the rest.
+            n = len(up.values[0])
+            if any(len(r) != n for r in up.values):
+                raise ValueError("UPSERT VALUES rows differ in arity")
+            if n < len(cols):
+                cols = cols[:n]
         if dyn:
             json_col = "props"  # the dynamic-column overflow convention
             if json_col not in base_fields:
