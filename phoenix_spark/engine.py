@@ -2258,6 +2258,32 @@ class Engine:
                     for c in cols
                 ]
             )
+            # literal coercion to the column type: a `3.9` literal into a
+            # DECIMAL column binds as an exact Decimal('3.9') (the reference
+            # parses decimal literals as BigDecimal, never through a double),
+            # and an integer literal into a DOUBLE/FLOAT column widens
+            from decimal import Decimal
+
+            def _coerce(v, dt):
+                if v is None:
+                    return None
+                if isinstance(dt, T.DecimalType) and isinstance(
+                    v, (int, float)
+                ):
+                    return Decimal(str(v))
+                if isinstance(dt, (T.DoubleType, T.FloatType)) and isinstance(
+                    v, int
+                ):
+                    return float(v)
+                return v
+
+            rows = [
+                tuple(
+                    _coerce(v, f.dataType)
+                    for v, f in zip(r, src_schema.fields)
+                )
+                for r in rows
+            ]
             src = self.spark.createDataFrame(rows, schema=src_schema)
         listed = set(cols) - set(dyn)
         unlisted = [c for c in mt.schema.fieldNames() if c not in listed]
@@ -2378,17 +2404,31 @@ class Engine:
             return s.upper() == "TRUE"
         if s.startswith("'") and s.endswith("'"):
             return s[1:-1].replace("''", "'")
-        m = re.match(r"(?:DATE|TIME|TIMESTAMP)\s*('(.*)')", s, re.I)
+        # fullmatch, not match: `TIMESTAMP '...' + 1` must NOT silently drop
+        # its arithmetic tail — the optional `± n` applies Phoenix date
+        # arithmetic (DateAddExpression: integers are DAYS); anything else
+        # trailing falls through to the loud Spark-eval path below
+        m = re.fullmatch(
+            r"(?:DATE|TIME|TIMESTAMP)\s*'(.*)'(?:\s*([+-])\s*(\d+))?",
+            s,
+            re.I,
+        )
         if m:
             import datetime as dt
 
-            txt = m.group(2)
+            txt = m.group(1)
             for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
                 try:
-                    return dt.datetime.strptime(txt, fmt)
+                    val = dt.datetime.strptime(txt, fmt)
+                    break
                 except ValueError:
                     continue
-            raise ValueError(f"bad datetime literal {txt!r}")
+            else:
+                raise ValueError(f"bad datetime literal {txt!r}")
+            if m.group(2):
+                days = int(m.group(3)) * (1 if m.group(2) == "+" else -1)
+                val += dt.timedelta(days=days)
+            return val
         try:
             return int(s)
         except ValueError:
