@@ -43,6 +43,10 @@ class CreateTable:
     # (DefaultValueExpression wraps the column ref), so an explicit NULL
     # write reads as the default again — mirrored by coalesce-at-read.
     defaults: dict = None  # col -> raw default expression text
+    # Columns declared NOT NULL (or inline PRIMARY KEY, which implies it).
+    # PK columns WITHOUT it are nullable in the dialect: they may hold NULL
+    # and be omitted from UPSERTs (the row key pads with NULL — IsNullIT).
+    not_null: list = None
 
 
 @dataclass
@@ -179,6 +183,7 @@ def parse_create_table(sql: str) -> CreateTable:
 
     fields: list[T.StructField] = []
     pk: list[str] = []
+    not_null: list[str] = []
     defaults: dict[str, str] = {}
     sort_orders: dict[str, str] = {}
     row_timestamp: str | None = None
@@ -218,6 +223,8 @@ def parse_create_table(sql: str) -> CreateTable:
             families[col] = fam
         rest = toks[1] if len(toks) > 1 else ""
         up = rest.upper()
+        if re.search(r"\bNOT\s+NULL\b", up) or "PRIMARY KEY" in up:
+            not_null.append(col)
         inline_pk = "PRIMARY KEY" in up
         if inline_pk:
             rest = re.sub(r"PRIMARY\s+KEY(\s+(ASC|DESC))?", "", rest, flags=re.I)
@@ -252,6 +259,7 @@ def parse_create_table(sql: str) -> CreateTable:
         if_not_exists=bool(m.group("ine")),
         families=families,
         defaults=defaults,
+        not_null=not_null,
     )
 
 

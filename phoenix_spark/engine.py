@@ -1026,6 +1026,7 @@ class Engine:
                 c: translate_phoenix_sql(e)
                 for c, e in (ct.defaults or {}).items()
             },
+            not_null=ct.not_null,
         )
         self._register(name)
         return 0
@@ -2219,10 +2220,35 @@ class Engine:
             cols = up.columns
         missing_pk = [c for c in mt.pk if c not in cols]
         if missing_pk:
-            raise ValueError(
-                f"UPSERT into {up.table} must supply the full primary key; "
-                f"missing {missing_pk}"
-            )
+            # NOT NULL membership from DDL metadata; tables created before
+            # the field existed treat every PK column as required
+            nn = mt.meta.get("not_null")
+            required = [
+                c for c in missing_pk if c in (mt.pk if nn is None else nn)
+            ]
+            if required:
+                raise ValueError(
+                    f"UPSERT into {up.table} must supply the full primary "
+                    f"key; missing NOT NULL column(s) {required}"
+                )
+            # NULLABLE pk columns may be omitted — the row key pads with
+            # NULL (UpsertCompiler; IsNullIT writes VALUES('a') into a
+            # (k1, k2, k3) key).  They are part of the KEY, not cells to
+            # read-modify-write, so they append as NULL literals here.
+            cols = [*cols, *missing_pk]
+            if up.values is not None:
+                up = D.Upsert(
+                    up.table, up.columns,
+                    [[*r, *(["NULL"] * len(missing_pk))] for r in up.values],
+                    None, up.on_duplicate, up.returning,
+                )
+            else:
+                nulls = ", ".join(["NULL"] * len(missing_pk))
+                up = D.Upsert(
+                    up.table, up.columns, None,
+                    f"SELECT __p.*, {nulls} FROM ({up.select}) __p",
+                    up.on_duplicate, up.returning,
+                )
         from pyspark.sql import Observation
         from pyspark.sql import types as T
 

@@ -70,6 +70,7 @@ class ManagedTable:
         props: dict | None = None,
         if_not_exists: bool = False,
         defaults: dict | None = None,
+        not_null: list | None = None,
     ) -> "ManagedTable":
         tbl = cls(spark, warehouse, name)
         if os.path.exists(tbl.meta_path):
@@ -91,6 +92,9 @@ class ManagedTable:
             # read path coalesces absent cells to these
             # (DefaultValueExpression analogue)
             "defaults": defaults or {},
+            # NOT NULL columns (None for pre-existing metadata → callers
+            # fall back to treating every PK column as required)
+            "not_null": not_null,
         }
         with open(tbl.meta_path, "w") as f:
             json.dump(meta, f, indent=1)
