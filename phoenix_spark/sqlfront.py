@@ -1284,6 +1284,121 @@ def _rewrite_typed_expressions(
     return _TypedRewriter(masked, int_columns, str_columns, stash).run()
 
 
+# Row-value-constructor comparisons with UNEQUAL arity
+# (RowValueConstructorIT:128-230; RowValueConstructorExpression): the dialect
+# compares the common prefix lexicographically and, on a prefix TIE, the
+# LONGER side wins (like string prefix ordering: (7,5) > (7)).  Spark's
+# native struct comparison requires equal arity, so the longer side truncates
+# to the prefix and the operator absorbs the tie-break:
+#   L longer:  L >  R  ≡  Lp >= R      L >= R  ≡  Lp >= R
+#              L <  R  ≡  Lp <  R      L <= R  ≡  Lp <  R
+#   R longer:  mirrored (tie means R is greater).
+# Equality with unequal arity stays untouched (never true in the dialect;
+# Spark rejects it loudly rather than silently mis-matching).  Equal-arity
+# RVCs pass through to Spark's native struct compare.
+_RVC_SIMPLE_TOKEN = re.compile(r"(?:\x00\d+\x00|[A-Za-z_][\w.]*|\d+(?:\.\d+)?)$")
+
+
+def _rewrite_rvc_arity(masked: str) -> str:
+    def _list_items(text):
+        """Top-level comma split of a paren body (masked text: no quotes)."""
+        items, depth, cur = [], 0, []
+        for ch in text:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        items.append("".join(cur).strip())
+        return items
+
+    def _left_operand(s, i):
+        """Operand ending at position i (exclusive): (list) or simple token."""
+        j = i
+        while j > 0 and s[j - 1].isspace():
+            j -= 1
+        if j > 0 and s[j - 1] == ")":
+            depth, k = 0, j - 1
+            while k >= 0:
+                if s[k] == ")":
+                    depth += 1
+                elif s[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                return None
+            body = s[k + 1 : j - 1]
+            if re.match(r"\s*SELECT\b", body, re.I):
+                return None
+            return (k, j, _list_items(body))
+        m = _RVC_SIMPLE_TOKEN.search(s[:j])
+        if m and m.group(0):
+            return (m.start(), j, [m.group(0)])
+        return None
+
+    def _right_operand(s, i):
+        j = i
+        while j < len(s) and s[j].isspace():
+            j += 1
+        if j < len(s) and s[j] == "(":
+            depth, k = 0, j
+            while k < len(s):
+                if s[k] == "(":
+                    depth += 1
+                elif s[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= len(s):
+                return None
+            body = s[j + 1 : k]
+            if re.match(r"\s*SELECT\b", body, re.I):
+                return None
+            return (j, k + 1, _list_items(body))
+        m = re.match(r"(?:\x00\d+\x00|[A-Za-z_][\w.]*|\d+(?:\.\d+)?)", s[j:])
+        if m:
+            return (j, j + m.end(), [m.group(0)])
+        return None
+
+    ops = {">": (">=", ">"), ">=": (">=", ">"), "<": ("<", "<="), "<=": ("<", "<=")}
+    # op -> (operator when LEFT is longer, operator when RIGHT is longer)
+    pos = 0
+    while True:
+        m = re.search(r"<=|>=|<(?![=>])|>(?!=)", masked[pos:])
+        if not m:
+            return masked
+        op = m.group(0)
+        at = pos + m.start()
+        end = pos + m.end()
+        left = _left_operand(masked, at)
+        right = _right_operand(masked, end)
+        if not left or not right or len(left[2]) == len(right[2]):
+            pos = end
+            continue
+        n = min(len(left[2]), len(right[2]))
+        lx = left[2][:n]
+        rx = right[2][:n]
+        new_op = ops[op][0] if len(left[2]) > n else ops[op][1]
+
+        def _side(items):
+            return items[0] if n == 1 else "(" + ", ".join(items) + ")"
+
+        masked = (
+            masked[: left[0]]
+            + f"{_side(lx)} {new_op} {_side(rx)}"
+            + masked[right[1] :]
+        )
+        pos = left[0] + 1
+    return masked
+
+
 def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
     """Phoenix date arithmetic (DateAddExpression / DateSubtractExpression)
     for columns known (from the catalog) to be date/timestamp typed:
@@ -1435,6 +1550,7 @@ def translate_phoenix_sql(
         masked,
         flags=re.IGNORECASE,
     )
+    masked = _rewrite_rvc_arity(masked)
     if ts_columns:
         masked = _rewrite_date_arith(masked, ts_columns)
     if int_columns or str_columns:
