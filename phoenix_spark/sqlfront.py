@@ -1284,6 +1284,73 @@ def _rewrite_typed_expressions(
     return _TypedRewriter(masked, int_columns, str_columns, stash).run()
 
 
+# SELECT DISTINCT ... ORDER BY <select-list expression>: the dialect
+# resolves ORDER BY expressions against the projected select list
+# (OrderByCompiler via RowProjector), so `SELECT DISTINCT a, count(1) ...
+# GROUP BY a, b ORDER BY count(1)` orders by the projected count — Spark
+# rejects an aggregate above a Distinct.  Matching ORDER BY items rewrite to
+# their 1-based ORDINAL (valid above DISTINCT in Spark).  Applied only to
+# single-SELECT statements (no subqueries) — the conservative scope the
+# reference ITs exercise (GroupByIT:95-169).
+def _rewrite_distinct_orderby(masked: str) -> str:
+    if len(re.findall(r"\bSELECT\b", masked, re.I)) != 1:
+        return masked
+    m = re.match(
+        r"(\s*SELECT\s+DISTINCT\s+)(.*?)(\s+FROM\s+.*?)(\bORDER\s+BY\s+)(.*?)"
+        r"(\s+LIMIT\s+.*|\s+OFFSET\s+.*|\s*;?\s*)$",
+        masked,
+        re.I | re.S,
+    )
+    if not m:
+        return masked
+    head, sel, mid, okw, order, tail = m.groups()
+
+    def _norm(s):
+        return re.sub(r"\s+", " ", s).strip().lower()
+
+    items = []
+    for it in _split_top_level(sel):
+        alias = None
+        am = re.match(r"(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", it, re.I | re.S)
+        if am:
+            it, alias = am.group(1), am.group(2)
+        items.append((_norm(it), _norm(alias) if alias else None))
+    out = []
+    changed = False
+    for ob in _split_top_level(order):
+        dm = re.match(r"(.*?)(\s+(?:ASC|DESC))?(\s+NULLS\s+\w+)?\s*$", ob, re.I | re.S)
+        expr, sfx = dm.group(1), (dm.group(2) or "") + (dm.group(3) or "")
+        key = _norm(expr)
+        pos = next(
+            (i + 1 for i, (e, a) in enumerate(items) if key in (e, a)), None
+        )
+        if pos is not None and not key.isdigit():
+            out.append(f"{pos}{sfx}")
+            changed = True
+        else:
+            out.append(ob)
+    if not changed:
+        return masked
+    return f"{head}{sel}{mid}{okw}{', '.join(out)}{tail}"
+
+
+def _split_top_level(text: str) -> list[str]:
+    items, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        items.append("".join(cur).strip())
+    return items
+
+
 # Row-value-constructor comparisons with UNEQUAL arity
 # (RowValueConstructorIT:128-230; RowValueConstructorExpression): the dialect
 # compares the common prefix lexicographically and, on a prefix TIE, the
@@ -1317,7 +1384,10 @@ def _rewrite_rvc_arity(masked: str) -> str:
         return items
 
     def _left_operand(s, i):
-        """Operand ending at position i (exclusive): (list) or simple token."""
+        """Operand ending at position i (exclusive): (list) or simple token.
+        A close-paren preceded (at its matching open) by an identifier is a
+        FUNCTION CALL — one scalar operand spanning name+args, never an RVC
+        (pmod(x, 100) < r must not read as a 2-item constructor)."""
         j = i
         while j > 0 and s[j - 1].isspace():
             j -= 1
@@ -1333,6 +1403,12 @@ def _rewrite_rvc_arity(masked: str) -> str:
                 k -= 1
             if k < 0:
                 return None
+            # function call?  walk back over a (qualified) name
+            p = k
+            while p > 0 and (s[p - 1].isalnum() or s[p - 1] in "_.\x00"):
+                p -= 1
+            if p < k:
+                return (p, j, [s[p:j]])
             body = s[k + 1 : j - 1]
             if re.match(r"\s*SELECT\b", body, re.I):
                 return None
@@ -1364,7 +1440,26 @@ def _rewrite_rvc_arity(masked: str) -> str:
             return (j, k + 1, _list_items(body))
         m = re.match(r"(?:\x00\d+\x00|[A-Za-z_][\w.]*|\d+(?:\.\d+)?)", s[j:])
         if m:
-            return (j, j + m.end(), [m.group(0)])
+            end = j + m.end()
+            # identifier followed by '(' = function call: consume its args
+            # as part of this single scalar operand
+            k = end
+            while k < len(s) and s[k].isspace():
+                k += 1
+            if k < len(s) and s[k] == "(" and re.match(r"[A-Za-z_]", m.group(0)):
+                depth = 0
+                while k < len(s):
+                    if s[k] == "(":
+                        depth += 1
+                    elif s[k] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                if k >= len(s):
+                    return None
+                end = k + 1
+            return (j, end, [s[j:end]])
         return None
 
     ops = {">": (">=", ">"), ">=": (">=", ">"), "<": ("<", "<="), "<=": ("<", "<=")}
@@ -1551,6 +1646,7 @@ def translate_phoenix_sql(
         flags=re.IGNORECASE,
     )
     masked = _rewrite_rvc_arity(masked)
+    masked = _rewrite_distinct_orderby(masked)
     if ts_columns:
         masked = _rewrite_date_arith(masked, ts_columns)
     if int_columns or str_columns:
