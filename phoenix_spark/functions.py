@@ -43,7 +43,7 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "CEIL": ("num", "ceil; date_trunc+interval (dates)", "math_round_floor_ceil"),
     "FLOOR": ("num", "floor; date_trunc (dates)", "math_round_floor_ceil"),
     "TRUNC": ("num", "floor on positives; date_trunc (dates)", "math_round_floor_ceil / dt_trunc_round"),
-    "TO_NUMBER": ("num", "cast(x as double); format form rejected", "math_to_number"),
+    "TO_NUMBER": ("num", "cast(x as double); format form via sqlfront.to_number_expr (java.text DecimalFormat)", "math_to_number / math_to_number_fmt"),
     "RAND": ("num", "rand([seed])", "tests/test_functions.py"),
     # Math
     "SIGN": ("math", "signum", "math_round_floor_ceil"),

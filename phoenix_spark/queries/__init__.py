@@ -102,46 +102,54 @@ _PERMANENT = [
     # anchor via mutation_cdc_feed (batch) + the r04-green stream_* entries.
 ]
 
-# Round-6 rotation: after r05 the cross-round union is 153 of 176; exactly 23
-# registry entries have never had a driver row in ANY round.  All 23 are here,
-# so a green round closes the registry at 176/176 cumulative.  Plus: the four
-# NEW round-6 capabilities (TTL, UDF surface, UPDATE_ONLY, typed int-division
-# — each lands with an oracle this round), and two stale r03-green
-# re-verifications chosen for window family coverage (dt_, bin_ — neither
-# family appears in the 23-entry tail).
+# Round-7 rotation: after r06 the cross-round union is 179 of 180; the only
+# entry never driver-green is agg_approx_count_distinct (its r02 row was
+# ``no_oracle``; since reworked into an oracle-checkable error-bound
+# invariant) — it leads the window so a green round closes the registry at
+# 180/180 cumulative.  The remaining slots re-verify the entries whose
+# external evidence is OLDEST (r02-only, never re-run since), prioritizing
+# the join family per the round-6 verdict (broadcast variants, cross,
+# semi/anti all date to r02), then the r02-only filter corner semantics and
+# the ordered-agg family.  New round-7 capabilities rotate in as they land.
 _ROTATING = [
-    # the 23-entry never-driver-verified tail
-    "q20_part_promotion",
-    "sort_limit_cap",
-    "sort_offset",            # the one §2 row never externally verified
-    "subq_not_exists",
-    "subq_all_quantified",
-    "setop_intersect_all",
-    "setop_except_all",
-    "agg_percent_rank",
-    "agg_nth_first_last_values",
-    "agg_filter_clause",
-    "str_substr_instr_case",
-    "str_char_padding",
-    "math_to_number_fmt",
-    "arr_elem_len",
-    "json_modify_value",
-    "window_first_last_nth",
-    "window_dist_ntile",
-    "text_chunking",
-    "text_vocab_topk",
-    "text_tokenize_bpe",
-    "text_redact",
-    "similarity_label_affinity",
-    "sample_temperature",
-    # new round-6 capabilities (registry entries added this round)
-    "ttl_retention_view",          # §2.11 TTL / max-lookback
-    "udf_create_function",         # §2.12 UDF surface via Engine.sql
-    "mutation_upsert_update_only", # §2.9 ON DUPLICATE KEY UPDATE_ONLY
-    "sql_int_div_nested",          # typed dialect rewrite: nested int division
-    # stale re-verifications for window family coverage
-    "dt_trunc_round",        # §2.8 datetime (r03-green)
-    "bin_encode_decode",     # §2.8 binary (r03-green)
+    "agg_approx_count_distinct",   # 180/180 closer — never driver-green
+    # join family: oldest driver evidence in the registry (r02 only, per the
+    # round-6 verdict the family most in need of fresh external rows)
+    "join_broadcast_left",
+    "join_right_outer",
+    "join_sort_merge_full",
+    "join_cross",
+    "join_semi",
+    "join_anti",
+    # filter corner semantics (r02 only)
+    "filter_null_3vl",
+    "filter_rvc_compare",
+    "filter_like_escape",
+    # scans (r02 only)
+    "scan_point_lookup",
+    "scan_skip",
+    # aggregate family (r02 only)
+    "agg_having",
+    "agg_distinct",
+    "agg_first_last_value",
+    # one stale re-verification per remaining window family (oldest green
+    # in each family, so the family ships with a current-round row)
+    "sort_rvc_offset_page",   # sort_ (r03)
+    "setop_union_all",        # setop_ (r03)
+    "subq_exists_correlated", # subq_ (r03)
+    "str_regexp",             # str_ (r03)
+    "math_round_floor_ceil",  # math_ (r03)
+    "dt_parse",               # dt_ (r03)
+    "arr_unnest",             # arr_ (r03)
+    "json_value",             # json (r03)
+    "bin_bytes_bits",         # bin_ (r04)
+    "similarity_topk",        # similarity_ (r03)
+    "text_stats",             # text_ (r03)
+    # temporary fills — swapped for new round-7 capability entries as the
+    # join/datetime IT-replay work lands registry entries
+    "filter_in_like",
+    "filter_case_cast",
+    "scan_tablesample",
 ]
 
 _TIER1 = _PERMANENT + _ROTATING

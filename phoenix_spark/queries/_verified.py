@@ -16,8 +16,11 @@ green names here so the next rotation advances instead of repeating.
 from __future__ import annotations
 
 # Round 2: 50-entry window over the then-current ordering (scans, filters,
-# joins, aggregates, TPC-H) — all hash-matched except the deliberate
-# rows-only agg_approx_count_distinct.
+# joins, aggregates, TPC-H) — all hash-matched.  NOTE: the window also ran
+# agg_approx_count_distinct, but its r02 row was ``err: "no_oracle"``
+# (rows-only sketch at the time), so it is deliberately NOT listed here;
+# the entry has since been reworked into an oracle-checkable error-bound
+# invariant and must rotate back into a driver window to earn a green row.
 R02 = frozenset(
     {
         "scan_projection", "scan_point_lookup", "scan_skip", "scan_tablesample",
@@ -26,8 +29,7 @@ R02 = frozenset(
         "filter_case_cast", "filter_like_escape", "agg_ungrouped",
         "q1_pricing_summary", "agg_groupby_hash", "agg_groupby_pk_prefix",
         "agg_distinct", "agg_count_distinct", "agg_having", "agg_stddev",
-        "agg_percentile", "agg_first_last_value", "agg_approx_count_distinct",
-        "agg_rollup", "join_broadcast_inner", "join_broadcast_left",
+        "agg_percentile", "agg_first_last_value", "agg_rollup", "join_broadcast_inner", "join_broadcast_left",
         "join_right_outer", "join_sort_merge_full", "join_cross", "join_semi",
         "join_anti", "q3_shipping_priority", "q6_forecast_revenue",
         "q12_shipmode_priority", "q14_promo_revenue", "q10_returned_items",
@@ -114,8 +116,34 @@ R05 = frozenset(
     }
 )
 
+# Round 6: 50/50 hash-green (CORRECTNESS_r06.json) — the window rotated in
+# all 27 never-driver-verified entries (23 carried + the 4 added in round 6),
+# closing every §2 row's external verification.
+R06 = frozenset(
+    {
+        "scan_projection", "engine_sql_roundtrip", "filter_range_pred",
+        "join_broadcast_inner", "join_asof", "agg_ungrouped",
+        "window_session_native", "meta_row_timestamp",
+        "mutation_upsert_compaction", "mutation_snapshot_read",
+        "mutation_cdc_feed", "ddl_view_predicate", "ddl_sequence_rows",
+        "ddl_index_scan", "q1_pricing_summary", "q9_product_profit",
+        "dedup_minhash_lsh", "pipeline_curate_e2e", "bson_condition_sql",
+        "source_csv_bulk_load", "mm_binary_meta", "q20_part_promotion",
+        "sort_limit_cap", "sort_offset", "subq_not_exists",
+        "subq_all_quantified", "setop_intersect_all", "setop_except_all",
+        "agg_percent_rank", "agg_nth_first_last_values", "agg_filter_clause",
+        "str_substr_instr_case", "str_char_padding", "math_to_number_fmt",
+        "arr_elem_len", "json_modify_value", "window_first_last_nth",
+        "window_dist_ntile", "text_chunking", "text_vocab_topk",
+        "text_tokenize_bpe", "text_redact", "similarity_label_affinity",
+        "sample_temperature", "ttl_retention_view", "udf_create_function",
+        "mutation_upsert_update_only", "sql_int_div_nested", "dt_trunc_round",
+        "bin_encode_decode",
+    }
+)
+
 ROUNDS: dict[str, frozenset[str]] = {
-    "r02": R02, "r03": R03, "r04": R04, "r05": R05,
+    "r02": R02, "r03": R03, "r04": R04, "r05": R05, "r06": R06,
 }
 
 

@@ -67,3 +67,31 @@ def test_readme_registry_count_in_sync():
     m = re.search(r"(\d+) entries, ALL value-hash", readme)
     assert m, "README no longer states the registry entry count"
     assert int(m.group(1)) == n, f"README says {m.group(1)}, registry has {n}"
+
+
+def test_verified_manifest_matches_correctness_files():
+    """Manifest-accuracy pin (r7 advice): every name in _verified.ROUNDS[rN]
+    must appear as a fully-green row (rows+schema+hash, no err) in the
+    corresponding CORRECTNESS_r{N}.json, and every such green row must be in
+    the manifest — the rotation's notion of "already verified" must never
+    drift from the driver's actual record."""
+    import json
+    import os
+
+    from phoenix_spark.queries._verified import ROUNDS
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rn, names in ROUNDS.items():
+        path = os.path.join(here, f"CORRECTNESS_{rn}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            rows = json.load(f)
+        greens = {
+            k
+            for k, v in rows.items()
+            if v.get("rows_match") and v.get("schema_match")
+            and v.get("hash_match") and not v.get("err")
+        }
+        assert names <= greens, f"{rn}: manifest lists non-green {sorted(names - greens)}"
+        assert greens <= names, f"{rn}: green rows missing from manifest {sorted(greens - names)}"
