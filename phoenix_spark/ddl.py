@@ -330,6 +330,12 @@ def parse_create_sequence(sql: str) -> CreateSequence:
     if mn > mx:
         raise ValueError("MINVALUE must be less than or equal to MAXVALUE")
     start = int(m.group("start")) if m.group("start") else None
+    if start is None and m.group("min") is None and m.group("max") is None:
+        # bare CREATE SEQUENCE (no START WITH/MINVALUE/MAXVALUE) starts at 1
+        # for backward compatibility (CreateSequenceStatement.java:41-44) —
+        # only when a MIN/MAX bound is given does START fall back to
+        # MINVALUE/MAXVALUE (CreateSequenceCompiler.java:192-196)
+        start = 1
     if start is not None and not (mn <= start <= mx):
         raise ValueError("START WITH must be between MINVALUE and MAXVALUE")
     cache = int(m.group("cache") or 100)

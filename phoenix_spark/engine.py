@@ -2357,8 +2357,16 @@ class Engine:
             )
             n = obs.get["n"]
         else:
-            n = len(up.values)
-            mt.upsert_df(df, on_duplicate=up.on_duplicate)
+            from phoenix_spark.ddl import UpdateOnly
+
+            if isinstance(up.on_duplicate, UpdateOnly):
+                # UPDATE_ONLY drops absent-PK rows — the mutation count is
+                # the written-row count upsert_df observes on the write
+                # action, not the incoming VALUES arity (r7 advice fix)
+                n = mt.upsert_df(df, on_duplicate=up.on_duplicate)
+            else:
+                n = len(up.values)
+                mt.upsert_df(df, on_duplicate=up.on_duplicate)
         written = df
         self._register(up.table)
         self._sync_indexes(up.table, written.select(*mt.pk), prev_ts)

@@ -220,8 +220,19 @@ class ManagedTable:
         from phoenix_spark.ddl import UpdateOnly
 
         if isinstance(on_duplicate, UpdateOnly):
-            # UPDATE_ONLY: unmatched incoming rows vanish — no insert
-            return self._append_segment(updated, ts)
+            # UPDATE_ONLY: unmatched incoming rows vanish — no insert.
+            # Return the count of rows ACTUALLY written (observed on the
+            # write action itself, not a separate scan) so executeUpdate
+            # counts exclude dropped absent-PK rows (r7 advice fix; the
+            # reference's IndexRegionObserver returns no mutation for an
+            # absent PK, so the client counts 0 for it).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            self._append_segment(
+                updated.observe(obs, F.count(F.lit(1)).alias("n")), ts
+            )
+            return int(obs.get["n"])
         fresh = df.join(current.select(self.pk), on=self.pk, how="left_anti")
         return self._append_segment(updated.unionByName(fresh), ts)
 

@@ -131,7 +131,6 @@ _ROTATING = [
     # aggregate family (r02 only)
     "agg_having",
     "agg_distinct",
-    "agg_first_last_value",
     # one stale re-verification per remaining window family (oldest green
     # in each family, so the family ships with a current-round row)
     "sort_rvc_offset_page",   # sort_ (r03)
@@ -145,11 +144,11 @@ _ROTATING = [
     "bin_bytes_bits",         # bin_ (r04)
     "similarity_topk",        # similarity_ (r03)
     "text_stats",             # text_ (r03)
-    # temporary fills — swapped for new round-7 capability entries as the
-    # join/datetime IT-replay work lands registry entries
-    "filter_in_like",
-    "filter_case_cast",
-    "scan_tablesample",
+    # new round-7 capabilities (join + datetime IT-replay work)
+    "join_null_keys",             # NULL-safe equi-join keys (TupleUtil)
+    "join_full_nonequi_residual", # FULL outer + non-equi residual ON
+    "dt_week_dayofweek",          # WEEK/DAYOFWEEK numbering via Engine.sql
+    "cast_coerce_matrix",         # datetime↔numeric epoch-ms casts
 ]
 
 _TIER1 = _PERMANENT + _ROTATING

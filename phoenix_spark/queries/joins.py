@@ -439,3 +439,62 @@ REG.add(
     GROUP BY n_name
     """,
 )
+
+
+# --- NULL-safe equi-join keys (round 7, HashJoinIT/SortMergeJoinIT) ----------
+# Phoenix join keys are byte-concatenated with NULL encoded as empty bytes
+# (TupleUtil.getConcatenatedValue, phoenix-core-client/.../util/
+# TupleUtil.java:148-176), so NULL keys MATCH NULL keys —
+# HashJoinIT.testJoinMultiJoinKeys:1340 pins two NULL loc_ids joining.  The
+# dialect front-end rewrites ON-clause cross-relation equalities to Spark's
+# null-safe `<=>` (sqlfront._rewrite_on_nullsafe); EqualNullSafe is a
+# planner-supported equi-key, so this stays a hash/sort-merge join (no
+# nested-loop fallback) at any scale.
+def _join_null_keys(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    return e.sql(
+        "SELECT COALESCE(a.k, '<null>') AS k, COUNT(*) AS cnt "
+        "FROM (SELECT event_id, NULLIF(event_type, 'click') k FROM events) a "
+        "JOIN (SELECT event_id, NULLIF(event_type, 'click') k FROM events) b "
+        "ON a.event_id = b.event_id AND a.k = b.k "
+        "GROUP BY COALESCE(a.k, '<null>')"
+    )
+
+
+REG.add(
+    "join_null_keys",
+    _join_null_keys,
+    """
+    SELECT COALESCE(a.k, '<null>') AS k, COUNT(*) AS cnt
+    FROM (SELECT event_id, NULLIF(event_type, 'click') k FROM events) a
+    JOIN (SELECT event_id, NULLIF(event_type, 'click') k FROM events) b
+      ON a.event_id = b.event_id AND a.k IS NOT DISTINCT FROM b.k
+    GROUP BY COALESCE(a.k, '<null>')
+    """,
+)
+
+# --- FULL outer + non-equi residual ON condition (round 7) -------------------
+# SortMergeJoinPlan evaluates non-key ON conditions per merged pair; rows
+# failing the residual NULL-extend on BOTH sides.  Spark's SMJ supports a
+# join condition alongside the keys natively — both sides shuffle once on
+# the key, the residual is evaluated streamside (no extra pass).
+REG.add(
+    "join_full_nonequi_residual",
+    lambda spark, sf: t(spark, sf, "nation")
+    .join(
+        t(spark, sf, "region"),
+        (F.col("n_regionkey") == F.col("r_regionkey"))
+        & (F.col("n_nationkey") > 10),
+        "full",
+    )
+    .select("n_name", "n_nationkey", "r_name"),
+    """
+    SELECT n_name, n_nationkey, r_name
+    FROM nation FULL JOIN region
+      ON n_regionkey = r_regionkey AND n_nationkey > 10
+    """,
+)

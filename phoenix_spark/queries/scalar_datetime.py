@@ -148,3 +148,65 @@ REG.add(
     FROM orders
     """,
 )
+
+
+# --- WEEK/DAYOFWEEK numbering + datetime↔numeric casts through the SQL
+# front-end (round 7, DateTimeIT/CastAndCoerceIT replays) ---------------------
+def _dt_week_dayofweek(spark, sf):
+    """DateTimeIT.testWeekFuncAgainstColumns/:719 + testDayOfWeek:859
+    numbering through Engine.sql: WEEK is ISO week-of-year, DAYOFWEEK is
+    ISO Monday=1 (DayOfWeekFunction.java:66) — both pure JVM field
+    extractions, fully pushdown-friendly."""
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    return e.sql(
+        "SELECT WEEK(o_orderdate) AS wk, DAYOFWEEK(o_orderdate) AS dow, "
+        "DAYOFYEAR(o_orderdate) AS doy, COUNT(*) AS cnt "
+        "FROM orders GROUP BY WEEK(o_orderdate), DAYOFWEEK(o_orderdate), "
+        "DAYOFYEAR(o_orderdate)"
+    )
+
+
+REG.add(
+    "dt_week_dayofweek",
+    _dt_week_dayofweek,
+    """
+    SELECT CAST(weekofyear(o_orderdate) AS INT) AS wk,
+           CAST(isodow(o_orderdate) AS INT) AS dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+def _cast_coerce_matrix(spark, sf):
+    """CastAndCoerceIT.testCoerceDateToBigInt:200 through Engine.sql:
+    Phoenix DATE holds epoch MILLIS, so CAST(date AS BIGINT) is the ms
+    count (PDateCodec) and the BIGINT→DATE round-trip restores the
+    instant; Spark's native second-based casts are rewritten by
+    sqlfront._rewrite_datetime_casts."""
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    return e.sql(
+        "SELECT o_orderkey, CAST(o_orderdate AS BIGINT) AS ms, "
+        "CAST(CAST(o_orderdate AS BIGINT) AS DATE) AS rt "
+        "FROM orders WHERE o_orderkey <= 1000"
+    )
+
+
+REG.add(
+    "cast_coerce_matrix",
+    _cast_coerce_matrix,
+    """
+    SELECT o_orderkey, epoch_ms(o_orderdate) AS ms, o_orderdate AS rt
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)

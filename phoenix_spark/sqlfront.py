@@ -372,6 +372,69 @@ def _literal_text(arg: str) -> str | None:
     return None
 
 
+_JAVA_STRPTIME = [
+    ("EEEE", "%A"), ("EEE", "%a"), ("EE", "%a"), ("E", "%a"),
+    ("MMMM", "%B"), ("MMM", "%b"), ("MM", "%m"), ("M", "%m"),
+    ("dd", "%d"), ("d", "%d"), ("yyyy", "%Y"), ("yy", "%y"),
+    ("HH", "%H"), ("H", "%H"), ("hh", "%I"), ("h", "%I"),
+    ("mm", "%M"), ("m", "%M"), ("ss", "%S"), ("s", "%S"),
+    ("SSS", "%f"), ("a", "%p"), ("z", "%Z"),
+]
+
+
+def _python_parse_dt_literal(value, java_fmt, tz):
+    """Translate-time constant fold for TO_DATE/TO_TIMESTAMP literals whose
+    java.text pattern uses letters Spark's parser rejects (EEE is
+    format-only in Spark).  Phoenix parses these with SimpleDateFormat
+    (DateUtil.getDateParser); a LITERAL value + pattern folds to the same
+    instant here via strptime.  Returns a TIMESTAMP_NTZ literal (UTC wall,
+    the engine's rendering convention) or None when not foldable."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    fmt, i = [], 0
+    while i < len(java_fmt):
+        c = java_fmt[i]
+        if c == "'":  # java quoted literal section
+            j = java_fmt.find("'", i + 1)
+            if j < 0:
+                return None
+            fmt.append(java_fmt[i + 1 : j].replace("%", "%%"))
+            i = j + 1
+            continue
+        for tok, py in _JAVA_STRPTIME:
+            if java_fmt.startswith(tok, i):
+                fmt.append(py)
+                i += len(tok)
+                break
+        else:
+            if c.isalpha():
+                return None  # unmapped pattern letter
+            fmt.append("%%" if c == "%" else c)
+            i += 1
+    try:
+        d = _dt.datetime.strptime(value, "".join(fmt))
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    elif "%Z" in "".join(fmt) and re.search(r"\b(GMT|UTC)\b", value):
+        pass  # already UTC wall
+    elif tz and tz.upper() not in ("UTC", "GMT"):
+        try:
+            from zoneinfo import ZoneInfo
+
+            d = (
+                d.replace(tzinfo=ZoneInfo(tz))
+                .astimezone(_dt.timezone.utc)
+                .replace(tzinfo=None)
+            )
+        except Exception:
+            return None
+    return f"timestamp_ntz'{d:%Y-%m-%d %H:%M:%S.%f}'"
+
+
 def _split_args(argtext: str) -> list[str]:
     """Split a paren-free-depth-0 comma list (string-literal aware)."""
     args, depth, cur, i = [], 0, [], 0
@@ -574,7 +637,61 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         # Spark's to_date (which truncates to DateType).  Cast to NTZ to
         # match the engine's naive-timestamp column discipline.
         if len(args) == 1:
+            # Phoenix's default parser is Joda ISODateTimeFormat.dateParser()
+            # + optional time (DateUtil.java:76-79), which also accepts ISO
+            # week dates (2015-W05[-3]) and ordinal dates (2015-063).  Spark
+            # has no parser for those, so literal week/ordinal forms resolve
+            # to a concrete date at translate time.
+            lit = _literal_text(args[0])
+            if lit is not None:
+                import datetime as _dt
+
+                m = re.fullmatch(r"(\d{4})-W(\d{2})(?:-(\d))?", lit)
+                if m:
+                    d = _dt.datetime.strptime(
+                        f"{m.group(1)}-W{m.group(2)}-{m.group(3) or 1}",
+                        "%G-W%V-%u",
+                    )
+                    return f"timestamp_ntz'{d:%Y-%m-%d %H:%M:%S}'"
+                m = re.fullmatch(r"(\d{4})-(\d{3})", lit)
+                if m:
+                    d = _dt.datetime.strptime(lit, "%Y-%j")
+                    return f"timestamp_ntz'{d:%Y-%m-%d %H:%M:%S}'"
             return f"cast(to_timestamp({args[0]}) as timestamp_ntz)"
+        if len(args) == 3:
+            # TO_DATE(str, fmt, tz): the tz is the parser's DEFAULT zone
+            # (DateUtil.getDateParser(format, timeZone)); an explicit zone
+            # in the string (pattern carries z/Z/X/x/O/V) wins.  Phoenix
+            # renders DATE values in GMT, and this session pins UTC, so a
+            # zone-bearing parse needs only the LTZ→NTZ cast; a zone-less
+            # pattern re-interprets the parsed wall time in tz.
+            fmt = _literal_text(args[1])
+            tz = _literal_text(args[2])
+            if fmt is None or tz is None:
+                raise PhoenixTranslationError(
+                    f"{up} format and timezone must be string literals"
+                )
+            try:
+                spark_fmt = translate_datetime_pattern(
+                    fmt, parse=True
+                ).replace("'", "''")
+            except PhoenixTranslationError:
+                folded = _python_parse_dt_literal(
+                    _literal_text(args[0]), fmt, tz
+                )
+                if folded is not None:
+                    return folded
+                raise
+            if any(c in fmt for c in "zZXxOV"):
+                return (
+                    f"cast(to_timestamp({args[0]}, '{spark_fmt}') "
+                    "as timestamp_ntz)"
+                )
+            tz_lit = tz.replace("'", "''")
+            return (
+                f"cast(to_utc_timestamp(to_timestamp_ntz({args[0]}, "
+                f"'{spark_fmt}'), '{tz_lit}') as timestamp_ntz)"
+            )
         if len(args) == 2:
             # java.text pattern -> Spark pattern via the translation table
             # (letters that differ in meaning or are banned raise here
@@ -584,15 +701,21 @@ def _rewrite_call(name: str, args: list[str]) -> str:
                 raise PhoenixTranslationError(
                     f"{up} format must be a string literal"
                 )
-            spark_fmt = translate_datetime_pattern(lit, parse=True).replace(
-                "'", "''"
-            )
+            try:
+                spark_fmt = translate_datetime_pattern(
+                    lit, parse=True
+                ).replace("'", "''")
+            except PhoenixTranslationError:
+                folded = _python_parse_dt_literal(
+                    _literal_text(args[0]), lit, None
+                )
+                if folded is not None:
+                    return folded
+                raise
             return (
                 f"cast(to_timestamp({args[0]}, '{spark_fmt}') as timestamp_ntz)"
             )
-        raise PhoenixTranslationError(
-            f"{up} with a timezone argument is not supported; use CONVERT_TZ"
-        )
+        raise PhoenixTranslationError(f"{up} with {len(args)} args")
     if up == "LOG":
         # Phoenix LOG(x[, base]) defaults to base 10; Spark log(base, x)
         if len(args) == 1:
@@ -867,17 +990,6 @@ def _translate_hint_body(body: str, first_table: str | None) -> str:
     return f"/*+ {', '.join(out)} */ " if out else " "
 
 
-_DATE_ARITH_RE = re.compile(
-    r"((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))"  # (qualified) column
-    r"\s*([+-])\s*"
-    r"(\d+)\b(?!\s*\.\d)"  # integer literal (not the start of a decimal)
-)
-
-_DATE_DIFF_RE = re.compile(
-    r"((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))"  # left column
-    r"\s*-\s*"
-    r"((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))"  # right column
-)
 
 
 # Phoenix integer/long division truncates (LongDivideExpression.java:35-55
@@ -973,14 +1085,26 @@ class _TypedRewriter:
             i = j if j > i else i + 1
         if not self.repls:
             return self.src
-        out, pos = [], 0
-        for (s, e), txt in sorted(self.repls.items()):
-            if s < pos:  # overlapping duplicate from a re-scan — keep first
+        # Replacements nested inside an enclosing span were already folded
+        # into the outer replacement's text at record time (_render), so the
+        # splice skips them here rather than dropping their rewrites.
+        return self._render(0, len(self.src))
+
+    def _render(self, s, e):
+        """Render ``src[s:e]`` with every recorded replacement whose span
+        falls inside it applied.  Nested replacements are handled by
+        construction: an outer replacement's text was itself built with
+        _render over its operand spans, so it already embeds the inner
+        rewrites and the contained spans are simply skipped when splicing."""
+        inner = sorted((a, b) for (a, b) in self.repls if s <= a and b <= e)
+        out, pos = [], s
+        for a, b in inner:
+            if a < pos:  # contained in an already-spliced enclosing span
                 continue
-            out.append(self.src[pos:s])
-            out.append(txt)
-            pos = e
-        out.append(self.src[pos:])
+            out.append(self.src[pos:a])
+            out.append(self.repls[(a, b)])
+            pos = b
+        out.append(self.src[pos:e])
         return "".join(out)
 
     # Every rule returns (next_index, type); next_index == start means "no
@@ -1001,11 +1125,19 @@ class _TypedRewriter:
         if len(ops) > 1:
             types = [t3 for _a, _b, t3 in ops]
             allstr = all(t3 in (_T_STR, _T_NULL) for t3 in types)
-            if self.str_cols and allstr and _T_STR in types:
+            # Suffix guard: if this chain is preceded by `||`, it is the
+            # tail of a larger concat whose head failed to parse (scalar
+            # subquery, row constructor) — rewriting just the suffix would
+            # change the enclosing chain's NULL semantics, so leave it.
+            suffix = i > 0 and self.toks[i - 1][0] == "||"
+            if self.str_cols and allstr and _T_STR in types and not suffix:
                 start = self.toks[ops[0][0]][1]
                 end = self.toks[ops[-1][1] - 1][2]
+                # Render each operand with its own nested rewrites applied
+                # (inner || chains, int-division) — taking raw source text
+                # here would silently revert them (round-7 advice fix).
                 parts = ", ".join(
-                    self.src[self.toks[a][1] : self.toks[b - 1][2]]
+                    self._render(self.toks[a][1], self.toks[b - 1][2])
                     for a, b, _t3 in ops
                 )
                 self.repls[(start, end)] = f"concat_ws('', {parts})"
@@ -1408,6 +1540,8 @@ def _rewrite_rvc_arity(masked: str) -> str:
             while p > 0 and (s[p - 1].isalnum() or s[p - 1] in "_.\x00"):
                 p -= 1
             if p < k:
+                if s[p:k].strip().upper() in ("ANY", "SOME", "ALL"):
+                    return None  # quantified form, not a function call
                 return (p, j, [s[p:j]])
             body = s[k + 1 : j - 1]
             if re.match(r"\s*SELECT\b", body, re.I):
@@ -1447,6 +1581,13 @@ def _rewrite_rvc_arity(masked: str) -> str:
             while k < len(s) and s[k].isspace():
                 k += 1
             if k < len(s) and s[k] == "(" and re.match(r"[A-Za-z_]", m.group(0)):
+                # Quantified comparison, not a function call: (a, b) >= ANY
+                # (SELECT ...) must NOT be arity-rewritten into a scalar
+                # compare against "ANY(...)" — leave the statement alone so
+                # the quantified-comparison pass (or Spark) handles/rejects
+                # it loudly (r7 advice fix).
+                if m.group(0).upper() in ("ANY", "SOME", "ALL"):
+                    return None
                 depth = 0
                 while k < len(s):
                     if s[k] == "(":
@@ -1494,12 +1635,161 @@ def _rewrite_rvc_arity(masked: str) -> str:
     return masked
 
 
+_DATE_FN_RE = re.compile(
+    r"\b(TO_DATE|TO_TIMESTAMP|TO_TIME|NOW|CURRENT_DATE|CURRENT_TIME"
+    r"|CURRENT_TIMESTAMP)\s*\(",
+    re.IGNORECASE,
+)
+
+# LTZ-producing builtins: wrap in an NTZ cast so the day-difference math
+# stays on naive values (session renders UTC, Phoenix renders GMT — equal)
+_DATE_FN_LTZ = {"NOW", "CURRENT_DATE", "CURRENT_TIME", "CURRENT_TIMESTAMP"}
+
+
+_NUM_CAST_TARGETS = {
+    "BIGINT": "bigint", "INTEGER": "int", "INT": "int", "SMALLINT": "smallint",
+    "TINYINT": "tinyint", "DOUBLE": "double", "FLOAT": "float",
+    "DECIMAL": "decimal(38,3)", "NUMERIC": "decimal(38,3)",
+    "UNSIGNED_LONG": "bigint", "UNSIGNED_INT": "int",
+    "UNSIGNED_SMALLINT": "smallint", "UNSIGNED_TINYINT": "tinyint",
+    "UNSIGNED_DOUBLE": "double", "UNSIGNED_FLOAT": "float",
+}
+_DT_CAST_TARGETS = {
+    "DATE", "TIME", "TIMESTAMP", "UNSIGNED_DATE", "UNSIGNED_TIME",
+    "UNSIGNED_TIMESTAMP",
+}
+
+
+def _ntz_from_epoch_micros(expr: str) -> str:
+    """Pure (session-zone-independent) epoch-µs → TIMESTAMP_NTZ."""
+    return (
+        "(timestamp_ntz'1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+        f"cast({expr} as decimal(30,6)) / 1000000))"
+    )
+
+
+def _rewrite_datetime_casts(
+    masked: str, ts_columns: set[str], int_columns: set[str]
+) -> str:
+    """Phoenix datetime↔numeric CAST semantics (CastAndCoerceIT.java:200):
+    DATE/TIME/TIMESTAMP hold epoch millis, so CAST(date AS BIGINT/DECIMAL)
+    yields the ms count (PDateCodec), CAST(n AS DATE) reads n as ms, and a
+    datetime→datetime cast keeps the time-of-day (PDate carries time).
+    Spark's casts (seconds-based / truncating) silently diverge, so the
+    recognizable shapes rewrite here; anything untyped passes through."""
+    ts_l = {c.lower() for c in ts_columns}
+    int_l = {c.lower() for c in int_columns}
+
+    def _is_date_typed(inner: str) -> bool:
+        t = inner.strip()
+        if re.fullmatch(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)", t):
+            return t.rsplit(".", 1)[-1].lower() in ts_l
+        m = _DATE_FN_RE.match(t)
+        if m and _match_paren(t, m.end()) == len(t):
+            return True
+        if re.match(r"(?:TIMESTAMP(?:_NTZ)?)\s*\x00?", t, re.I):
+            return True
+        m = re.match(r"CAST\s*\(", t, re.I)
+        if m and _match_paren(t, m.end()) == len(t):
+            return bool(
+                re.search(
+                    r"\bAS\s+(?:UNSIGNED_)?(?:DATE|TIME|TIMESTAMP)\s*\)\s*$",
+                    t, re.I,
+                )
+            )
+        return False
+
+    def _is_numeric(inner: str) -> bool:
+        t = inner.strip()
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+            return True
+        if re.fullmatch(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)", t):
+            return t.rsplit(".", 1)[-1].lower() in int_l
+        # a (possibly already-rewritten) cast to a numeric target — covers
+        # CAST(CAST(date AS BIGINT) AS DATE) round-trips
+        m = re.match(r"CAST\s*\(", t, re.I)
+        if m and _match_paren(t, m.end()) == len(t):
+            return bool(
+                re.search(
+                    r"\bAS\s+(?:bigint|int|integer|smallint|tinyint|double"
+                    r"|float|(?:decimal|numeric)\s*(?:\(\s*\d+\s*,\s*\d+\s*\))?)"
+                    r"\s*\)\s*$",
+                    t, re.I,
+                )
+            )
+        return False
+
+    out, pos = [], 0
+    for m in re.finditer(r"\bCAST\s*\(", masked, re.I):
+        if m.start() < pos:
+            continue
+        end = _match_paren(masked, m.end())
+        body = masked[m.end() : end - 1]
+        # recurse into nested casts first
+        body = _rewrite_datetime_casts(body, ts_columns, int_columns)
+        am = None
+        depth = 0
+        for tm in re.finditer(r"[()]|\bAS\b", body, re.I):
+            if tm.group(0) == "(":
+                depth += 1
+            elif tm.group(0) == ")":
+                depth -= 1
+            elif depth == 0:
+                am = tm  # last top-level AS wins (expr can't contain one)
+        if am is None:
+            continue
+        inner = body[: am.start()].strip()
+        target = body[am.end() :].strip().rstrip()
+        t_up = re.sub(r"\s*\(.*$", "", target).upper()
+        repl = None
+        micros = None
+
+        def _micros(x: str) -> str:
+            from phoenix_spark.functions import ntz_epoch_micros_sql
+
+            return ntz_epoch_micros_sql(f"cast({x} as timestamp_ntz)")
+
+        if _is_date_typed(inner):
+            if t_up in _NUM_CAST_TARGETS:
+                spark_t = (
+                    target
+                    if "(" in target and t_up in ("DECIMAL", "NUMERIC")
+                    else _NUM_CAST_TARGETS[t_up]
+                )
+                micros = _micros(inner)
+                if spark_t in ("int", "bigint", "smallint", "tinyint"):
+                    repl = f"cast(({micros}) div 1000 as {spark_t})"
+                else:
+                    repl = (
+                        f"cast(cast({micros} as decimal(38,6)) / 1000 "
+                        f"as {spark_t})"
+                    )
+            elif t_up in _DT_CAST_TARGETS:
+                repl = f"cast({inner} as timestamp_ntz)"
+        elif t_up in _DT_CAST_TARGETS and _is_numeric(inner):
+            repl = _ntz_from_epoch_micros(f"({inner}) * 1000")
+        if repl is None:
+            if body != masked[m.end() : end - 1]:
+                out.append(masked[pos : m.end()])
+                out.append(body)
+                out.append(")")
+                pos = end
+            continue
+        out.append(masked[pos : m.start()])
+        out.append(repl)
+        pos = end
+    out.append(masked[pos:])
+    return "".join(out)
+
+
 def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
     """Phoenix date arithmetic (DateAddExpression / DateSubtractExpression)
-    for columns known (from the catalog) to be date/timestamp typed:
+    for date-typed TERMS — catalog date/timestamp columns AND date-valued
+    function calls (TO_DATE/TO_TIME/TO_TIMESTAMP/NOW/CURRENT_*):
 
       date ± n    → n DAYS of INTERVAL arithmetic (Spark rejects ts ± int)
-      date - date → fractional days as DOUBLE (Phoenix returns DECIMAL days)
+      date - date → fractional days as DOUBLE (Phoenix returns DECIMAL days;
+                    DateTimeIT.testDateSubtractionCompareNumber:1696)
 
     Masked text: literals can't false-match."""
     lowered = {c.lower() for c in ts_columns}
@@ -1509,20 +1799,63 @@ def _rewrite_date_arith(masked: str, ts_columns: set[str]) -> str:
 
         return ntz_epoch_micros_sql(col)
 
-    def sub_diff(m: re.Match) -> str:
-        if m.group(2).lower() not in lowered or m.group(4).lower() not in lowered:
-            return m.group(0)
-        return (
-            f"(cast({_days(m.group(1))} - {_days(m.group(3))} as double)"
-            " / 86400000000)"
-        )
+    # collect date-typed term spans: function calls first (balanced parens),
+    # then ts columns not inside a function-term span
+    terms: list[tuple[int, int, str]] = []  # (start, end, term_sql)
+    fn_spans: list[tuple[int, int]] = []
+    for m in _DATE_FN_RE.finditer(masked):
+        end = _match_paren(masked, m.end())
+        text = masked[m.start() : end]
+        if m.group(1).upper() in _DATE_FN_LTZ:
+            # only the ARITHMETIC form needs the naive view; standalone
+            # calls pass through untouched (see the `touched` check below)
+            text = f"cast({text} as timestamp_ntz)"
+        terms.append((m.start(), end, text))
+        fn_spans.append((m.start(), end))
+    for m in re.finditer(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)", masked):
+        if m.group(1).lower() not in lowered:
+            continue
+        if any(s <= m.start() < e for s, e in fn_spans):
+            continue
+        # not a function-call name itself
+        if re.match(r"\s*\(", masked[m.end():]):
+            continue
+        terms.append((m.start(), m.end(), m.group(0)))
+    terms.sort()
 
-    def sub_int(m: re.Match) -> str:
-        if m.group(2).lower() not in lowered:
-            return m.group(0)
-        return f"{m.group(1)} {m.group(3)} INTERVAL '{m.group(4)}' DAY"
-
-    return _DATE_ARITH_RE.sub(sub_int, _DATE_DIFF_RE.sub(sub_diff, masked))
+    out, pos, i = [], 0, 0
+    while i < len(terms):
+        s, e, text = terms[i]
+        if s < pos:
+            i += 1
+            continue
+        out.append(masked[pos:s])
+        # date - date → fractional-day difference
+        if i + 1 < len(terms):
+            s2, e2, text2 = terms[i + 1]
+            between = masked[e:s2]
+            if between.strip() == "-":
+                out.append(
+                    f"(cast({_days(text)} - {_days(text2)} as double)"
+                    " / 86400000000)"
+                )
+                pos = e2
+                i += 2
+                continue
+        # date ± int → day interval
+        m = re.match(r"\s*([+-])\s*(\d+)\b(?!\s*\.\d)", masked[e:])
+        if m:
+            out.append(f"{text} {m.group(1)} INTERVAL '{m.group(2)}' DAY")
+            pos = e + m.end()
+            i += 1
+            continue
+        # standalone term: pass through VERBATIM (no NTZ wrap) — only the
+        # arithmetic rewrites need the naive view
+        out.append(masked[s:e])
+        pos = e
+        i += 1
+    out.append(masked[pos:])
+    return "".join(out)
 
 
 def translate_phoenix_sql(
@@ -1617,6 +1950,21 @@ def translate_phoenix_sql(
     masked = re.sub(
         r"OFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", masked, flags=re.IGNORECASE
     )
+    # Phoenix DATE/TIME typed literals carry full time-of-day (PDate is
+    # ms-epoch; DateTimeIT.testSelectWhereDateAndTimestampEqual pins
+    # DATE '2012-09-08 07:08:23' = TIMESTAMP '...' as TRUE).  Spark's DATE
+    # literal truncates (and rejects a time component), so both map to
+    # TIMESTAMP_NTZ literals — the engine's naive-timestamp discipline.
+    def _typed_dt_literal(m: re.Match) -> str:
+        tok = stash[int(m.group(2))]
+        if not tok.startswith("'"):
+            return m.group(0)  # quoted identifier, not a literal
+        return f"TIMESTAMP_NTZ {m.group(1)}"
+
+    masked = re.sub(
+        r"\b(?:DATE|TIME)\s*(\x00(\d+)\x00)", _typed_dt_literal, masked,
+        flags=re.IGNORECASE,
+    )
     # ARRAY[...] constructor (grammar :1166-1170) -> array(...); Phoenix
     # arrays are 1-D, but the scan balances brackets anyway (an element
     # expression could index another array).
@@ -1646,9 +1994,15 @@ def translate_phoenix_sql(
         flags=re.IGNORECASE,
     )
     masked = _rewrite_rvc_arity(masked)
+    masked = _rewrite_on_nullsafe(masked, stash)
+    masked = _rewrite_orderby_null_default(masked)
     masked = _rewrite_distinct_orderby(masked)
-    if ts_columns:
-        masked = _rewrite_date_arith(masked, ts_columns)
+    # always run: date-valued FUNCTION terms (TO_DATE/NOW/CURRENT_*) need no
+    # catalog knowledge; ts_columns adds the catalog-typed column terms
+    masked = _rewrite_datetime_casts(
+        masked, ts_columns or set(), int_columns or set()
+    )
+    masked = _rewrite_date_arith(masked, ts_columns or set())
     if int_columns or str_columns:
         masked = _rewrite_typed_expressions(
             masked, int_columns or set(), str_columns or set(), stash
@@ -1665,6 +2019,210 @@ def translate_phoenix_sql(
     # unmask per-argument inside the rewriter via a wrapper.
     rewritten = _rewrite_code_masked(masked, _unmask)
     return _unmask(rewritten)
+
+
+def _rewrite_orderby_null_default(masked: str) -> str:
+    """Phoenix's ORDER BY defaults to NULLS FIRST for BOTH directions
+    (PhoenixSQL.g:1017-1021: ``boolean nullsLast = false`` regardless of
+    ASC/DESC; SortMergeJoinIT.testRightLeftJoin pins a NULL key sorting
+    before non-NULLs under DESC).  Spark's DESC default is NULLS LAST, so
+    append an explicit NULLS FIRST to every ORDER BY item that ends in a
+    bare DESC.  ASC items already default to NULLS FIRST in Spark.
+
+    Applies to statement-level ORDER BY only: ``OVER (... ORDER BY ...)``
+    and ``WITHIN GROUP (ORDER BY ...)`` are beyond-reference / separately
+    rewritten surfaces that keep their established semantics."""
+    skip: list[tuple[int, int]] = []
+    for m in re.finditer(r"\b(?:OVER|GROUP)\s*\(", masked, re.I):
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        skip.append((m.end(), i))
+
+    out, pos = [], 0
+    for m in re.finditer(r"\bORDER\s+BY\b", masked, re.I):
+        if any(s <= m.start() < e for s, e in skip):
+            continue
+        if m.start() < pos:
+            continue
+        # item list: up to the next top-level boundary
+        i, depth = m.end(), 0
+        end = len(masked)
+        for tm in re.finditer(
+            r"[()]|\b(?:LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT)\b",
+            masked[m.end():], re.I,
+        ):
+            t = tm.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    end = m.end() + tm.start()
+                    break
+                depth -= 1
+            elif depth == 0:
+                end = m.end() + tm.start()
+                break
+        region = masked[m.end() : end]
+        # split top-level commas; patch items ending in bare DESC
+        items, d, last = [], 0, 0
+        for cm in re.finditer(r"[(),]", region):
+            c = cm.group(0)
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+            elif d == 0:
+                items.append(region[last : cm.start()])
+                last = cm.start() + 1
+        items.append(region[last:])
+        changed = False
+        for ii, item in enumerate(items):
+            if re.search(r"\bDESC\s*$", item, re.I) and not re.search(
+                r"\bNULLS\s+(?:FIRST|LAST)", item, re.I
+            ):
+                items[ii] = item.rstrip() + " NULLS FIRST "
+                changed = True
+        if changed:
+            out.append(masked[pos : m.end()])
+            out.append(",".join(items))
+            pos = end
+    out.append(masked[pos:])
+    return "".join(out)
+
+
+_ON_REGION_STOP = {
+    "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "WHERE", "GROUP",
+    "ORDER", "HAVING", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+    "FETCH", "ON",
+}
+
+_EXPR_NONCOL_KW = {
+    "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "IS", "IN", "LIKE",
+    "BETWEEN", "CASE", "WHEN", "THEN", "ELSE", "END", "AS", "ANY", "ALL",
+    "SOME", "EXISTS", "SELECT", "FROM", "DISTINCT", "ESCAPE", "ILIKE",
+}
+
+
+def _rewrite_on_nullsafe(masked: str, stash: list[str]) -> str:
+    """Phoenix equi-join keys are NULL-safe: the hash/sort-merge join key is
+    the byte-concatenation of the ON clause's equality operands with an
+    unevaluated (NULL) component encoded as empty bytes
+    (TupleUtil.getConcatenatedValue, phoenix-core-client .../util/
+    TupleUtil.java:148-176; HashJoinRegionScanner.java:173), so NULL keys
+    match NULL keys — HashJoinIT/SortMergeJoinIT.testJoinMultiJoinKeys pins
+    C3-S3 matching on ``c.loc_id = s.loc_id`` with both NULL.  Spark/ANSI
+    ``=`` never matches NULLs, so rewrite each top-level AND-ed ``a = b``
+    conjunct of a JOIN ON clause to Spark's null-safe ``<=>`` when both
+    sides are column-bearing expressions of different relations (a literal
+    comparison or same-relation equality is a Phoenix PRE/POST-filter with
+    standard 3VL semantics — left untouched)."""
+
+    def _ident_tokens(text: str) -> list[tuple[str, int]]:
+        out = []
+        for m in re.finditer(r"\x00\d+\x00|[A-Za-z_]\w*", text):
+            tok = m.group(0)
+            if tok.startswith("\x00"):
+                # masked token: quoted identifier (backtick in stash) or a
+                # string literal — only the former is a column reference
+                if stash[int(tok.strip("\x00"))].startswith("`"):
+                    out.append((tok, m.end()))
+            elif tok.upper() not in _EXPR_NONCOL_KW:
+                out.append((tok, m.end()))
+        return out
+
+    def _analyze(side: str):
+        """(has_column, qualifier_set) for one equality operand."""
+        if re.search(r"\bNULL\b", side, re.I):
+            return False, set()
+        quals: set[str] = set()
+        has_col = False
+        for tok, end in _ident_tokens(side):
+            rest = side[end:]
+            mdot = re.match(r"\s*\.", rest)
+            if mdot:
+                quals.add(tok.lower())
+                continue
+            if re.match(r"\s*\(", rest):
+                continue  # function call name
+            has_col = True
+        return has_col or bool(quals), quals
+
+    def _split_top(text: str, sep_re: str) -> list[str]:
+        parts, depth, last = [], 0, 0
+        for m in re.finditer(r"[()]|" + sep_re, text, re.I):
+            t = m.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                parts.append(text[last : m.start()])
+                last = m.end()
+        parts.append(text[last:])
+        return parts
+
+    out, pos = [], 0
+    for m in re.finditer(r"\bON\b(?!\s+DUPLICATE\b)", masked, re.I):
+        if m.start() < pos:
+            continue
+        # region: from after ON to the next top-level boundary
+        i, depth, n = m.end(), 0, len(masked)
+        end = n
+        for tm in re.finditer(r"[(),]|\b[A-Za-z_]\w*\b", masked[m.end():]):
+            t = tm.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    end = m.end() + tm.start()
+                    break
+                depth -= 1
+            elif t == ",":
+                if depth == 0:
+                    end = m.end() + tm.start()
+                    break
+            elif depth == 0 and t.upper() in _ON_REGION_STOP:
+                end = m.end() + tm.start()
+                break
+        region = masked[m.end() : end]
+        conjuncts = _split_top(region, r"\bAND\b")
+        changed = False
+        for ci, conj in enumerate(conjuncts):
+            if re.search(r"\bOR\b", conj, re.I):
+                continue
+            # exactly one top-level bare `=` (not !=, <=, >=, <=>)
+            eqs = []
+            depth2 = 0
+            for em in re.finditer(r"[()]|<=>|[<>!]=|=", conj):
+                t = em.group(0)
+                if t == "(":
+                    depth2 += 1
+                elif t == ")":
+                    depth2 -= 1
+                elif t == "=" and depth2 == 0:
+                    eqs.append(em.start())
+            if len(eqs) != 1:
+                continue
+            lhs, rhs = conj[: eqs[0]], conj[eqs[0] + 1 :]
+            lcol, lq = _analyze(lhs)
+            rcol, rq = _analyze(rhs)
+            if not (lcol and rcol):
+                continue
+            if lq and rq and lq & rq:
+                continue  # same-relation equality: Phoenix pre-filter, 3VL
+            conjuncts[ci] = f"{lhs}<=>{rhs}"
+            changed = True
+        if changed:
+            out.append(masked[pos : m.end()])
+            out.append(" AND ".join(conjuncts))
+            pos = end
+    out.append(masked[pos:])
+    return "".join(out)
 
 
 def _rewrite_array_ctor(masked: str) -> str:
@@ -1890,6 +2448,26 @@ def _rewrite_quantified(masked: str) -> str:
                 repl = (
                     f"{left} {op} (SELECT {agg}(__c) "
                     f"FROM ({inner}) AS __q(__c))"
+                )
+            elif op == "=" and quant == "ALL":
+                # x = ALL(sub): every element equals x
+                # (SubqueryIT.testAnyAllComparisonSubquery:918).  Lowered to
+                # NOT EXISTS over the refuting rows, which Spark decorrelates
+                # even for correlated inners with GROUP BY.  IS DISTINCT FROM
+                # refutes NULL elements (ANSI yields unknown there — same
+                # WHERE-context effect); the x IS NOT NULL guard keeps a NULL
+                # left operand from vacuously matching.
+                repl = (
+                    f"(({left}) IS NOT NULL AND NOT EXISTS (SELECT 1 "
+                    f"FROM ({inner}) AS __q(__c) "
+                    f"WHERE __c IS DISTINCT FROM ({left})))"
+                )
+            elif op == "<>" and quant == "ANY":
+                # x <> ANY(sub): some element differs from x; plain <> in
+                # the refutation so NULL elements never satisfy it (3VL).
+                repl = (
+                    f"EXISTS (SELECT 1 FROM ({inner}) AS __q(__c) "
+                    f"WHERE __c <> ({left}))"
                 )
             else:
                 raise PhoenixTranslationError(

@@ -137,11 +137,19 @@ def test_on_duplicate_key_ignore_and_update(engine):
     assert got == {1: 11, 2: 20, 3: 30}  # matched incremented, unmatched inserted
     # UPDATE_ONLY (grammar :899,911; IndexRegionObserver:2305-2311): matched
     # rows update, absent PKs are dropped — never inserted
-    engine.sql(
+    n = engine.sql(
         "UPSERT INTO c VALUES (2, 0), (9, 90) ON DUPLICATE KEY UPDATE_ONLY n = n + 100"
     )
     got = {r.k: r.n for r in engine.table("c").collect()}
     assert got == {1: 11, 2: 120, 3: 30}  # k=9 not inserted
+    # executeUpdate count excludes the dropped absent-PK row (r7 advice fix):
+    # only k=2 was actually mutated
+    assert n == 1
+    # all-absent batch mutates nothing and says so
+    n = engine.sql(
+        "UPSERT INTO c VALUES (77, 0) ON DUPLICATE KEY UPDATE_ONLY n = n + 1"
+    )
+    assert n == 0
 
 
 def test_upsert_select_and_delete(engine):

@@ -248,6 +248,11 @@ _CHAIN_OPERANDS = st.sampled_from(
         ("arrcol", "other"),        # not in the catalog
         ("CURRENT_DATE()", "other"),  # unknown function
         ("x", "other"),             # integral column
+        # nested chains (r7 advice): an operand that is itself a || chain —
+        # its inner rewrite must survive into the outer replacement text
+        ("(name || 'in')", "str"),
+        ("UPPER(name || 'q')", "str"),
+        ("(name || x)", "other"),   # inner chain not all-string
     ]
 )
 
@@ -261,4 +266,44 @@ def test_concat_chain_rewrite_iff_all_string(ops):
     )
     kinds = [k for _, k in ops]
     should = all(k in ("str", "null") for k in kinds) and "str" in kinds
-    assert ("concat_ws" in out) == should, out
+    # The TOP-LEVEL chain rewrite fires iff every top-level operand is
+    # string-typed.  A nested parenthesized chain operand is its own
+    # StringConcatExpression and may rewrite independently, so test the
+    # outer decision by the statement head, not by substring presence.
+    assert out.startswith("SELECT concat_ws('', ") == should, out
+    if should:
+        # The outer rewrite must embed the nested rewrites: no raw || may
+        # survive anywhere in the statement (r7 advice — the splice used to
+        # take operand text from the ORIGINAL source, reverting inner
+        # concat_ws/div rewrites).
+        assert "||" not in out, out
+    else:
+        # outer chain untouched: its separators must survive
+        assert "||" in out, out
+
+
+def test_concat_nested_chain_rewrites_survive():
+    """r7 advice repros, pinned exactly: nested || chains and a div rewrite
+    inside an outer chain operand must appear rewritten in the output."""
+    out = translate_phoenix_sql(
+        "SELECT (a || b) || c AS v FROM t", str_columns={"a", "b", "c"}
+    )
+    assert out == "SELECT concat_ws('', (concat_ws('', a, b)), c) AS v FROM t"
+    out = translate_phoenix_sql(
+        "SELECT UPPER(a || b) || c AS v FROM t", str_columns={"a", "b", "c"}
+    )
+    assert out == "SELECT concat_ws('', upper(concat_ws('', a, b)), c) AS v FROM t"
+    out = translate_phoenix_sql(
+        "SELECT SUBSTR(s, n/m, 2) || y AS v FROM t",
+        str_columns={"s", "y"}, int_columns={"n", "m"},
+    )
+    assert "n div m" in out and "concat_ws" in out, out
+
+
+def test_concat_suffix_of_failed_head_not_rewritten():
+    """A || chain whose head fails to parse (scalar subquery) must not get a
+    suffix-only rewrite — that would change the enclosing chain's NULL
+    semantics (Phoenix NULL-skips the whole chain or none of it)."""
+    sql = "SELECT (SELECT name FROM u) || a || b AS v FROM t"
+    out = translate_phoenix_sql(sql, str_columns={"a", "b", "name"})
+    assert "concat_ws" not in out, out
