@@ -15,11 +15,12 @@ Methodology: steady-state, not cold-JVM.  A warm-up pass first runs the whole
 suite at sf0.001 — identical plan shapes, so Catalyst analysis, whole-stage
 codegen compilation, and C2 JIT all happen OUTSIDE the timed region (measured
 ~6 s of one-time compilation otherwise attributed to whichever query runs
-first).  Each query is then timed twice at the target SF and the best run is
-reported: at 100 TB the JVM is warm for all but the first task wave, so
-steady-state throughput is the number that extrapolates.
-
-A copy of every run is appended under .benchmarks/ for round-over-round diffs.
+first).  Each query is then timed THREE times at the target SF and the
+MEDIAN run is reported (round-7 protocol: single-sample/best-of-2 rounds
+drifted 1.1-1.5x on unchanged code between machines, making round-over-round
+comparisons an exercise in noise attribution; the median tolerates one
+outlier in either direction).  The raw per-run timings are appended to
+.benchmarks/bench_history.jsonl for round-over-round diffs.
 """
 
 from __future__ import annotations
@@ -99,13 +100,15 @@ def main() -> int:
     _force(qs[names[0]](spark, sf_dir).limit(1))
 
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        raw[name] = runs
+        timings[name] = sorted(runs)[1]  # median of 3
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -119,7 +122,7 @@ def main() -> int:
 
     os.makedirs(".benchmarks", exist_ok=True)
     with open(os.path.join(".benchmarks", "bench_history.jsonl"), "a") as f:
-        f.write(line + "\n")
+        f.write(json.dumps({**result, "runs": raw, "protocol": "median3"}) + "\n")
 
     print(line)
     return 0

@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(
       | (?P<op><=|>=|<>|!=|=|<|>)
       | (?P<string>'(?:[^']|'')*')
       | (?P<number>-?\d+(?:\.\d+)?)
-      | (?P<placeholder>:[A-Za-z_]\w*)
+      | (?P<placeholder>[:$][A-Za-z_]\w*)
       | (?P<word>[A-Za-z_][\w.\[\]]*)
     )""",
     re.VERBOSE,
@@ -108,22 +108,32 @@ class _ColumnOps:
             left, right = x, F.lit("true" if v else "false")
         else:
             left, right = x, F.lit(v)
-        return {
-            "=": left == right,
-            "<>": left != right,
-            "<": left < right,
-            "<=": left <= right,
-            ">": left > right,
-            ">=": left >= right,
-        }[op]
+        # absent field / non-castable value → FALSE, not SQL-unknown: the
+        # reference evaluates document comparisons two-valued
+        # (SQLComparisonExpressionUtils: exists-and-compares), so
+        # NOT (missing = x) is TRUE (Bson3IT.java:171-182)
+        return F.coalesce(
+            {
+                "=": left == right,
+                "<>": left != right,
+                "<": left < right,
+                "<=": left <= right,
+                ">": left > right,
+                ">=": left >= right,
+            }[op],
+            F.lit(False),
+        )
 
     def between(self, x, lo, hi):
-        return x.cast("double").between(lo, hi)
+        return F.coalesce(x.cast("double").between(lo, hi), F.lit(False))
 
     def isin(self, x, vals, numeric):
         if numeric:
-            return x.cast("double").isin(*[float(v) for v in vals])
-        return x.isin(*vals)
+            return F.coalesce(
+                x.cast("double").isin(*[float(v) for v in vals]),
+                F.lit(False),
+            )
+        return F.coalesce(x.isin(*vals), F.lit(False))
 
     def and_(self, a, b):
         return a & b
@@ -177,17 +187,21 @@ class _SqlOps:
             left, right = x, self._slit("true" if v else "false")
         else:
             left, right = x, self._slit(v)
-        return f"({left} {op} {right})"
+        # two-valued like the Column backend: absent field → FALSE
+        return f"coalesce(({left} {op} {right}), false)"
 
     def between(self, x, lo, hi):
-        return f"({self.num(x)} BETWEEN {float(lo)!r} AND {float(hi)!r})"
+        return (
+            f"coalesce(({self.num(x)} BETWEEN {float(lo)!r} "
+            f"AND {float(hi)!r}), false)"
+        )
 
     def isin(self, x, vals, numeric):
         if numeric:
             items = ", ".join(repr(float(v)) for v in vals)
-            return f"({self.num(x)} IN ({items}))"
+            return f"coalesce(({self.num(x)} IN ({items})), false)"
         items = ", ".join(self._slit(v) for v in vals)
-        return f"({x} IN ({items}))"
+        return f"coalesce(({x} IN ({items})), false)"
 
     def and_(self, a, b):
         return f"({a} AND {b})"
@@ -407,8 +421,11 @@ def bson_condition_sql(doc_sql: str, condition: str) -> str:
 # compile time and evaluated entirely JVM-side over map<string,variant> —
 # value types survive the round-trip (ints stay ints, bools stay bools).
 #
-# Scope: top-level fields (the fixture documents are flat); the reference's
-# "." / "[n]" deep paths raise BsonUpdateError rather than mis-applying.
+# Deep "." / "[n]" paths (round 7, Bson2IT/Bson3IT replays): each object
+# level rebuilds a sorted map<string,variant>, each array level splices the
+# 0-based index — the Column-level mirror of sqlfront._json_modify_expr.
+# DynamoDB-style set literals ({"$set": [...]}) canonicalize to arrays (the
+# engine's JSON set representation).
 # ---------------------------------------------------------------------------
 
 import json as _json
@@ -444,6 +461,249 @@ def _st(state, kind: str) -> bool:
     return isinstance(state, tuple) and state[0] == kind
 
 
+def _unwrap_set(value):
+    """DynamoDB-style {"$set": [...]} set literal → plain list."""
+    if isinstance(value, dict) and set(value) == {"$set"}:
+        return value["$set"]
+    return value
+
+
+def _parse_bson_path(field: str) -> list[object]:
+    """'a.b[2][1].c' → ['a', 'b', 2, 1, 'c'] (0-based indices)."""
+    segs: list[object] = []
+    rest = field
+    first = True
+    while rest:
+        m = re.match(r"\.?([A-Za-z_]\w*)", rest) if not first else re.match(
+            r"([A-Za-z_]\w*)", rest
+        )
+        if m:
+            segs.append(m.group(1))
+            rest = rest[m.end():]
+            first = False
+            continue
+        m = re.match(r"\[(\d+)\]", rest)
+        if m:
+            segs.append(int(m.group(1)))
+            rest = rest[m.end():]
+            first = False
+            continue
+        raise BsonUpdateError(f"unparseable document path {field!r}")
+    return segs
+
+
+def _sorted_obj_json(m: Column) -> Column:
+    """map<string,variant> → JSON text with keys sorted (deterministic)."""
+    entries = F.array_sort(
+        F.map_entries(m),
+        lambda a, b: F.when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .otherwise(0),
+    )
+    return F.to_json(F.map_from_entries(entries))
+
+
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE and pass it to ``fn`` as a lambda variable.
+
+    Every deep-path level references its document text several times
+    (map_filter + get_json_object + splice); inlining the previous level's
+    expression at each reference grows the plan EXPONENTIALLY in path depth
+    × op count (a 9-op Bson2IT update OOMed the driver during analysis).
+    ``element_at(transform(array(x), f), 1)`` turns those references into
+    lambda-variable reads — plan size becomes linear."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _deep_set_json(doc_text: Column, segs: list[object], new_text: Column) -> Column:
+    """Updated-JSON-text Column: set the value at ``segs`` to ``new_text``
+    (itself a JSON-text Column).  Mirror of sqlfront._json_modify_expr."""
+    seg, rest = segs[0], segs[1:]
+
+    def build(d: Column) -> Column:
+        if isinstance(seg, int):
+            arr = F.from_json(d, "array<variant>")
+            if rest:
+                inner = F.to_json(F.element_at(arr, seg + 1))
+                nt = _deep_set_json(inner, rest, new_text)
+            else:
+                nt = new_text
+            return F.to_json(
+                F.concat(
+                    F.slice(arr, 1, seg),
+                    F.array(F.parse_json(nt)),
+                    F.slice(arr, F.lit(seg + 2), F.size(arr)),
+                )
+            )
+        if rest:
+            inner = F.coalesce(F.get_json_object(d, f"$.{seg}"), F.lit("{}"))
+            nt = _deep_set_json(inner, rest, new_text)
+        else:
+            nt = new_text
+        merged = F.map_concat(
+            F.map_filter(
+                F.from_json(d, "map<string,variant>"),
+                lambda k, _v: k != seg,
+            ),
+            F.create_map(F.lit(seg), F.parse_json(nt)),
+        )
+        return _sorted_obj_json(merged)
+
+    return _bind(doc_text, build)
+
+
+def _deep_remove_json(doc_text: Column, segs: list[object]) -> Column:
+    """Updated-JSON-text Column with the value at ``segs`` removed."""
+    seg, rest = segs[0], segs[1:]
+
+    def build(d: Column) -> Column:
+        if isinstance(seg, int):
+            arr = F.from_json(d, "array<variant>")
+            if rest:
+                inner = F.to_json(F.element_at(arr, seg + 1))
+                nt = _deep_remove_json(inner, rest)
+                return F.to_json(
+                    F.concat(
+                        F.slice(arr, 1, seg),
+                        F.array(F.parse_json(nt)),
+                        F.slice(arr, F.lit(seg + 2), F.size(arr)),
+                    )
+                )
+            return F.to_json(
+                F.concat(
+                    F.slice(arr, 1, seg),
+                    F.slice(arr, F.lit(seg + 2), F.size(arr)),
+                )
+            )
+        if rest:
+            inner = F.get_json_object(d, f"$.{seg}")
+            nt = _deep_remove_json(inner, rest)
+            merged = F.map_concat(
+                F.map_filter(
+                    F.from_json(d, "map<string,variant>"),
+                    lambda k, _v: k != seg,
+                ),
+                F.create_map(F.lit(seg), F.parse_json(nt)),
+            )
+            return _sorted_obj_json(merged)
+        return _sorted_obj_json(
+            F.map_filter(
+                F.from_json(d, "map<string,variant>"),
+                lambda k, _v: k != seg,
+            )
+        )
+
+    return _bind(doc_text, build)
+
+
+_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+
+def _render_num(total: Column) -> Column:
+    """Render a double as JSON number text, integral values as ints."""
+    as_long = total.cast("long")
+    return F.when(
+        as_long.cast("double") == total, as_long.cast("string")
+    ).otherwise(total.cast("string"))
+
+
+def _apply_deep_field(doc_text: Column, field: str, op: str, value) -> Column:
+    """One deep-path op over a JSON-text document Column.
+
+    Reference semantics per UpdateExpressionUtils: $SET replaces, $UNSET
+    removes, $ADD is numeric-add (absent → addend) or set-union, and
+    $DELETE_FROM_SET removes elements (absent field → no-op)."""
+    return _bind(
+        doc_text, lambda d: _apply_deep_field_bound(d, field, op, value)
+    )
+
+
+def _apply_deep_field_bound(doc_text: Column, field: str, op: str, value) -> Column:
+    segs = _parse_bson_path(field)
+    cur = F.get_json_object(doc_text, "$." + field)
+    if op == "set":
+        value = _unwrap_set(value)
+        if (
+            isinstance(value, dict)
+            and set(value) == {"$ADD"}
+            and isinstance(value["$ADD"], list)
+            and len(value["$ADD"]) == 2
+            and isinstance(value["$ADD"][0], str)
+        ):
+            # Bson3IT's in-place arithmetic SET form:
+            #   {"$SET": {path: {"$ADD": [src_path, n]}}} — the new value is
+            # the CURRENT value at src_path plus n
+            src, addend = value["$ADD"]
+            cur2 = F.get_json_object(doc_text, "$." + src)
+            num = (
+                F.when(cur2.isNull(), F.lit(0.0))
+                .when(cur2.rlike(_NUM_RE), cur2.cast("double"))
+                .otherwise(
+                    F.raise_error(
+                        F.lit(f"$SET $ADD: field {src!r} is not a number")
+                    )
+                )
+            )
+            return _deep_set_json(
+                doc_text, segs, _render_num(num + F.lit(float(addend)))
+            )
+        return _deep_set_json(doc_text, segs, F.lit(_json.dumps(value)))
+    if op == "unset":
+        return _deep_remove_json(doc_text, segs)
+    if op == "add":
+        value = _unwrap_set(value)
+        if isinstance(value, list):
+            arr = F.from_json(cur, "array<variant>")
+            texts = (
+                F.when(cur.isNull(), F.lit([]).cast("array<string>"))
+                .when(arr.isNotNull(), F.transform(arr, lambda e: F.to_json(e)))
+                .otherwise(
+                    F.raise_error(
+                        F.lit(f"$ADD: field {field!r} is not a set")
+                    )
+                )
+            )
+            add_texts = [_json.dumps(_unwrap_set(v)) for v in value]
+            fresh = F.filter(
+                F.array_distinct(F.lit(add_texts).cast("array<string>")),
+                lambda e: ~F.array_contains(texts, e),
+            )
+            new_text = F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.array_sort(F.concat(texts, fresh))),
+                F.lit("]"),
+            )
+            return _deep_set_json(doc_text, segs, new_text)
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise BsonUpdateError("$ADD takes a number or a set")
+        cur_num = (
+            F.when(cur.isNull(), F.lit(0.0))
+            .when(cur.rlike(_NUM_RE), cur.cast("double"))
+            .otherwise(
+                F.raise_error(F.lit(f"$ADD: field {field!r} is not a number"))
+            )
+        )
+        return _deep_set_json(
+            doc_text, segs, _render_num(cur_num + F.lit(float(value)))
+        )
+    # delete_from_set
+    value = _unwrap_set(value)
+    if not isinstance(value, list):
+        raise BsonUpdateError("$DELETE_FROM_SET takes a set of values")
+    arr = F.from_json(cur, "array<variant>")
+    kept = F.array_sort(
+        F.array_except(
+            F.transform(arr, lambda e: F.to_json(e)),
+            F.lit([_json.dumps(_unwrap_set(v)) for v in value]),
+        )
+    )
+    new_text = F.concat(F.lit("["), F.concat_ws(",", kept), F.lit("]"))
+    # absent field → document unchanged
+    return F.when(cur.isNull(), doc_text).otherwise(
+        _deep_set_json(doc_text, segs, new_text)
+    )
+
+
 def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
     """Apply a Phoenix/DynamoDB-style update expression to a JSON document
     column, returning the updated document as JSON text with sorted keys
@@ -461,16 +721,13 @@ def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
     unknown = set(spec) - {"$SET", "$UNSET", "$ADD", "$DELETE_FROM_SET"}
     if unknown:
         raise BsonUpdateError(f"unsupported update operators: {sorted(unknown)}")
-    set_m = spec.get("$SET", {})
+    set_m = {k: _unwrap_set(v) for k, v in spec.get("$SET", {}).items()}
     unset_m = spec.get("$UNSET", {})
     add_m = spec.get("$ADD", {})
-    del_m = spec.get("$DELETE_FROM_SET", {})
-    fields = set(set_m) | set(unset_m) | set(add_m) | set(del_m)
-    for field in fields:
-        if "." in field or "[" in field:
-            raise BsonUpdateError(
-                f"deep path {field!r}: only top-level fields are supported"
-            )
+    del_m = {k: _unwrap_set(v) for k, v in spec.get("$DELETE_FROM_SET", {}).items()}
+    all_fields = set(set_m) | set(unset_m) | set(add_m) | set(del_m)
+    deep = {f for f in all_fields if "." in f or "[" in f}
+    fields = all_fields - deep
     # Ops chain per field in the reference's order SET → UNSET → ADD →
     # DELETE_FROM_SET (UpdateExpressionUtils.updateExpression:104-118), each
     # reading the previous op's result — folded here at plan time.  State per
@@ -491,7 +748,7 @@ def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
         if field in unset_m:
             state = ("absent",)
         if field in add_m:
-            addend = add_m[field]
+            addend = _unwrap_set(add_m[field])
             if isinstance(addend, bool) or not isinstance(
                 addend, (int, float, list)
             ):
@@ -647,4 +904,18 @@ def bson_update_expression(doc: Column | str, update_expr: str) -> Column:
         .when(a["key"] > b["key"], 1)
         .otherwise(0),
     )
-    return F.to_json(F.map_from_entries(entries))
+    result = F.to_json(F.map_from_entries(entries))
+    if deep:
+        # Deep "." / "[n]" paths apply over the JSON text, one op class at a
+        # time in the reference's SET → UNSET → ADD → DELETE order
+        # (UpdateExpressionUtils.updateExpression:104-118); fields sorted for
+        # a deterministic plan.
+        for field in sorted(f for f in deep if f in set_m):
+            result = _apply_deep_field(result, field, "set", set_m[field])
+        for field in sorted(f for f in deep if f in unset_m):
+            result = _apply_deep_field(result, field, "unset", None)
+        for field in sorted(f for f in deep if f in add_m):
+            result = _apply_deep_field(result, field, "add", add_m[field])
+        for field in sorted(f for f in deep if f in del_m):
+            result = _apply_deep_field(result, field, "delete", del_m[field])
+    return result

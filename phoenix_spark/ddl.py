@@ -134,9 +134,9 @@ def _split_top(text: str, sep: str = ",") -> list[str]:
             cur.append(text[i : j + 1])
             i = j + 1
             continue
-        if c == "(":
+        if c in "([":  # brackets too: ARRAY[1, 2] literals carry commas
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         if c == sep and depth == 0:
             out.append("".join(cur).strip())

@@ -43,6 +43,13 @@ class Engine:
         tenant_id: str | None = None,
     ):
         self.spark = spark
+        try:
+            # deep-path BSON updates nest one lambda per path level per op;
+            # the analyzer resolves one nesting level per pass (see
+            # session.py) — set here too for externally-built sessions
+            spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
+        except Exception:
+            pass  # read-only conf on some deployments: non-fatal
         self.catalog: Catalog | None = None
         self.warehouse = warehouse or os.path.join(
             os.environ.get("PHOENIX_SPARK_WAREHOUSE", "/tmp/phoenix_spark_wh")
@@ -2293,14 +2300,25 @@ class Engine:
             def _coerce(v, dt):
                 if v is None:
                     return None
+                if isinstance(dt, T.ArrayType) and isinstance(
+                    v, (list, tuple)
+                ):
+                    # ARRAY[...] literals: coerce each element to the
+                    # declared element type (a 25.343 literal parses as
+                    # exact Decimal; a double array[] column needs floats)
+                    return [_coerce(e, dt.elementType) for e in v]
                 if isinstance(dt, T.DecimalType) and isinstance(
                     v, (int, float)
                 ):
                     return Decimal(str(v))
                 if isinstance(dt, (T.DoubleType, T.FloatType)) and isinstance(
-                    v, int
+                    v, (int, Decimal)
                 ):
                     return float(v)
+                if isinstance(
+                    dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+                ) and isinstance(v, Decimal):
+                    return int(v)
                 return v
 
             rows = [
@@ -2359,10 +2377,12 @@ class Engine:
         else:
             from phoenix_spark.ddl import UpdateOnly
 
-            if isinstance(up.on_duplicate, UpdateOnly):
-                # UPDATE_ONLY drops absent-PK rows — the mutation count is
-                # the written-row count upsert_df observes on the write
-                # action, not the incoming VALUES arity (r7 advice fix)
+            if isinstance(up.on_duplicate, UpdateOnly) or up.on_duplicate == "ignore":
+                # UPDATE_ONLY drops absent-PK rows; IGNORE drops present-PK
+                # rows — either way the mutation count is the written-row
+                # count upsert_df observes on the write action, not the
+                # incoming VALUES arity (r7 advice fix +
+                # OnDuplicateKey2IT.testIgnoreReturnValue)
                 n = mt.upsert_df(df, on_duplicate=up.on_duplicate)
             else:
                 n = len(up.values)

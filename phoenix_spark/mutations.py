@@ -207,8 +207,18 @@ class ManagedTable:
             return self._append_segment(df, ts)
         current = self.read()
         if on_duplicate == "ignore":
+            # count of rows actually INSERTED (existing PKs are ignored and
+            # report 0 — OnDuplicateKey2IT.testIgnoreReturnValue:112 pins
+            # executeUpdate returning 0 for a fully-ignored upsert),
+            # observed on the write action itself
+            from pyspark.sql import Observation
+
+            obs = Observation()
             fresh = df.join(current.select(self.pk), on=self.pk, how="left_anti")
-            return self._append_segment(fresh, ts)
+            self._append_segment(
+                fresh.observe(obs, F.count(F.lit(1)).alias("n")), ts
+            )
+            return int(obs.get["n"])
         assert isinstance(on_duplicate, dict)
         matched = current.join(df.select(self.pk), on=self.pk, how="left_semi")
         updated = matched.withColumns(

@@ -130,7 +130,6 @@ _ROTATING = [
     "scan_skip",
     # aggregate family (r02 only)
     "agg_having",
-    "agg_distinct",
     # one stale re-verification per remaining window family (oldest green
     # in each family, so the family ships with a current-round row)
     "sort_rvc_offset_page",   # sort_ (r03)
@@ -149,6 +148,7 @@ _ROTATING = [
     "join_full_nonequi_residual", # FULL outer + non-equi residual ON
     "dt_week_dayofweek",          # WEEK/DAYOFWEEK numbering via Engine.sql
     "cast_coerce_matrix",         # datetime↔numeric epoch-ms casts
+    "bson_deep_update",           # deep-path BSON update expressions
 ]
 
 _TIER1 = _PERMANENT + _ROTATING

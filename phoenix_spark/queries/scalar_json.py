@@ -251,3 +251,45 @@ REG.add(
       AND json_extract(props, '$.missing') IS NULL
     """,
 )
+
+
+# --- deep-path BSON update expressions (round 7, Bson2IT/Bson3IT replays) ----
+def _bson_deep_update(spark, sf):
+    """BSON_UPDATE_EXPRESSION over DEEP "." / "[n]" paths
+    (UpdateExpressionUtils; Bson2IT.testUpdateExpressions:47): per row,
+    build a nested document, apply $SET at a list index + $UNSET of a
+    nested key + $ADD of a counter, and project the affected fields back
+    out.  All JVM-side JSON/variant expressions — each path level is one
+    lambda-bound map/array rebuild, linear plan size, codegen-friendly, no
+    shuffle (a pure per-row map at any scale)."""
+    from phoenix_spark.bson import bson_update_expression
+
+    df = t(spark, sf, "events").select("event_id", "value")
+    doc = F.concat(
+        F.lit('{"m":{"list":[1,2,3],"z":5},"v":'),
+        F.col("value").cast("long").cast("string"),
+        F.lit("}"),
+    )
+    updated = bson_update_expression(
+        doc,
+        '{"$SET": {"m.list[1]": 99}, "$UNSET": {"m.z": null},'
+        ' "$ADD": {"cnt": 2}}',
+    )
+    return df.select(
+        "event_id",
+        F.get_json_object(updated, "$.m.list[1]").cast("int").alias("l1"),
+        F.get_json_object(updated, "$.m.z").cast("string").alias("z"),
+        F.get_json_object(updated, "$.cnt").cast("int").alias("cnt"),
+        F.get_json_object(updated, "$.v").cast("long").alias("v"),
+    )
+
+
+REG.add(
+    "bson_deep_update",
+    _bson_deep_update,
+    """
+    SELECT event_id, 99 AS l1, CAST(NULL AS VARCHAR) AS z, 2 AS cnt,
+           CAST(trunc(value) AS BIGINT) AS v
+    FROM events
+    """,
+)

@@ -43,5 +43,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # deep-path BSON update expressions nest one lambda per path level
+        # per op (bson._deep_set_json); the analyzer resolves one lambda
+        # nesting level per fixed-point pass, so a Bson2IT-sized update
+        # (9 ops over 4-level paths) legitimately needs > 100 passes
+        .config("spark.sql.analyzer.maxIterations", "1000")
     )
     return builder.getOrCreate()

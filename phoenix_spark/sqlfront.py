@@ -2369,9 +2369,12 @@ def _term_start(s: str, i: int) -> int:
 # ---------------------------------------------------------------------------
 # Array subscripts: term[e] (grammar :1149 arrayElemRef) is ONE-based in
 # Phoenix; Spark's [] is zero-based, so passing it through would silently
-# return the neighboring element.  Lower to element_at (also 1-based).
-# Runs after the ARRAY[...] constructor rewrite, so every remaining '['
-# preceded by a term is a subscript.
+# return the neighboring element.  Lower to try_element_at (also 1-based):
+# an out-of-range index yields NULL, never an error
+# (PArrayDataTypeDecoder.positionAtArrayElement:63-66 sets an empty ptr;
+# Array1IT.testArraySelectWithORCondition relies on a_char_array[0] being
+# NULL).  Runs after the ARRAY[...] constructor rewrite, so every remaining
+# '[' preceded by a term is a subscript.
 # ---------------------------------------------------------------------------
 
 
@@ -2388,6 +2391,22 @@ def _rewrite_subscripts(masked: str) -> str:
             i = idx + 1
             continue
         start = _term_start(masked, idx)
+        term = masked[start:j]
+        if term.strip().upper() == "END":
+            # CASE ... END [n]: the subscripted term is the whole CASE
+            # expression — walk back to the matching CASE keyword
+            depth_c = 1
+            for cm in reversed(
+                list(re.finditer(r"\b(CASE|END)\b", masked[:start], re.I))
+            ):
+                if cm.group(1).upper() == "END":
+                    depth_c += 1
+                else:
+                    depth_c -= 1
+                    if depth_c == 0:
+                        start = cm.start()
+                        break
+            term = masked[start:j]
         depth, k = 1, idx + 1
         while k < len(masked) and depth:
             c = masked[k]
@@ -2396,11 +2415,18 @@ def _rewrite_subscripts(masked: str) -> str:
             elif c == "]":
                 depth -= 1
             k += 1
-        term = masked[start:j]
         inner = masked[idx + 1 : k - 1]
-        masked = (
-            masked[:start] + f"element_at({term}, {inner})" + masked[k:]
-        )
+        # Spark's try_element_at still errors on index 0 and reads negative
+        # indices from the END — both meaningless in Phoenix (NULL); guard
+        # non-positive indices unless the literal is provably positive
+        if re.fullmatch(r"\s*\d+\s*", inner) and int(inner) > 0:
+            repl = f"try_element_at({term}, {inner})"
+        else:
+            repl = (
+                f"try_element_at({term}, "
+                f"if(({inner}) < 1, 2147483647, ({inner})))"
+            )
+        masked = masked[:start] + repl + masked[k:]
         i = start
     # unreachable
 

@@ -66,10 +66,13 @@ def test_changelog_matches_dict_model(spark, tmp_path_factory, ops):
             model = {k: v for k, v in model.items() if k > arg}
         elif op == "dup_ignore":
             batch = {k: v for k, v in arg}
-            mt.upsert_rows(
+            n = mt.upsert_rows(
                 [{"k": k, "v": v} for k, v in batch.items()],
                 on_duplicate="ignore",
             )
+            # r7 count contract (OnDuplicateKey2IT.testIgnoreReturnValue):
+            # only the actually-INSERTED rows count
+            assert n == sum(1 for k in batch if k not in model)
             for k, v in batch.items():
                 model.setdefault(k, v)
         elif op in ("dup_update", "dup_update_only"):
@@ -77,12 +80,15 @@ def test_changelog_matches_dict_model(spark, tmp_path_factory, ops):
 
             batch = {k: v for k, v in arg}
             assigns = {"v": "v + 1"}
-            mt.upsert_rows(
+            n = mt.upsert_rows(
                 [{"k": k, "v": v} for k, v in batch.items()],
                 on_duplicate=(
                     UpdateOnly(assigns) if op == "dup_update_only" else assigns
                 ),
             )
+            if op == "dup_update_only":
+                # r7 count contract: absent-PK rows are dropped, not counted
+                assert n == sum(1 for k in batch if k in model)
             for k, v in batch.items():
                 if k in model:
                     model[k] = model[k] + 1  # expression over the EXISTING row
