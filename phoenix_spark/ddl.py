@@ -105,6 +105,8 @@ class Delete:
     table: str
     where: str | None
     returning: bool = False  # RETURNING * (grammar :958)
+    order_by: str | None = None  # DELETE ... ORDER BY ... LIMIT n (TopNIT)
+    limit: int | None = None
 
 
 @dataclass
@@ -409,12 +411,17 @@ def parse_upsert(sql: str) -> Upsert:
 
 
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)(?:\s+WHERE\s+(?P<where>.*))?$",
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
 def parse_delete(sql: str) -> Delete:
+    """DELETE FROM t [WHERE ...] [ORDER BY ...] [LIMIT n] — the ordered
+    top-N delete is DeleteCompiler's LIMIT path (TopNIT.testTopNDelete)."""
     sql, n_ret = _RETURNING_RE.subn("", _strip(sql))
     m = _DELETE_RE.match(_strip(sql))
     if not m:
@@ -423,6 +430,8 @@ def parse_delete(sql: str) -> Delete:
         table=m.group("name").strip('"').lower(),
         where=_strip(m.group("where")) if m.group("where") else None,
         returning=bool(n_ret),
+        order_by=_strip(m.group("order")) if m.group("order") else None,
+        limit=int(m.group("limit")) if m.group("limit") else None,
     )
 
 

@@ -310,6 +310,14 @@ class Engine:
 
         return self._typed_columns_for(text, (StringType,))
 
+    def _float_columns_for(self, text: str) -> set[str]:
+        """FLOAT-typed columns — comparison literals coerce to the column
+        type in the dialect, so float comparisons run at float precision
+        (NotQueryIT; sqlfront._rewrite_float_literal_cmp)."""
+        from pyspark.sql.types import FloatType
+
+        return self._typed_columns_for(text, (FloatType,))
+
     # -- sequences (SequenceRegionObserver analogue) -----------------------
 
     def _sequences(self) -> dict:
@@ -548,6 +556,7 @@ class Engine:
                 ts_columns=self._ts_columns_for(text),
                 int_columns=self._int_columns_for(text),
                 str_columns=self._str_columns_for(text),
+                float_columns=self._float_columns_for(text),
             )
         )
 
@@ -823,6 +832,7 @@ class Engine:
                 ts_columns=self._ts_columns_for(probe_sql),
                 int_columns=self._int_columns_for(probe_sql),
                 str_columns=self._str_columns_for(probe_sql),
+                float_columns=self._float_columns_for(probe_sql),
             )
         )
         # per-partition row counts: one tiny aggregate (num-partitions rows)
@@ -2005,6 +2015,7 @@ class Engine:
                     ts_columns=self._ts_columns_for(text),
                     int_columns=self._int_columns_for(text),
                     str_columns=self._str_columns_for(text),
+                    float_columns=self._float_columns_for(text),
                 )
 
             def _dup_expr(e: str):
@@ -2422,23 +2433,35 @@ class Engine:
                 node = parent
             if dl.where:
                 preds.append(f"({dl.where})")
-            dl = D.Delete(node, " AND ".join(preds) or None, dl.returning)
+            dl = D.Delete(
+                node, " AND ".join(preds) or None, dl.returning,
+                dl.order_by, dl.limit,
+            )
         mt = self.managed(dl.table)
         cond = translate_phoenix_sql(dl.where) if dl.where else None
+        order = translate_phoenix_sql(dl.order_by) if dl.order_by else None
         has_idx = any(
             d.table == dl.table.split(".")[-1].lower() for d in self._indexes.values()
         )
         victims = None
         if dl.returning or has_idx:
+            if dl.limit is not None or order:
+                # the RETURNING/index paths capture their own victim slice;
+                # re-deriving the top-N cut twice risks divergence under
+                # ties — refuse loudly rather than desync an index
+                raise ValueError(
+                    "DELETE ... ORDER BY/LIMIT is not supported with "
+                    "RETURNING or on an indexed table"
+                )
             # capture the affected slice against the pre-delete segment list
             # (segments are immutable; the tombstone commit adds new files)
             victims = mt.read().filter(cond) if cond else mt.read()
         prev_ts = mt._next_ts() - 1
-        mt.delete_where(cond)
+        n = mt.delete_where(cond, order_by=order, limit=dl.limit)
         self._register(dl.table)
         if has_idx:
             self._sync_indexes(dl.table, victims.select(*mt.pk), prev_ts)
-        return victims if dl.returning else 0
+        return victims if dl.returning else n
 
     def _eval_literal(self, lit: str):
         """Evaluate one UPSERT VALUES literal driver-side (UpsertCompiler's

@@ -259,17 +259,70 @@ class ManagedTable:
         df = self.spark.createDataFrame(list(by_pk.values()), schema=self.schema)
         return self.upsert_df(df, on_duplicate=on_duplicate)
 
-    def delete_where(self, condition: str | F.Column | None) -> int:
-        """DELETE FROM t WHERE ...: append tombstones for matching PKs.
+    def delete_where(
+        self,
+        condition: str | F.Column | None,
+        order_by: str | None = None,
+        limit: int | None = None,
+    ) -> int:
+        """DELETE FROM t WHERE ... [ORDER BY ... LIMIT n]: append tombstones
+        for matching PKs; returns the DELETED-row count (observed on the
+        tombstone write itself).
 
         Mirrors DeleteCompiler's "run a query for the row keys, emit delete
         mutations" shape — the scan is distributed, only tombstone PK rows
-        are written.
+        are written.  The ordered LIMIT form is DeleteCompiler's top-N
+        delete (TopNIT.testTopNDelete): sort, cut, tombstone.
         """
+        from pyspark.sql import Observation
+
         ts = self._next_ts()
         cur = self.read()
         victims = cur.filter(condition) if condition is not None else cur
-        return self._append_segment(victims, ts, deleted=True)
+        if order_by:
+            import re as _re
+
+            sort_cols = []
+            depth, last, items = 0, 0, []
+            for i, ch in enumerate(order_by):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    items.append(order_by[last:i])
+                    last = i + 1
+            items.append(order_by[last:])
+            for item in items:
+                m = _re.match(
+                    r"(.*?)\s*(ASC|DESC)?\s*(?:NULLS\s+(FIRST|LAST))?\s*$",
+                    item.strip(), _re.I | _re.S,
+                )
+                col = F.expr(m.group(1))
+                desc = (m.group(2) or "").upper() == "DESC"
+                # Phoenix default: NULLS FIRST in both directions
+                nulls_last = (m.group(3) or "").upper() == "LAST"
+                if desc:
+                    col = (
+                        col.desc_nulls_last() if nulls_last
+                        else col.desc_nulls_first()
+                    )
+                else:
+                    col = (
+                        col.asc_nulls_last() if nulls_last
+                        else col.asc_nulls_first()
+                    )
+                sort_cols.append(col)
+            victims = victims.orderBy(*sort_cols)
+        if limit is not None:
+            victims = victims.limit(limit)
+        obs = Observation()
+        self._append_segment(
+            victims.observe(obs, F.count(F.lit(1)).alias("n")),
+            ts,
+            deleted=True,
+        )
+        return int(obs.get["n"])
 
     def compact(self) -> None:
         """Fold all segments into one base segment (retention/TTL hook).

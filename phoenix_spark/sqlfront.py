@@ -109,6 +109,7 @@ _SHAPE_FNS = (
     "BSON_VALUE_TYPE",
     "UPPER",   # optional locale argument
     "LOWER",
+    "LPAD",    # empty fill / non-positive length → NULL (StringIT)
 )
 
 _WORD_RE = re.compile(
@@ -716,6 +717,17 @@ def _rewrite_call(name: str, args: list[str]) -> str:
                 f"cast(to_timestamp({args[0]}, '{spark_fmt}') as timestamp_ntz)"
             )
         raise PhoenixTranslationError(f"{up} with {len(args)} args")
+    if up == "LPAD":
+        # LPadFunction (StringIT.java:159-232): a non-positive output
+        # length or an EMPTY fill string yields NULL — Spark's lpad returns
+        # '' / the unpadded string there.  NULL fill already propagates.
+        if len(args) not in (2, 3):
+            raise PhoenixTranslationError(f"LPAD with {len(args)} args")
+        fill = args[2] if len(args) == 3 else "' '"
+        return (
+            f"if(({args[1]}) < 1 OR length({fill}) = 0, NULL, "
+            f"lpad({args[0]}, {args[1]}, {fill}))"
+        )
     if up == "LOG":
         # Phoenix LOG(x[, base]) defaults to base 10; Spark log(base, x)
         if len(args) == 1:
@@ -1863,6 +1875,7 @@ def translate_phoenix_sql(
     ts_columns: set[str] | None = None,
     int_columns: set[str] | None = None,
     str_columns: set[str] | None = None,
+    float_columns: set[str] | None = None,
 ) -> str:
     """Rewrite Phoenix-dialect SQL into Spark SQL (literal-safe).
 
@@ -2003,6 +2016,8 @@ def translate_phoenix_sql(
         masked, ts_columns or set(), int_columns or set()
     )
     masked = _rewrite_date_arith(masked, ts_columns or set())
+    if float_columns:
+        masked = _rewrite_float_literal_cmp(masked, float_columns)
     if int_columns or str_columns:
         masked = _rewrite_typed_expressions(
             masked, int_columns or set(), str_columns or set(), stash
@@ -2019,6 +2034,56 @@ def translate_phoenix_sql(
     # unmask per-argument inside the rewriter via a wrapper.
     rewritten = _rewrite_code_masked(masked, _unmask)
     return _unmask(rewritten)
+
+
+def _rewrite_float_literal_cmp(masked: str, float_columns: set[str]) -> str:
+    """Phoenix coerces comparison literals to the COLUMN's type, so
+    ``a_float = 0.01`` compares at FLOAT precision and matches the stored
+    0.01f (NotQueryIT.testNotInListOfFloat).  Spark promotes the float
+    column to double instead, where 0.01f != 0.01d — every such comparison
+    silently fails.  Cast numeric literals compared (=, !=, <, IN, BETWEEN)
+    against known float-typed columns to FLOAT."""
+    if not float_columns:
+        return masked
+    cols = "|".join(
+        re.escape(c) for c in sorted(float_columns, key=len, reverse=True)
+    )
+    colref = rf"(?<![\w.])(?:[A-Za-z_]\w*\.)?(?:{cols})\b"
+    num = r"-?\d+(?:\.\d+)?"
+
+    def cast(lit: str) -> str:
+        return f"CAST({lit} AS FLOAT)"
+
+    masked = re.sub(
+        rf"({colref})(\s*(?:<=|>=|<>|!=|=|<|>)\s*)({num})(?![\w.])",
+        lambda m: m.group(1) + m.group(2) + cast(m.group(3)),
+        masked, flags=re.I,
+    )
+    masked = re.sub(
+        rf"(?<![\w.])({num})(\s*(?:<=|>=|<>|!=|=|<|>)\s*)({colref})",
+        lambda m: cast(m.group(1)) + m.group(2) + m.group(3),
+        masked, flags=re.I,
+    )
+
+    def _in(m: re.Match) -> str:
+        items = [x.strip() for x in m.group(3).split(",")]
+        if items and all(re.fullmatch(num, x) for x in items):
+            return (
+                m.group(1) + m.group(2)
+                + "(" + ", ".join(cast(x) for x in items) + ")"
+            )
+        return m.group(0)
+
+    masked = re.sub(
+        rf"({colref})(\s+(?:NOT\s+)?IN\s*)\(([^()]*)\)", _in, masked, flags=re.I
+    )
+    masked = re.sub(
+        rf"({colref})(\s+(?:NOT\s+)?BETWEEN\s+)({num})(\s+AND\s+)({num})(?![\w.])",
+        lambda m: m.group(1) + m.group(2) + cast(m.group(3))
+        + m.group(4) + cast(m.group(5)),
+        masked, flags=re.I,
+    )
+    return masked
 
 
 def _rewrite_orderby_null_default(masked: str) -> str:
