@@ -2330,6 +2330,15 @@ class Engine:
                     dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
                 ) and isinstance(v, Decimal):
                     return int(v)
+                if isinstance(dt, T.BinaryType) and isinstance(v, str):
+                    # string literal into BINARY/VARBINARY: UTF-8 bytes
+                    # (PVarbinary coercion; NullIT.testBinaryNullAssignment)
+                    return v.encode("utf-8")
+                if isinstance(dt, T.StringType) and v == "":
+                    # Phoenix stores '' as NULL — an empty byte array IS the
+                    # null representation for VARCHAR/CHAR
+                    # (NullIT.testEmptyStringValue)
+                    return None
                 return v
 
             rows = [

@@ -149,8 +149,17 @@ class ManagedTable:
     # -- write path --------------------------------------------------------
 
     def _append_segment(self, df: DataFrame, ts: int, deleted: bool = False) -> int:
+        from pyspark.sql import types as _T
+
+        # Phoenix stores the empty string as NULL — an empty byte array IS
+        # the VARCHAR/CHAR null representation (PVarchar;
+        # NullIT.testEmptyStringValue) — canonicalize at write time so every
+        # path (VALUES, SELECT, dup-update expressions) agrees
         cols = [
-            F.col(f.name).cast(f.dataType).alias(f.name) for f in self.schema.fields
+            F.nullif(F.col(f.name).cast(f.dataType), F.lit("")).alias(f.name)
+            if isinstance(f.dataType, _T.StringType)
+            else F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in self.schema.fields
         ]
         out = df.select(*cols).withColumns(
             {_TS_COL: F.lit(ts).cast("long"), _DEL_COL: F.lit(deleted)}

@@ -893,12 +893,14 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         except BsonConditionError as e:
             raise PhoenixTranslationError(str(e)) from None
     if up == "BSON_VALUE":
-        # BsonValueFunction(doc, fieldKey, sqlType): typed leaf extraction
+        # BsonValueFunction(doc, fieldKey, sqlType[, default]): typed leaf
+        # extraction; the 4-arg form (Bson6IT.java:117) substitutes the
+        # default when the field is absent
         from phoenix_spark.types import parse_type
 
-        if len(args) != 3:
+        if len(args) not in (3, 4):
             raise PhoenixTranslationError(
-                "BSON_VALUE requires (doc, field, type)"
+                "BSON_VALUE requires (doc, field, type[, default])"
             )
         field, typ = _literal_text(args[1]), _literal_text(args[2])
         if field is None or typ is None:
@@ -906,9 +908,15 @@ def _rewrite_call(name: str, args: list[str]) -> str:
                 "BSON_VALUE field and type must be string literals"
             )
         if typ.upper() in ("BSON", "JSON"):
-            return f"get_json_object({args[0]}, '$.{field}')"
-        spark_t = parse_type(typ).simpleString()
-        return f"cast(get_json_object({args[0]}, '$.{field}') as {spark_t})"
+            expr = f"get_json_object({args[0]}, '$.{field}')"
+        else:
+            spark_t = parse_type(typ).simpleString()
+            expr = f"cast(get_json_object({args[0]}, '$.{field}') as {spark_t})"
+        if len(args) == 4:
+            if typ.upper() not in ("BSON", "JSON"):
+                return f"coalesce({expr}, cast({args[3]} as {spark_t}))"
+            return f"coalesce({expr}, {args[3]})"
+        return expr
     if up == "BSON_VALUE_TYPE":
         # BsonValueTypeFunction:121-143 — Phoenix SQL type name of the
         # field; SQL rendering of functions.bson_value_type's variant probe
