@@ -640,7 +640,8 @@ class Engine:
     # col-TYPE pair shape distinguishes it from a derived table `FROM (SELECT
     # ...)`, whose first token is SELECT.
     _DYN_COLS_RE = re.compile(
-        r"\b(FROM|JOIN)\s+([\w.]+)\s*\(\s*"
+        r"\b(FROM|JOIN)\s+([\w.]+)"
+        r"(?:\s+(?:AS\s+)?(?!ON\b|WHERE\b|JOIN\b)([A-Za-z_]\w*))?\s*\(\s*"
         r"([A-Za-z_]\w*\s+[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
         r"(?:\s*,\s*[A-Za-z_]\w*\s+[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)*)"
         r"\s*\)",
@@ -648,7 +649,8 @@ class Engine:
     )
 
     def _rewrite_dynamic_cols(self, text: str) -> str:
-        """``SELECT * FROM t (mycol VARCHAR)`` → temp view with the dynamic
+        """``SELECT * FROM t (mycol VARCHAR)`` (also ``t alias(mycol
+        VARCHAR)``, HashJoinMoreIT.java:255) → temp view with the dynamic
         columns resolved from the table's JSON overflow column, substituted
         for the table reference (the Engine.table(dyn_cols=...) surface,
         reachable from plain SQL)."""
@@ -657,7 +659,7 @@ class Engine:
             table = m.group(2)
             key = table.split(".")[-1].lower()
             dyn: dict[str, str] = {}
-            for item in m.group(3).split(","):
+            for item in m.group(4).split(","):
                 parts = item.strip().split(None, 1)
                 if len(parts) != 2:
                     return m.group(0)
@@ -669,6 +671,8 @@ class Engine:
             spec = ",".join(f"{k}:{v}" for k, v in sorted(dyn.items()))
             view = f"{key}__dyn{hashlib.md5(spec.encode()).hexdigest()[:8]}"
             self.table(key, dyn_cols=dyn).createOrReplaceTempView(view)
+            if m.group(3):  # alias written BEFORE the dyn-column list
+                return f"{m.group(1)} {view} {m.group(3)}"
             # keep qualified references (t.col) resolving: alias the view as
             # the table name unless the query supplies its own alias next
             nxt = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", m.string[m.end() :])

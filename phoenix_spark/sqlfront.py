@@ -2526,7 +2526,10 @@ def _rewrite_quantified(masked: str) -> str:
             out.append(masked[pos:])
             return "".join(out)
         close = _match_paren(masked, m.end())
-        inner = masked[m.end() : close - 1].strip()
+        # nested quantified comparisons inside the subquery/array operand
+        # must rewrite too (HashJoinMoreIT.testSubqueryWithoutData nests
+        # `> ALL` and `< ANY` inside an `= ANY` subquery)
+        inner = _rewrite_quantified(masked[m.end() : close - 1].strip())
         op = {"!=": "<>"}.get(m.group(1), m.group(1))
         quant = m.group(2).upper().replace("SOME", "ANY")
         lstart = _term_start(masked, m.start())
