@@ -2393,10 +2393,31 @@ class Engine:
             # a separate .count() pre-scan — a 100 TB INSERT-SELECT must read
             # its source exactly once
             obs = Observation()
-            mt.upsert_df(
-                df.observe(obs, F.count(F.lit(1)).alias("n")),
-                on_duplicate=up.on_duplicate,
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            # PK invariant: a source that yields DUPLICATE target PKs must
+            # collapse to one row per key, last-in-source-order winning —
+            # the reference's sequential puts overwrite the same rowkey
+            # (UpsertSelectIT.testUpsertSelectWithOrderBy: 513 rows with
+            # one constant key leave ONE row, the ORDER BY's last).
+            # monotonically_increasing_id AFTER the (possibly sorted)
+            # source preserves its order: the sort's range exchange orders
+            # partitions, and ids carry the partition in their high bits.
+            # One window shuffle on the PK — the same co-location the
+            # segment write wants anyway.
+            from pyspark.sql import Window as _W
+
+            df = (
+                df.withColumn("__ord", F.monotonically_increasing_id())
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        _W.partitionBy(*mt.pk).orderBy(F.col("__ord").desc())
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__ord", "__rn")
             )
+            mt.upsert_df(df, on_duplicate=up.on_duplicate)
             n = obs.get["n"]
         else:
             from phoenix_spark.ddl import UpdateOnly
