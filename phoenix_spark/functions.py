@@ -60,7 +60,7 @@ FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "TRIM": ("str", "trim", "str_trim_pad_concat"),
     "LTRIM": ("str", "ltrim", "str_trim_pad_concat"),
     "RTRIM": ("str", "rtrim", "str_trim_pad_concat"),
-    "LPAD": ("str", "lpad", "str_trim_pad_concat"),
+    "LPAD": ("str", "lpad; empty fill / len<1 → NULL (LPadFunction)", "str_trim_pad_concat / test_string_it_replay"),
     "LENGTH": ("str", "length", "str_substr_instr_case"),
     "REGEXP_SUBSTR": ("str", "regexp_extract(s, p, 0) (whole match)", "str_regexp / engine_sql_roundtrip"),
     "REGEXP_REPLACE": ("str", "regexp_replace (all matches)", "str_regexp"),
