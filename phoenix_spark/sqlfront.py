@@ -2378,7 +2378,10 @@ def _lower_within_group(name: str, args: list[str], key: str, desc: bool) -> str
     fwd = f"reverse({sorted_asc})" if desc else sorted_asc
     bwd = sorted_asc if desc else f"reverse({sorted_asc})"
     if name == "NTH_VALUE":
-        return f"element_at(transform({fwd}, __s -> __s._v), {args[1]})"
+        # n beyond the group size is NULL, never an error (NthValueFunction
+        # returns no value; CoalesceFunctionIT.java:157 composes
+        # NTH_VALUE(c, 100) over a one-row group inside COALESCE)
+        return f"try_element_at(transform({fwd}, __s -> __s._v), {args[1]})"
     if name == "FIRST_VALUES":
         return f"transform(slice({fwd}, 1, {args[1]}), __s -> __s._v)"
     # LAST_VALUES: last n, emitted nearest-the-end first (LastValuesFunction)
