@@ -80,6 +80,7 @@ _SHAPE_FNS = (
     "FLOOR",
     "CEIL",
     "REGEXP_SUBSTR",
+    "REGEXP_REPLACE",  # 2-arg form removes matches
     "STRING_TO_ARRAY",
     "TO_NUMBER",
     "TO_CHAR",
@@ -717,6 +718,13 @@ def _rewrite_call(name: str, args: list[str]) -> str:
                 f"cast(to_timestamp({args[0]}, '{spark_fmt}') as timestamp_ntz)"
             )
         raise PhoenixTranslationError(f"{up} with {len(args)} args")
+    if up == "REGEXP_REPLACE":
+        # 2-arg form REMOVES matches (RegexpReplaceFunction's replacement
+        # defaults to empty; RegexpReplaceFunctionIT.java:78); Spark's
+        # builtin requires the replacement
+        if len(args) == 2:
+            return f"regexp_replace({args[0]}, {args[1]}, '')"
+        return f"regexp_replace({', '.join(args)})"
     if up == "LPAD":
         # LPadFunction (StringIT.java:159-232): a non-positive output
         # length or an EMPTY fill string yields NULL — Spark's lpad returns
