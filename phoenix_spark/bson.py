@@ -515,6 +515,30 @@ def _bind(col: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(col), fn), 1)
 
 
+# UpdateExpressionUtils.INVALID_UPDATE_PATH_MESSAGE (UpdateExpressionUtils.java:49):
+# every op throws BsonUpdateInvalidArgumentException when a path INTERMEDIATE is
+# missing or the wrong container type (updateNestedField:363-426); only the LEAF
+# may be absent (SET/ADD create it, UNSET/DELETE_FROM_SET no-op).
+_INVALID_PATH_MSG = (
+    "The document path provided in the update expression is invalid for update"
+)
+
+
+def _jsonpath(segs: list[object]) -> str:
+    """Render parsed path segments back to a get_json_object JSONPath."""
+    out = "$"
+    for s in segs:
+        out += f"[{s}]" if isinstance(s, int) else f".{s}"
+    return out
+
+
+def _guard_present(col: Column) -> Column:
+    """Raise the reference's invalid-path error when an intermediate path
+    level resolves to NULL (missing field / wrong container type) instead of
+    silently splicing nulls or fabricating the level."""
+    return F.when(col.isNull(), F.raise_error(F.lit(_INVALID_PATH_MSG))).otherwise(col)
+
+
 def _deep_set_json(doc_text: Column, segs: list[object], new_text: Column) -> Column:
     """Updated-JSON-text Column: set the value at ``segs`` to ``new_text``
     (itself a JSON-text Column).  Mirror of sqlfront._json_modify_expr."""
@@ -522,9 +546,9 @@ def _deep_set_json(doc_text: Column, segs: list[object], new_text: Column) -> Co
 
     def build(d: Column) -> Column:
         if isinstance(seg, int):
-            arr = F.from_json(d, "array<variant>")
+            arr = _guard_present(F.from_json(d, "array<variant>"))
             if rest:
-                inner = F.to_json(F.element_at(arr, seg + 1))
+                inner = _guard_present(F.to_json(F.element_at(arr, seg + 1)))
                 nt = _deep_set_json(inner, rest, new_text)
             else:
                 nt = new_text
@@ -536,13 +560,13 @@ def _deep_set_json(doc_text: Column, segs: list[object], new_text: Column) -> Co
                 )
             )
         if rest:
-            inner = F.coalesce(F.get_json_object(d, f"$.{seg}"), F.lit("{}"))
+            inner = _guard_present(F.get_json_object(d, f"$.{seg}"))
             nt = _deep_set_json(inner, rest, new_text)
         else:
             nt = new_text
         merged = F.map_concat(
             F.map_filter(
-                F.from_json(d, "map<string,variant>"),
+                _guard_present(F.from_json(d, "map<string,variant>")),
                 lambda k, _v: k != seg,
             ),
             F.create_map(F.lit(seg), F.parse_json(nt)),
@@ -558,9 +582,9 @@ def _deep_remove_json(doc_text: Column, segs: list[object]) -> Column:
 
     def build(d: Column) -> Column:
         if isinstance(seg, int):
-            arr = F.from_json(d, "array<variant>")
+            arr = _guard_present(F.from_json(d, "array<variant>"))
             if rest:
-                inner = F.to_json(F.element_at(arr, seg + 1))
+                inner = _guard_present(F.to_json(F.element_at(arr, seg + 1)))
                 nt = _deep_remove_json(inner, rest)
                 return F.to_json(
                     F.concat(
@@ -576,11 +600,11 @@ def _deep_remove_json(doc_text: Column, segs: list[object]) -> Column:
                 )
             )
         if rest:
-            inner = F.get_json_object(d, f"$.{seg}")
+            inner = _guard_present(F.get_json_object(d, f"$.{seg}"))
             nt = _deep_remove_json(inner, rest)
             merged = F.map_concat(
                 F.map_filter(
-                    F.from_json(d, "map<string,variant>"),
+                    _guard_present(F.from_json(d, "map<string,variant>")),
                     lambda k, _v: k != seg,
                 ),
                 F.create_map(F.lit(seg), F.parse_json(nt)),
@@ -588,7 +612,7 @@ def _deep_remove_json(doc_text: Column, segs: list[object]) -> Column:
             return _sorted_obj_json(merged)
         return _sorted_obj_json(
             F.map_filter(
-                F.from_json(d, "map<string,variant>"),
+                _guard_present(F.from_json(d, "map<string,variant>")),
                 lambda k, _v: k != seg,
             )
         )
@@ -698,8 +722,15 @@ def _apply_deep_field_bound(doc_text: Column, field: str, op: str, value) -> Col
         )
     )
     new_text = F.concat(F.lit("["), F.concat_ws(",", kept), F.lit("]"))
-    # absent field → document unchanged
-    return F.when(cur.isNull(), doc_text).otherwise(
+    # Absent LEAF (parent present) → document unchanged; absent INTERMEDIATE
+    # still raises via _deep_set_json's path guards, matching the reference's
+    # updateNestedField contract.
+    if len(segs) > 1:
+        parent = F.get_json_object(doc_text, _jsonpath(segs[:-1]))
+        noop = cur.isNull() & parent.isNotNull()
+    else:
+        noop = cur.isNull()
+    return F.when(noop, doc_text).otherwise(
         _deep_set_json(doc_text, segs, new_text)
     )
 

@@ -410,28 +410,84 @@ def parse_upsert(sql: str) -> Upsert:
     return Upsert(table, columns, None, rest, on_dup, returning=bool(n_ret))
 
 
-_DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+_DELETE_HEAD_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.\"]+)\s*(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_DELETE_CLAUSE_RE = re.compile(
+    r"\b(WHERE|ORDER\s+BY|LIMIT)\b", re.IGNORECASE | re.DOTALL
+)
+
+
+def _top_level_clauses(tail: str, pattern: re.Pattern) -> list[tuple[str, str]]:
+    """Split ``tail`` into (keyword, body) clauses, keyword matched only at
+    paren depth 0 and outside string literals — a WHERE subquery's own ORDER
+    BY/LIMIT (depth > 0) must not be mistaken for the delete's clauses."""
+    marks: list[tuple[int, int, str]] = []  # (start, end, canonical keyword)
+    depth, i = 0, 0
+    while i < len(tail):
+        c = tail[i]
+        if c == "'":
+            j = i + 1
+            while j < len(tail):
+                if tail[j] == "'" and not (j + 1 < len(tail) and tail[j + 1] == "'"):
+                    break
+                j += 1 if tail[j] != "'" else 2
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c.isalpha():
+            m = pattern.match(tail, i)
+            if m and (i == 0 or not (tail[i - 1].isalnum() or tail[i - 1] == "_")):
+                marks.append((m.start(), m.end(), re.sub(r"\s+", " ", m.group(1).upper())))
+                i = m.end()
+                continue
+            # skip the whole word so ORDER inside an identifier can't match
+            while i < len(tail) and (tail[i].isalnum() or tail[i] == "_"):
+                i += 1
+            continue
+        i += 1
+    out: list[tuple[str, str]] = []
+    for k, (start, end, kw) in enumerate(marks):
+        stop = marks[k + 1][0] if k + 1 < len(marks) else len(tail)
+        out.append((kw, tail[end:stop].strip()))
+    return out
 
 
 def parse_delete(sql: str) -> Delete:
     """DELETE FROM t [WHERE ...] [ORDER BY ...] [LIMIT n] — the ordered
-    top-N delete is DeleteCompiler's LIMIT path (TopNIT.testTopNDelete)."""
+    top-N delete is DeleteCompiler's LIMIT path (TopNIT.testTopNDelete).
+    Clause keywords are recognized only at paren depth 0 / outside string
+    literals, so ``WHERE id IN (SELECT ... ORDER BY x LIMIT 5)`` keeps the
+    subquery's ORDER BY/LIMIT inside the predicate."""
     sql, n_ret = _RETURNING_RE.subn("", _strip(sql))
-    m = _DELETE_RE.match(_strip(sql))
+    m = _DELETE_HEAD_RE.match(_strip(sql))
     if not m:
         raise ValueError(f"unparseable DELETE: {sql[:120]!r}")
+    where = order_by = None
+    limit = None
+    tail = m.group("tail").strip()
+    clauses = _top_level_clauses(tail, _DELETE_CLAUSE_RE)
+    if tail and (not clauses or not tail.upper().startswith(clauses[0][0].split()[0])):
+        raise ValueError(f"unparseable DELETE tail: {tail[:120]!r}")
+    for kw, body in clauses:
+        if kw == "WHERE":
+            where = body or None
+        elif kw == "ORDER BY":
+            order_by = body or None
+        elif kw == "LIMIT":
+            if not re.fullmatch(r"\d+", body):
+                raise ValueError(f"bad DELETE LIMIT: {body!r}")
+            limit = int(body)
     return Delete(
         table=m.group("name").strip('"').lower(),
-        where=_strip(m.group("where")) if m.group("where") else None,
+        where=where,
         returning=bool(n_ret),
-        order_by=_strip(m.group("order")) if m.group("order") else None,
-        limit=int(m.group("limit")) if m.group("limit") else None,
+        order_by=order_by,
+        limit=limit,
     )
 
 

@@ -41,6 +41,7 @@ class Engine:
         sf_dir: str | None = None,
         warehouse: str | None = None,
         tenant_id: str | None = None,
+        scn: int | None = None,
     ):
         self.spark = spark
         try:
@@ -66,6 +67,15 @@ class Engine:
                     k: (v[0], v[1], v[2] if len(v) > 2 else {})
                     for k, v in json.load(f).items()
                 }
+        # Tenant-owned views (CREATE VIEW through a tenant connection) are
+        # scoped to that tenant — other connections get the reference's
+        # TableNotFoundException (TenantSpecificTablesDMLIT
+        # .testTenantTableCannotBeUsedInStatementsInNonMultitenantConnections)
+        self._view_owners_path = os.path.join(self.warehouse, "_view_owners.json")
+        self._view_owners: dict[str, str] = {}
+        if os.path.exists(self._view_owners_path):
+            with open(self._view_owners_path) as f:
+                self._view_owners = json.load(f)
         self._seq_path = os.path.join(self.warehouse, "_sequences.json")
         # secondary indexes (SYSTEM.CATALOG's PTableType.INDEX rows analogue)
         self._indexes_path = os.path.join(self.warehouse, "_indexes.json")
@@ -88,6 +98,12 @@ class Engine:
         # tenant connection sees an implicit WHERE tenant = ? and never the
         # tenant column itself.
         self.tenant_id = tenant_id
+        # Point-in-time connection (the CurrentSCN connection attribute,
+        # PhoenixRuntime.CURRENT_SCN_ATTRIB; PointInTimeQueryIT): every
+        # managed-table read resolves AS OF this commit timestamp, and the
+        # connection is read-only (the reference rejects mutations at an SCN
+        # with SQLExceptionCode.CANNOT_UPSERT_WITH_SCN_SET & friends).
+        self.scn = scn
         # CREATE FUNCTION bindings (SYSTEM.FUNCTION rows): name ->
         # (class_name, return_type, num_args).  Session-scoped like the
         # Spark UDF registry the callables live in.
@@ -102,7 +118,37 @@ class Engine:
         e = Engine(self.spark, warehouse=self.warehouse, tenant_id=tenant_id)
         e.catalog = self.catalog
         e._views = self._views
+        e._view_owners = self._view_owners
         return e
+
+    def with_scn(self, scn: int) -> "Engine":
+        """A point-in-time connection (CurrentSCN): reads resolve AS OF the
+        given commit timestamp; mutations are rejected."""
+        e = Engine(
+            self.spark,
+            warehouse=self.warehouse,
+            tenant_id=self.tenant_id,
+            scn=scn,
+        )
+        e.catalog = self.catalog
+        e._views = self._views
+        e._view_owners = self._view_owners
+        return e
+
+    def _check_mutable(self) -> None:
+        """A CurrentSCN connection is read-only (SQLExceptionCode
+        .CANNOT_UPSERT_WITH_SCN_SET / CANNOT_DELETE_WITH_SCN_SET)."""
+        if self.scn is not None:
+            raise ValueError(
+                "connection with CurrentSCN set is read-only: mutations are "
+                "not allowed at a point-in-time snapshot"
+            )
+
+    def commit_ts(self, table: str) -> int:
+        """The latest commit timestamp of a managed table — what a fresh
+        CurrentSCN connection would need to see all current data."""
+        mt = ManagedTable(self.spark, self.warehouse, self._qualify(table))
+        return mt._next_ts() - 1
 
     def _tenant_col(self, mt: ManagedTable) -> str | None:
         props = mt.meta.get("props", {})
@@ -134,6 +180,12 @@ class Engine:
         """
         name = self._qualify(name)
         if name in self._views:
+            owner = self._view_owners.get(name)
+            if owner is not None and owner != self.tenant_id:
+                # tenant-owned view on a foreign/global connection:
+                # TableNotFoundException (MetaDataClient resolves tenant
+                # views only under their tenant)
+                raise ValueError(f"Table undefined. tableName={name}")
             parent, where, vcols = self._views[name]
             # view-defined columns resolve like dynamic columns: typed reads
             # from the parent's JSON overflow column (the reference stores
@@ -150,7 +202,7 @@ class Engine:
         else:
             mt = ManagedTable(self.spark, self.warehouse, name)
             if mt.exists():
-                df = mt.read()
+                df = mt.read(as_of=self.scn)
                 tcol = self._tenant_col(mt) if self.tenant_id else None
                 if tcol:
                     df = df.filter(F.col(tcol) == self.tenant_id).drop(tcol)
@@ -215,27 +267,59 @@ class Engine:
                 dirs[:] = []  # table dirs do not nest further tables
         return names
 
+    def _unscoped(self) -> "Engine":
+        """A global (non-tenant) connection over the same warehouse — used
+        to refresh the SHARED bare temp views: the temp-view namespace is
+        session-global, so its bare names always hold the UNSCOPED state;
+        tenant/SCN connections resolve through per-connection suffixed
+        snapshot views instead (_rewrite_tenant_refs / _rewrite_scn_refs)."""
+        if self.tenant_id is None and self.scn is None:
+            return self
+        e = Engine(self.spark, warehouse=self.warehouse)
+        e.catalog = self.catalog
+        e._views = self._views
+        e._view_owners = self._view_owners
+        e._registered = self._registered
+        return e
+
     def _register(self, name: str) -> None:
-        # temp view names cannot be dotted; register the bare table name
-        self.table(name).createOrReplaceTempView(name.split(".")[-1])
-        self._registered.add(name.split(".")[-1])
+        # temp view names cannot be dotted; register the bare table name.
+        # The shared temp view always carries the UNSCOPED state — a tenant
+        # connection registering its filtered frame here would leak its
+        # scope into every other connection (TenantSpecificTablesDMLIT).
+        bare = name.split(".")[-1]
+        owner = self._view_owners.get(self._qualify(name))
+        if owner is None:
+            self._unscoped().table(name).createOrReplaceTempView(bare)
+            self._registered.add(bare)
+        elif owner == self.tenant_id:
+            # tenant-owned view: only its owner can resolve it; register the
+            # scoped frame (foreign connections are rejected before lookup)
+            self.table(name).createOrReplaceTempView(bare)
+            self._registered.add(bare)
         self._ts_cols = None  # new schema may add date/timestamp columns
         # Views recompile their predicate over the CURRENT base state
         # (QueryCompiler.java:803-806) — but a Spark temp view pins the
         # segment list that existed when it was registered, so re-register
         # every view whose chain bottoms out at this table or the temp view
         # would keep serving the pre-mutation snapshot.
-        base = name.split(".")[-1].lower()
+        base = bare.lower()
         for vname in self._views:
             if vname == name:
                 continue
+            vowner = self._view_owners.get(vname)
             node = vname
             while node in self._views:
                 node = self._views[node][0]
-            if node.split(".")[-1].lower() == base:
-                self.table(vname).createOrReplaceTempView(
+            if node.split(".")[-1].lower() != base:
+                continue
+            if vowner is None:
+                self._unscoped().table(vname).createOrReplaceTempView(
                     vname.split(".")[-1]
                 )
+                self._registered.add(vname.split(".")[-1])
+            elif vowner == self.tenant_id:
+                self.table(vname).createOrReplaceTempView(vname.split(".")[-1])
                 self._registered.add(vname.split(".")[-1])
 
     def _ts_columns(self) -> dict[str, set[str]]:
@@ -360,11 +444,14 @@ class Engine:
     ) -> None:
         """CREATE SEQUENCE with the reference's full option set (grammar
         :619-628).  START defaults to MINVALUE for increasing / MAXVALUE for
-        decreasing sequences (CreateSequenceCompiler.java:192-196).  CACHE is
-        recorded but does not change observable values: the reference's
-        cache only batches the client↔server RPC; within one connection the
-        handed-out values are consecutive either way, and this engine's
-        single-writer scope has no cross-connection cache discard."""
+        decreasing sequences (CreateSequenceCompiler.java:192-196).  CACHE
+        models the reference's client-side reservation (SequenceRegion
+        Observer + Sequence.java): single NEXT VALUE calls dispense from a
+        cached block reserved in CACHE-size chunks, while a bulk
+        ``NEXT n VALUES`` DISCARDS the remaining cached values and allocates
+        directly at the server value (SequenceBulkAllocationIT
+        .testNextValuesForSequenceWithPreviouslyAllocatedValues: after two
+        NEXT VALUEs under CACHE 100, the bulk block starts at 101)."""
         seqs = self._sequences()
         if name in seqs:
             if if_not_exists:
@@ -391,7 +478,16 @@ class Engine:
         CYCLE is set, else errors; bulk allocations (NEXT n VALUES FOR, and
         per-row reservations for a SELECT) never cycle mid-block — the
         reference disallows cycling on bulk allocation
-        (SequenceUtil.isCycleAllowed)."""
+        (SequenceUtil.isCycleAllowed).
+
+        CACHE semantics (SequenceBulkAllocationIT): a single NEXT VALUE
+        dispenses from the cached block, reserving a CACHE-size chunk
+        (clamped at the limit) when empty; a bulk allocation (per_row > 1)
+        DISCARDS the remaining cached values and starts at the server
+        value.  Multi-row single-value reservations (NEXT VALUE FOR in a
+        SELECT) drain the cache contiguously into a fresh reservation —
+        contiguity holds because the server value always sits one increment
+        past the cached block's end."""
         seqs = self._sequences()
         if name not in seqs:
             raise ValueError(f"no sequence {name}")
@@ -400,19 +496,34 @@ class Engine:
         lo = s.get("min", self._LONG_MIN)
         hi = s.get("max", self._LONG_MAX)
         increasing = inc > 0
-        cur = s["next"]
 
         def past_limit(v: int) -> bool:
             return v > hi if increasing else v < lo
 
         total = n * per_row
+        bulk = per_row > 1
+        if bulk and s.get("cycle"):
+            # NUM_SEQ_TO_ALLOCATE_NOT_SUPPORTED: bulk allocation is rejected
+            # outright on CYCLE sequences (SequenceBulkAllocationIT
+            # .testNextValuesForSequenceWithCycles — even far from the limit)
+            raise ValueError(
+                f"sequence {name}: NEXT n VALUES FOR is not supported on "
+                "sequences with the cycle flag"
+            )
+        cached = s.get("cached_next")
+        if bulk and cached is not None:
+            # a bulk allocation is served FROM the cached block when it
+            # fits (testNextValuesForSequenceAllocationLessThanCacheSize);
+            # otherwise the remaining cached values are DISCARDED and the
+            # block starts at the server value
+            remaining = (s["next"] - cached) // inc
+            if total > remaining:
+                cached = None
+        cur = cached if cached is not None else s["next"]
         if past_limit(cur):
             if s.get("cycle"):
-                if total > 1:
-                    raise ValueError(
-                        f"sequence {name}: bulk allocation cannot cycle"
-                    )
                 cur = lo if increasing else hi
+                cached = None
             else:
                 raise ValueError(
                     f"sequence {name} has reached its "
@@ -424,14 +535,44 @@ class Engine:
                 f"sequence {name}: allocation of {total} values exceeds its "
                 f"{'MAXVALUE' if increasing else 'MINVALUE'} limit"
             )
-        s["next"] = cur + total * inc
+        if total == 1 and not bulk:
+            if cached is not None:
+                # dispense from the cached block
+                nxt = cur + inc
+                s["cached_next"] = None if nxt == s["next"] else nxt
+            else:
+                # reserve a CACHE-size chunk, clamped at the limit
+                cache = max(1, int(s.get("cache", 1) or 1))
+                limit = hi if increasing else lo
+                k = min(cache, (limit - cur) // inc + 1)
+                s["next"] = cur + k * inc
+                s["cached_next"] = cur + inc if k > 1 else None
+        elif bulk and cached is not None:
+            # bulk served from the cache: advance within the block
+            nxt = cur + total * inc
+            s["cached_next"] = None if nxt == s["next"] else nxt
+        else:
+            # multi-value from the server: absorb any cached remainder +
+            # reserve so the handed-out run stays contiguous
+            s["next"] = cur + total * inc
+            s["cached_next"] = None
+        s["last"] = last
         self._save_sequences(seqs)
         return cur
 
     def current_value(self, name: str) -> int:
+        """CURRENT VALUE FOR: the value last dispensed — after a bulk
+        allocation, the LAST value of the reserved block
+        (SequenceBulkAllocationIT.assertExpectedCurrentValueForSequence)."""
         seqs = self._sequences()
         s = seqs[name]
-        return s["next"] - s["increment"]
+        if s.get("last") is None:
+            # CANNOT_CALL_CURRENT_BEFORE_NEXT_VALUE (SQLExceptionCode)
+            raise ValueError(
+                f"sequence {name}: CURRENT VALUE FOR called before "
+                "NEXT VALUE FOR"
+            )
+        return s["last"]
 
     # -- statement router --------------------------------------------------
 
@@ -511,7 +652,24 @@ class Engine:
     _NEXT_VAL_RE = re.compile(
         r"NEXT\s+(?:(\d+)\s+VALUES|VALUE)\s+FOR\s+([\w.]+)", re.I
     )
+    # malformed <n>: NULL / quoted / negative / zero — the reference rejects
+    # these at parse/compile time (SequenceBulkAllocationIT
+    # .testSequenceParseNextValues*: NUM_SEQ_TO_ALLOCATE_MUST_BE_CONSTANT)
+    _NEXT_VAL_BAD_RE = re.compile(
+        r"NEXT\s+(?!VALUES?\b)(0\s|\x00\d+\x00\s*|NULL\s+|-\s*\d+\s+|'[^']*'\s+)"
+        r"VALUES\s+FOR\b",
+        re.I,
+    )
     _CURR_VAL_RE = re.compile(r"CURRENT\s+VALUE\s+FOR\s+([\w.]+)", re.I)
+
+    def _check_next_values_n(self, text: str) -> None:
+        m = self._NEXT_VAL_BAD_RE.search(text)
+        if m:
+            raise ValueError(
+                "NEXT <n> VALUES FOR: <n> must be a positive integer "
+                "constant (NUM_SEQ_TO_ALLOCATE_MUST_BE_CONSTANT): "
+                f"{m.group(0)!r}"
+            )
 
     @staticmethod
     def _mask_literals(text: str):
@@ -536,10 +694,27 @@ class Engine:
         return "".join(parts), unmask
 
     def _exec_select(self, text: str, consume_sequences: bool = True) -> DataFrame:
+        # tenant-owned views resolve only under their tenant — the shared
+        # temp-view namespace would otherwise leak them to every connection
+        for vname, owner in self._view_owners.items():
+            if owner != self.tenant_id and re.search(
+                rf"\b{re.escape(vname.split('.')[-1])}\b", text, re.I
+            ):
+                raise ValueError(f"Table undefined. tableName={vname}")
         if self._cdcs:
             self._register_cdc_views(text)
         masked, unmask = self._mask_literals(text)
         masked = self._rewrite_qualified_refs(masked)
+        # table-name qualifiers over an aliased table must resolve to the
+        # alias BEFORE index substitution renames the FROM item
+        # (QueryIT.testColumnAliasMapping under an index variant)
+        from phoenix_spark.sqlfront import _rewrite_aliased_table_qualifiers
+
+        masked = _rewrite_aliased_table_qualifiers(masked)
+        if self.scn is not None:
+            masked = self._rewrite_scn_refs(masked)
+        elif self.tenant_id is not None:
+            masked = self._rewrite_tenant_refs(masked)
         masked = self._rewrite_distinct_orderby(masked)
         masked = self._rewrite_dynamic_cols(masked)
         masked = self._rewrite_tablesample(masked)
@@ -635,6 +810,73 @@ class Engine:
                 self._register(name)
             text = new
         return text
+
+    _SCN_ALIAS_KW = (
+        "ON|WHERE|JOIN|GROUP|ORDER|LIMIT|OFFSET|FETCH|HAVING|UNION|"
+        "INTERSECT|EXCEPT|LEFT|RIGHT|INNER|CROSS|FULL|NATURAL|USING|SET|VALUES"
+    )
+
+    def _rewrite_scn_refs(self, masked: str) -> str:
+        """Point-in-time connections (CurrentSCN) cannot resolve through the
+        shared current-state temp views — swap each managed-table reference
+        for a per-SCN snapshot view (``t`` → ``t__scn<N> t``), registered
+        from this connection's AS-OF read.  Snapshot views are immutable, so
+        registration is idempotent and cache-friendly."""
+        names = {n.split(".")[-1].lower() for n in self._managed_names()}
+        pat = re.compile(
+            r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{self._SCN_ALIAS_KW})\b)([A-Za-z_]\w*))?",
+            re.I,
+        )
+
+        def sub(m: "re.Match[str]") -> str:
+            kw, tbl, alias = m.group(1), m.group(2), m.group(3)
+            bare = tbl.lower()
+            if bare not in names:
+                return m.group(0)
+            view = f"{bare}__scn{self.scn}"
+            if view not in self._registered:
+                self.table(bare).createOrReplaceTempView(view)
+                self._registered.add(view)
+            # keep qualified references (t.col) resolving when no alias
+            return f"{kw} {view} {alias or bare}"
+
+        return pat.sub(sub, masked)
+
+    def _rewrite_tenant_refs(self, masked: str) -> str:
+        """Tenant connections resolve managed tables/views through
+        per-tenant scoped temp views (``t`` → ``t__tn<hash> t``) — the
+        shared bare temp views always hold the UNSCOPED state (see
+        _register), so resolving them here would leak other tenants' rows
+        and expose the tenant column.  Registration is per-SELECT: the
+        scoped frame recompiles over the current base segments, so reads
+        see every connection's committed mutations."""
+        import hashlib
+
+        tag = hashlib.md5(self.tenant_id.encode()).hexdigest()[:8]
+        known = {n.split(".")[-1].lower() for n in self._managed_names()}
+        known |= {
+            v.split(".")[-1].lower()
+            for v in self._views
+            if self._view_owners.get(v) in (None, self.tenant_id)
+        }
+        pat = re.compile(
+            r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{self._SCN_ALIAS_KW})\b)([A-Za-z_]\w*))?",
+            re.I,
+        )
+
+        def sub(m: "re.Match[str]") -> str:
+            kw, tbl, alias = m.group(1), m.group(2), m.group(3)
+            bare = tbl.lower()
+            if bare not in known:
+                return m.group(0)
+            view = f"{bare}__tn{tag}"
+            self.table(bare).createOrReplaceTempView(view)
+            self._registered.add(view)
+            return f"{kw} {view} {alias or bare}"
+
+        return pat.sub(sub, masked)
 
     # FROM t (col TYPE, ...) — dynamic columns (grammar :832-855).  The
     # col-TYPE pair shape distinguishes it from a derived table `FROM (SELECT
@@ -764,24 +1006,30 @@ class Engine:
         explaining a query must not consume sequence values.
         """
         unmask = unmask or (lambda s: s)
-        curr = {
-            m.group(1).lower() for m in self._CURR_VAL_RE.finditer(text)
-        }
-        for name in curr:
-            # \b guard: a sequence named as a prefix of another referenced
-            # sequence must not corrupt the longer reference
-            text = re.sub(
-                rf"CURRENT\s+VALUE\s+FOR\s+{re.escape(name)}\b",
-                str(self.current_value(name)),
-                text,
-                flags=re.I,
-            )
+        self._check_next_values_n(text)
         refs = sorted(
             {
                 (m.group(2).lower(), int(m.group(1) or 1))
                 for m in self._NEXT_VAL_RE.finditer(text)
             }
         )
+        next_names = {nm for nm, _k in refs}
+        curr = {
+            m.group(1).lower() for m in self._CURR_VAL_RE.finditer(text)
+        }
+        for name in curr - next_names:
+            # \b guard: a sequence named as a prefix of another referenced
+            # sequence must not corrupt the longer reference.  A CURRENT
+            # VALUE sharing the statement with a NEXT expression for the
+            # SAME sequence is handled below: it returns this statement's
+            # allocated value (SequenceBulkAllocationIT
+            # .testCurrentValueForAndNextValuesForExpressionsForSameSequence)
+            text = re.sub(
+                rf"CURRENT\s+VALUE\s+FOR\s+{re.escape(name)}\b",
+                str(self.current_value(name)),
+                text,
+                flags=re.I,
+            )
         if not refs:
             return text
         seqs = self._sequences()
@@ -800,8 +1048,16 @@ class Engine:
                 text = re.sub(
                     ref_pattern(name, k), str(seqs[name]["next"]), text, flags=re.I
                 )
+            for name in curr & next_names:
+                text = re.sub(
+                    rf"CURRENT\s+VALUE\s+FOR\s+{re.escape(name)}\b",
+                    str(seqs[name]["next"]), text, flags=re.I,
+                )
             return text
-        probe = self._NEXT_VAL_RE.sub("0", text)
+        # CURRENT VALUE refs left in the text at this point share the
+        # statement with a NEXT expression (same sequence) — neutralize them
+        # in the probe the same way
+        probe = self._CURR_VAL_RE.sub("0", self._NEXT_VAL_RE.sub("0", text))
         # The probe must measure the partition layout at the PLAN POSITION
         # where the final query evaluates the assignment expression: the
         # select-list projection, which sits BELOW any top-level ORDER BY
@@ -850,8 +1106,18 @@ class Engine:
         )
         n = sum(c for _, c in counts)
         if n == 0:
-            return self._NEXT_VAL_RE.sub("0", text)
-        for name, per_row in refs:
+            return self._CURR_VAL_RE.sub("0", self._NEXT_VAL_RE.sub("0", text))
+        # SequenceManager collapses every NEXT expression for the SAME
+        # sequence in one statement to a single allocation sized by the
+        # HIGHEST <n>; all of them (and a same-statement CURRENT VALUE)
+        # return that allocation's value (SequenceBulkAllocationIT
+        # .testMultipleNextValuesForExpressionsForSameSequence /
+        # .testMultipleDifferentExpressionsForSameSequence)
+        by_name: dict[str, set[int]] = {}
+        for nm, k in refs:
+            by_name.setdefault(nm, set()).add(k)
+        for name, ks in sorted(by_name.items()):
+            per_row = max(ks)
             inc = seqs[name]["increment"]
             # bulk form (NEXT k VALUES FOR): each row reserves k slots and
             # the expression yields the first — rows stride by k*increment
@@ -892,7 +1158,13 @@ class Engine:
                 "from the probed plan; sequence block cannot be applied "
                 "safely') as bigint))), 1)"
             )
-            text = re.sub(ref_pattern(name, per_row), assign, text, flags=re.I)
+            for k in sorted(ks):
+                text = re.sub(ref_pattern(name, k), assign, text, flags=re.I)
+            if name in curr:
+                text = re.sub(
+                    rf"CURRENT\s+VALUE\s+FOR\s+{re.escape(name)}\b",
+                    assign, text, flags=re.I,
+                )
         return text
 
     def _maybe_use_index(self, text: str) -> str:
@@ -903,8 +1175,10 @@ class Engine:
         indexes automatically, others only when the INDEX(...) hint names
         them).  /*+ NO_INDEX */ vetoes both (HintNode.java:50-128).  Tenant
         connections never substitute (the tenant filter lives on the base
-        read path)."""
-        if not self._indexes or self.tenant_id is not None:
+        read path), and neither do SCN connections (the index table's commit
+        timeline is independent of the base's — resolving the base AS OF its
+        own timeline is always correct)."""
+        if not self._indexes or self.tenant_id is not None or self.scn is not None:
             return text
         no_index, forced = IX.parse_index_hint(text)
         if no_index:
@@ -1089,6 +1363,11 @@ class Engine:
                     json.dump(meta, f, indent=1)
                 self._register(base_mt.name)
         self._views[cv.name] = (cv.parent, cv.where, cv.columns or {})
+        if self.tenant_id is not None:
+            # a view created through a tenant connection is tenant-owned
+            self._view_owners[cv.name] = self.tenant_id
+            with open(self._view_owners_path, "w") as f:
+                json.dump(self._view_owners, f)
         self._save_views()
         self._register(cv.name)
         return 0
@@ -1631,6 +1910,9 @@ class Engine:
                 raise ValueError(f"no sequence {dr.name}")
             return 0
         if dr.kind == "view":
+            if self._view_owners.pop(dr.name, None) is not None:
+                with open(self._view_owners_path, "w") as f:
+                    json.dump(self._view_owners, f)
             if self._views.pop(dr.name, None) is None and not dr.if_exists:
                 raise ValueError(f"no view {dr.name}")
             self._save_views()
@@ -1967,6 +2249,9 @@ class Engine:
         name = self._qualify(name)
         if name not in self._views:
             return None
+        owner = self._view_owners.get(name)
+        if owner is not None and owner != self.tenant_id:
+            raise ValueError(f"Table undefined. tableName={name}")
         consts: dict[str, object] = {}
         node = name
         while node in self._views:
@@ -1997,6 +2282,7 @@ class Engine:
         return node, consts
 
     def _exec_upsert(self, text: str) -> DataFrame | int:
+        self._check_mutable()
         up = D.parse_upsert(text)
         if isinstance(up.on_duplicate, dict):
             # ON DUPLICATE KEY UPDATE expressions are Phoenix-dialect SQL
@@ -2093,12 +2379,40 @@ class Engine:
                 if mt0.meta.get("props", {}).get("HIDDEN_OVERFLOW")
                 else None
             )
-            listed = up.columns or [
-                c
-                for c in mt0.schema.fieldNames()
-                if c not in consts and c != hidden0
-            ]
+            # view-added columns, view chain order (needed for the implicit
+            # column list below and for overflow routing later)
+            vcols: dict[str, str | None] = {}
+            node = self._qualify(up.table)
+            while node in self._views:
+                for cname, ctype in (self._views[node][2] or {}).items():
+                    vcols.setdefault(cname, ctype)
+                node = self._views[node][0]
+            # Implicit column list = the VIEW's columns: parent columns in
+            # declared order (minus the hidden overflow and, on a tenant
+            # connection, the tenant column) INCLUDING view constants (a
+            # full-row VALUES restates them, verified equal below —
+            # TenantSpecificTablesDMLIT.testBasicUpsertSelect2 writes
+            # ('me','abc',1,'Cheap Sunglasses') through the type-id view),
+            # then the view-added columns.
+            tcol0 = self._tenant_col(mt0) if self.tenant_id else None
+            listed = up.columns or (
+                [
+                    c
+                    for c in mt0.schema.fieldNames()
+                    if c != hidden0 and c != tcol0
+                ]
+                + [c for c, t in vcols.items() if t is not None]
+            )
             values = up.values
+            if not up.columns and values:
+                # implicit column list + short VALUES: prefix mapping onto
+                # the LEADING view columns (UpsertCompiler's "Resize down to
+                # allow a subset of columns to be specifiable") — if that
+                # lands a value on a view-constant column, the equality
+                # verification below applies, as in the reference
+                n0 = len(values[0])
+                if n0 < len(listed):
+                    listed = listed[:n0]
             const_pos = [
                 i
                 for i, c in enumerate(listed)
@@ -2108,39 +2422,62 @@ class Engine:
                 # restating a view-constant column is allowed when the value
                 # EQUALS the constant (UpsertCompiler: viewConstants are
                 # verified, not forbidden — IT create_diverged_view.sql
-                # upserts B=200 through a WHERE B=200 view); a different
-                # value is the reference's CANNOT_UPDATE_VIEW_COLUMN
-                if values is None:
-                    raise ValueError(
-                        f"cannot restate view-constant column(s) through "
-                        f"view {up.table} in UPSERT SELECT"
-                    )
-                for row in values:
-                    for i in const_pos:
-                        cname = listed[i].split(None, 1)[0]
-                        if self._eval_literal(row[i]) != consts[cname]:
-                            raise ValueError(
-                                f"cannot set view-constant column {cname} "
-                                f"to a different value through view "
-                                f"{up.table}"
-                            )
+                # upserts B=200 through a WHERE B=200 view; UPSERT SELECT *
+                # through the view restates them too, TenantSpecificTables
+                # DMLIT.testBasicUpsertSelect2); a different value is the
+                # reference's CANNOT_UPDATE_VIEW_COLUMN
                 drop = set(const_pos)
+                if values is None:
+                    # SELECT source: verify each restated constant at
+                    # runtime, then drop the column before the base write
+                    import uuid as _uuid
+
+                    names = [c.split(None, 1)[0] for c in listed]
+                    src0 = self._exec_select(up.select).toDF(*names)
+                    for i in const_pos:
+                        cname = names[i]
+                        src0 = src0.filter(
+                            F.when(
+                                F.col(cname).eqNullSafe(F.lit(consts[cname])),
+                                F.lit(True),
+                            ).otherwise(
+                                F.raise_error(
+                                    F.lit(
+                                        f"cannot set view-constant column "
+                                        f"{cname} to a different value "
+                                        f"through view {up.table}"
+                                    )
+                                )
+                            )
+                        )
+                    src0 = src0.drop(*[names[i] for i in const_pos])
+                    vtmp = f"__upsert_src_{_uuid.uuid4().hex[:8]}"
+                    src0.createOrReplaceTempView(vtmp)
+                    up = D.Upsert(
+                        up.table, up.columns, None,
+                        f"SELECT * FROM {vtmp}", up.on_duplicate,
+                        up.returning,
+                    )
+                else:
+                    for row in values:
+                        for i in const_pos:
+                            cname = listed[i].split(None, 1)[0]
+                            if self._eval_literal(row[i]) != consts[cname]:
+                                raise ValueError(
+                                    f"cannot set view-constant column {cname} "
+                                    f"to a different value through view "
+                                    f"{up.table}"
+                                )
+                    values = [
+                        [v for i, v in enumerate(row) if i not in drop]
+                        for row in values
+                    ]
                 listed = [c for i, c in enumerate(listed) if i not in drop]
-                values = [
-                    [v for i, v in enumerate(row) if i not in drop]
-                    for row in values
-                ]
             # view-defined columns write like dynamic columns: tag listed
             # view columns with their declared type so the overflow-column
             # routing below picks them up; None-typed entries are parent
             # columns EXCLUDED by ALTER VIEW DROP COLUMN (diverged views) —
             # the view no longer exposes them
-            vcols: dict[str, str | None] = {}
-            node = self._qualify(up.table)
-            while node in self._views:
-                for cname, ctype in (self._views[node][2] or {}).items():
-                    vcols.setdefault(cname, ctype)
-                node = self._views[node][0]
             gone = [
                 c for c in listed if vcols.get(c.split(None, 1)[0], "") is None
             ]
@@ -2453,6 +2790,7 @@ class Engine:
         return n
 
     def _exec_delete(self, text: str) -> DataFrame | int:
+        self._check_mutable()
         dl = D.parse_delete(text)
         if self._qualify(dl.table) in self._views:
             # DELETE through an updatable view: scope the delete to the
@@ -2472,6 +2810,17 @@ class Engine:
                 dl.order_by, dl.limit,
             )
         mt = self.managed(dl.table)
+        tcol = self._tenant_col(mt) if self.tenant_id else None
+        if tcol:
+            # tenant connections delete ONLY their rows (DeleteCompiler under
+            # a tenant-specific connection; TenantSpecificTablesDMLIT
+            # .testDeleteOnlyDeletesTenantData)
+            tpred = f"{tcol} = '{self.tenant_id}'"
+            dl = D.Delete(
+                dl.table,
+                f"({dl.where}) AND {tpred}" if dl.where else tpred,
+                dl.returning, dl.order_by, dl.limit,
+            )
         cond = translate_phoenix_sql(dl.where) if dl.where else None
         order = translate_phoenix_sql(dl.order_by) if dl.order_by else None
         has_idx = any(
@@ -2503,8 +2852,17 @@ class Engine:
         s = lit.strip()
         m = re.match(r"NEXT\s+(?:(\d+)\s+VALUES|VALUE)\s+FOR\s+([\w.]+)", s, re.I)
         if m:
-            return self.next_value_block(
-                m.group(2).lower(), 1, per_row=int(m.group(1) or 1)
+            per_row = int(m.group(1) or 1)
+            if per_row < 1:
+                raise ValueError(
+                    "NEXT <n> VALUES FOR: <n> must be a positive integer "
+                    "constant (NUM_SEQ_TO_ALLOCATE_MUST_BE_CONSTANT)"
+                )
+            return self.next_value_block(m.group(2).lower(), 1, per_row=per_row)
+        if re.match(r"NEXT\s+\S", s, re.I) and "VALUES" in s.upper():
+            raise ValueError(
+                "NEXT <n> VALUES FOR: <n> must be a positive integer "
+                f"constant (NUM_SEQ_TO_ALLOCATE_MUST_BE_CONSTANT): {s!r}"
             )
         m = re.match(r"CURRENT\s+VALUE\s+FOR\s+([\w.]+)", s, re.I)
         if m:

@@ -154,13 +154,29 @@ class ManagedTable:
         # Phoenix stores the empty string as NULL — an empty byte array IS
         # the VARCHAR/CHAR null representation (PVarchar;
         # NullIT.testEmptyStringValue) — canonicalize at write time so every
-        # path (VALUES, SELECT, dup-update expressions) agrees
-        cols = [
-            F.nullif(F.col(f.name).cast(f.dataType), F.lit("")).alias(f.name)
-            if isinstance(f.dataType, _T.StringType)
-            else F.col(f.name).cast(f.dataType).alias(f.name)
-            for f in self.schema.fields
-        ]
+        # path (VALUES, SELECT, dup-update expressions) agrees.  PK columns
+        # are excluded: a NULL (or empty-string, which IS null) PK component
+        # is rejected, matching PTableImpl.newKey ("Primary key may not be
+        # null", PTableImpl.java:1297) — silently storing a NULL key would
+        # make the row unreachable by its original key.
+        pk_set = set(self.pk)
+        cols = []
+        for f in self.schema.fields:
+            c = F.col(f.name).cast(f.dataType)
+            if isinstance(f.dataType, _T.StringType):
+                if f.name in pk_set:
+                    c = F.when(
+                        c.isNull() | (c == ""),
+                        F.raise_error(
+                            F.lit(
+                                f"Primary key may not be null ({self.name}."
+                                f"{f.name})"
+                            )
+                        ).cast(f.dataType),
+                    ).otherwise(c)
+                else:
+                    c = F.nullif(c, F.lit(""))
+            cols.append(c.alias(f.name))
         out = df.select(*cols).withColumns(
             {_TS_COL: F.lit(ts).cast("long"), _DEL_COL: F.lit(deleted)}
         )

@@ -102,53 +102,56 @@ _PERMANENT = [
     # anchor via mutation_cdc_feed (batch) + the r04-green stream_* entries.
 ]
 
-# Round-7 rotation: after r06 the cross-round union is 179 of 180; the only
-# entry never driver-green is agg_approx_count_distinct (its r02 row was
-# ``no_oracle``; since reworked into an oracle-checkable error-bound
-# invariant) — it leads the window so a green round closes the registry at
-# 180/180 cumulative.  The remaining slots re-verify the entries whose
-# external evidence is OLDEST (r02-only, never re-run since), prioritizing
-# the join family per the round-6 verdict (broadcast variants, cross,
-# semi/anti all date to r02), then the r02-only filter corner semantics and
-# the ordered-agg family.  New round-7 capabilities rotate in as they land.
+# Round-8 rotation — STEADY-STATE POLICY.  As of r07 every registry entry is
+# externally driver-green at least once (185/185 cumulative; manifest in
+# _verified.ROUNDS), so the fill pool of never-verified entries is empty.
+# From here on the rotation is OLDEST-EVIDENCE-FIRST:
+#   1. entries NEW this round lead the window (they have no evidence at all);
+#   2. the remaining slots re-verify existing entries in ascending order of
+#      their latest green round (_verified.latest_green_round()), i.e. the
+#      r02-era evidence is refreshed before r03-era, and so on — so every
+#      entry's external evidence has bounded staleness (~registry/29 rounds).
+# Round 8 leads with the entries minted for the round-7 dialect fixes that
+# shipped with pytest pins but no oracle rows (float-literal comparison
+# coercion, LPAD NULL contract, ordered top-N DELETE) plus the tenant and
+# sequence-bulk surfaces from the r8 IT replays; the rest of the window
+# drains the r02-only backlog (aggregate corner semantics + the TPC-H tail).
 _ROTATING = [
-    "agg_approx_count_distinct",   # 180/180 closer — never driver-green
-    # join family: oldest driver evidence in the registry (r02 only, per the
-    # round-6 verdict the family most in need of fresh external rows)
-    "join_broadcast_left",
-    "join_right_outer",
-    "join_sort_merge_full",
-    "join_cross",
-    "join_semi",
-    "join_anti",
-    # filter corner semantics (r02 only)
-    "filter_null_3vl",
-    "filter_rvc_compare",
-    "filter_like_escape",
-    # scans (r02 only)
-    "scan_point_lookup",
-    "scan_skip",
-    # aggregate family (r02 only)
-    "agg_having",
-    # one stale re-verification per remaining window family (oldest green
-    # in each family, so the family ships with a current-round row)
-    "sort_rvc_offset_page",   # sort_ (r03)
-    "setop_union_all",        # setop_ (r03)
-    "subq_exists_correlated", # subq_ (r03)
-    "str_regexp",             # str_ (r03)
-    "math_round_floor_ceil",  # math_ (r03)
-    "dt_parse",               # dt_ (r03)
-    "arr_unnest",             # arr_ (r03)
-    "json_value",             # json (r03)
-    "bin_bytes_bits",         # bin_ (r04)
-    "similarity_topk",        # similarity_ (r03)
-    "text_stats",             # text_ (r03)
-    # new round-7 capabilities (join + datetime IT-replay work)
-    "join_null_keys",             # NULL-safe equi-join keys (TupleUtil)
-    "join_full_nonequi_residual", # FULL outer + non-equi residual ON
-    "dt_week_dayofweek",          # WEEK/DAYOFWEEK numbering via Engine.sql
-    "cast_coerce_matrix",         # datetime↔numeric epoch-ms casts
-    "bson_deep_update",           # deep-path BSON update expressions
+    # --- new round-8 entries (never driver-run) ---
+    "filter_float_literal_cmp",   # FLOAT-column literal coercion (NotQueryIT)
+    "str_lpad_contract",          # LPAD NULL/truncation contract (LpadFunction)
+    "mutation_delete_topn",       # DELETE ... ORDER BY ... LIMIT (TopNIT)
+    "tenant_scoped_read",         # multi-tenant view + tenant-scoped DML
+    "ddl_sequence_bulk",          # NEXT n VALUES FOR bulk allocation
+    "scan_point_in_time",         # SCN point-in-time read matrix (PointInTimeQueryIT)
+    # --- per-family anchors not covered by _PERMANENT or the new entries,
+    # each the family's OLDEST-evidence member ---
+    "sort_topk",                  # sort_ (r03)
+    "setop_intersect",            # setop_ (r04)
+    "subq_in",                    # subq_ (r04)
+    "math_to_number",             # math_ (r03)
+    "dt_extract_fields",          # dt_ (r04)
+    "arr_construct_ops",          # arr_ (r04)
+    "similarity_ivf_probe",       # similarity_ (r03)
+    "text_tfidf",                 # text_ (r03)
+    "bin_set_splice",             # bin_ (r05)
+    "json_exists_filter",         # json (r04)
+    # --- globally oldest evidence: r02-only, never re-run since ---
+    "agg_count_distinct",
+    "agg_distinct",
+    "agg_first_last_value",
+    "agg_groupby_hash",
+    "agg_groupby_pk_prefix",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stddev",
+    "filter_case_cast",
+    "filter_ilike",
+    "filter_in_like",
+    "filter_rvc_in",
+    "join_range_bucketed",
+    # r02 remainder (scan_serial/tablesample + the q2-q17 TPC-H tail) and
+    # the r03 backlog drain in round 9+.
 ]
 
 _TIER1 = _PERMANENT + _ROTATING

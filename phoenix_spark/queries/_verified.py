@@ -142,9 +142,50 @@ R06 = frozenset(
     }
 )
 
+# Round 7: 50/50 hash-green (CORRECTNESS_r07.json) — agg_approx_count_distinct
+# earned its first external green (closing the registry at 185/185 cumulative),
+# the r02-era join family was re-verified fresh, and all five new round-7
+# entries passed on their first driver run.
+R07 = frozenset(
+    {
+        "scan_projection", "engine_sql_roundtrip", "filter_range_pred",
+        "join_broadcast_inner", "join_asof", "agg_ungrouped",
+        "window_session_native", "meta_row_timestamp",
+        "mutation_upsert_compaction", "mutation_snapshot_read",
+        "mutation_cdc_feed", "ddl_view_predicate", "ddl_sequence_rows",
+        "ddl_index_scan", "q1_pricing_summary", "q9_product_profit",
+        "dedup_minhash_lsh", "pipeline_curate_e2e", "bson_condition_sql",
+        "source_csv_bulk_load", "mm_binary_meta",
+        "agg_approx_count_distinct", "join_broadcast_left",
+        "join_right_outer", "join_sort_merge_full", "join_cross",
+        "join_semi", "join_anti", "filter_null_3vl", "filter_rvc_compare",
+        "filter_like_escape", "scan_point_lookup", "scan_skip", "agg_having",
+        "sort_rvc_offset_page", "setop_union_all", "subq_exists_correlated",
+        "str_regexp", "math_round_floor_ceil", "dt_parse", "arr_unnest",
+        "json_value", "bin_bytes_bits", "similarity_topk", "text_stats",
+        "join_null_keys", "join_full_nonequi_residual", "dt_week_dayofweek",
+        "cast_coerce_matrix", "bson_deep_update",
+    }
+)
+
 ROUNDS: dict[str, frozenset[str]] = {
-    "r02": R02, "r03": R03, "r04": R04, "r05": R05, "r06": R06,
+    "r02": R02, "r03": R03, "r04": R04, "r05": R05, "r06": R06, "r07": R07,
 }
+
+
+def latest_green_round() -> dict[str, str]:
+    """Map each verified name to the MOST RECENT round it was driver-green.
+
+    With every registry entry verified at least once (185/185 as of r07),
+    the rotation's steady-state policy is oldest-evidence-first: re-verify
+    the entries whose latest green round is furthest in the past, newest
+    capabilities always leading the window.
+    """
+    out: dict[str, str] = {}
+    for rname in sorted(ROUNDS):
+        for n in ROUNDS[rname]:
+            out[n] = rname
+    return out
 
 
 def driver_verified() -> frozenset[str]:

@@ -194,3 +194,55 @@ REG.add(
     ) s
     """,
 )
+
+
+# --- FLOAT-column literal comparison coercion (§2.2) -------------------------
+# Phoenix coerces comparison literals to the COLUMN's type (WhereCompiler via
+# ComparisonExpression/PFloat coercion; NotQueryIT.testNotInListOfFloat), so
+# ``f = 0.01`` over a FLOAT column compares at FLOAT precision and matches the
+# stored 0.01f.  Spark/DuckDB instead promote the float column to double,
+# where float(0.01) != 0.01d — sqlfront._rewrite_float_literal_cmp casts the
+# literal side so the plan keeps the column pushdown-able.
+def _float_literal_cmp(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    e.sql(
+        "CREATE TABLE t_flt (k BIGINT NOT NULL, f FLOAT, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    e.sql(
+        "UPSERT INTO t_flt SELECT o_orderkey, CAST(o_totalprice AS FLOAT) "
+        "FROM orders WHERE o_orderkey <= 2000"
+    )
+    # 0.01 / 143.21 are NOT exactly representable in binary — the equality
+    # only matches when the literal is coerced to FLOAT like Phoenix does
+    e.sql(
+        "UPSERT INTO t_flt VALUES (9000001, 0.01), (9000002, 0.015), "
+        "(9000003, 143.21)"
+    )
+    return e.sql(
+        "SELECT k, CAST(f AS DOUBLE) AS f FROM t_flt "
+        "WHERE f = 0.01 OR f = 143.21 OR f BETWEEN 50000.0 AND 60000.0"
+    )
+
+
+REG.add(
+    "filter_float_literal_cmp",
+    _float_literal_cmp,
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS REAL) AS f
+      FROM orders WHERE o_orderkey <= 2000
+      UNION ALL
+      SELECT * FROM (VALUES (CAST(9000001 AS BIGINT), CAST(0.01 AS REAL)),
+                            (9000002, CAST(0.015 AS REAL)),
+                            (9000003, CAST(143.21 AS REAL))) AS v(k, f)
+    )
+    SELECT k, CAST(f AS DOUBLE) AS f FROM t
+    WHERE f = CAST(0.01 AS REAL) OR f = CAST(143.21 AS REAL)
+       OR f BETWEEN 50000.0 AND 60000.0
+    """,
+)

@@ -868,3 +868,152 @@ REG.add(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# --- ordered top-N DELETE (§2.9, DeleteCompiler's LIMIT path; TopNIT) --------
+def _delete_topn(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_dtn (o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, "
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(
+        "UPSERT INTO t_dtn SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey <= 200"
+    )
+    # DeleteCompiler compiles DELETE ... ORDER BY ... LIMIT n as a top-N scan
+    # feeding the delete mutation (TopNIT.testTopNDelete) — plans as
+    # TakeOrderedAndProject, not a global sort
+    e.sql(
+        "DELETE FROM t_dtn WHERE o_totalprice > 1000 "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    )
+    return e.table("t_dtn").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+
+
+REG.add(
+    "mutation_delete_topn",
+    _delete_topn,
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 200 AND o_orderkey NOT IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey <= 200 AND o_totalprice > 1000
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+    """,
+)
+
+
+# --- multi-tenant scoped read/write (§2.10 MULTI_TENANT; TenantSpecific
+# TablesDMLIT) — a tenant connection sees an implicit tenant filter, never the
+# tenant column, and writes fill the tenant id implicitly ---------------------
+def _tenant_scoped_read(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_mt (tenant VARCHAR NOT NULL, k BIGINT NOT NULL, "
+        "v DOUBLE, CONSTRAINT pk PRIMARY KEY (tenant, k)) MULTI_TENANT=true"
+    )
+    # global connection loads two tenants from the fixture
+    e.sql(
+        "UPSERT INTO t_mt SELECT 'acme', o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 100"
+    )
+    e.sql(
+        "UPSERT INTO t_mt SELECT 'globex', o_orderkey, o_totalprice * 2 "
+        "FROM orders WHERE o_orderkey <= 50"
+    )
+    t = e.with_tenant("acme")
+    t.sql("UPSERT INTO t_mt VALUES (1000001, 42.0)")  # implicit tenant fill
+    # tenant-scoped DELETE must not touch globex rows with the same keys
+    t.sql("DELETE FROM t_mt WHERE k > 90 AND k <= 100")
+    return t.sql("SELECT k, v FROM t_mt").select(
+        "k", F.col("v").cast("double").alias("v")
+    )
+
+
+REG.add(
+    "tenant_scoped_read",
+    _tenant_scoped_read,
+    """
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders WHERE o_orderkey <= 90
+    UNION ALL
+    SELECT CAST(1000001 AS BIGINT), CAST(42.0 AS DOUBLE)
+    """,
+)
+
+
+# --- NEXT n VALUES FOR bulk allocation (§2.10; SequenceBulkAllocationIT,
+# SequenceUtil.isBulkAllocation) — each call reserves n slots and yields the
+# block's FIRST value ---------------------------------------------------------
+def _sequence_bulk(spark, sf):
+    e = _engine(spark, sf)
+    e.sql("CREATE SEQUENCE bulk_ids START WITH 10 INCREMENT BY 2")
+    e.sql(
+        "CREATE TABLE t_sb (id BIGINT NOT NULL, tag VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (id))"
+    )
+    for tag in ("a", "b", "c"):
+        e.sql(f"UPSERT INTO t_sb VALUES (NEXT 5 VALUES FOR bulk_ids, '{tag}')")
+    # the single-value form continues AFTER the reserved blocks
+    e.sql("UPSERT INTO t_sb VALUES (NEXT VALUE FOR bulk_ids, 'd')")
+    return e.table("t_sb")
+
+
+REG.add(
+    "ddl_sequence_bulk",
+    _sequence_bulk,
+    """
+    SELECT * FROM (VALUES (CAST(10 AS BIGINT), 'a'), (20, 'b'), (30, 'c'),
+                          (40, 'd')) AS t(id, tag)
+    """,
+)
+
+
+# --- SCN point-in-time read matrix (§2.1; PointInTimeQueryIT) — two snapshot
+# reads of the same table at different commit timestamps joined in one result,
+# with a later DELETE invisible at both SCNs ----------------------------------
+def _point_in_time(spark, sf):
+    e = _engine(spark, sf)
+    e.sql(
+        "CREATE TABLE t_pit (k BIGINT NOT NULL, v DOUBLE, s VARCHAR, "
+        "CONSTRAINT pk PRIMARY KEY (k))"
+    )
+    e.sql(
+        "UPSERT INTO t_pit SELECT o_orderkey, o_totalprice, o_orderstatus "
+        "FROM orders WHERE o_orderkey <= 60"
+    )
+    e.sql(
+        "UPSERT INTO t_pit SELECT o_orderkey, o_totalprice * 2, o_orderstatus "
+        "FROM orders WHERE o_orderkey <= 30"
+    )
+    e.sql("DELETE FROM t_pit WHERE k <= 10")
+    s1 = e.managed("t_pit").read(as_of=1).select("k", F.col("v").alias("v1"))
+    s2 = (
+        e.managed("t_pit")
+        .read(as_of=2)
+        .select("k", F.col("v").alias("v2"), "s")
+    )
+    return s1.join(s2, "k").select(
+        "k",
+        F.col("v1").cast("double").alias("v1"),
+        F.col("v2").cast("double").alias("v2"),
+        "s",
+    )
+
+
+REG.add(
+    "scan_point_in_time",
+    _point_in_time,
+    """
+    SELECT o_orderkey AS k,
+           CAST(o_totalprice AS DOUBLE) AS v1,
+           CAST(CASE WHEN o_orderkey <= 30 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS DOUBLE) AS v2,
+           o_orderstatus AS s
+    FROM orders WHERE o_orderkey <= 60
+    """,
+)

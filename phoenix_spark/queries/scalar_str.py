@@ -149,3 +149,42 @@ REG.add(
     FROM part
     """,
 )
+
+
+# --- LPAD's NULL/truncation contract (§2.8) ----------------------------------
+# LpadFunction.evaluate orders its fast-paths so the FILL expression is only
+# evaluated when padding is actually needed: a non-positive output length is
+# NULL, output length <= input length truncates (even with an empty/NULL
+# fill), and only the pad path turns an empty fill into NULL
+# (LpadFunction.java:79-127; StringIT.java:159-232).
+def _lpad_contract(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    return e.sql(
+        "SELECT c_custkey, "
+        "LPAD(c_name, 5) AS t5, "
+        "LPAD(c_name, 3, '') AS t3, "
+        "LPAD(c_name, 25, 'xy') AS p25, "
+        "LPAD(c_name, 25, '') AS pe, "
+        "LPAD(c_name, 0, 'x') AS p0 "
+        "FROM customer WHERE c_custkey <= 200"
+    )
+
+
+REG.add(
+    "str_lpad_contract",
+    _lpad_contract,
+    """
+    SELECT c_custkey,
+           substr(c_name, 1, 5)  AS t5,
+           substr(c_name, 1, 3)  AS t3,
+           lpad(c_name, 25, 'xy') AS p25,
+           CASE WHEN length(c_name) >= 25 THEN substr(c_name, 1, 25)
+                ELSE NULL END    AS pe,
+           CAST(NULL AS VARCHAR) AS p0
+    FROM customer WHERE c_custkey <= 200
+    """,
+)

@@ -727,14 +727,20 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"regexp_replace({', '.join(args)})"
     if up == "LPAD":
         # LPadFunction (StringIT.java:159-232): a non-positive output
-        # length or an EMPTY fill string yields NULL — Spark's lpad returns
-        # '' / the unpadded string there.  NULL fill already propagates.
+        # length yields NULL, and an EMPTY/NULL fill yields NULL only when
+        # padding is actually needed — the truncation fast-paths
+        # (LpadFunction.evaluate: outputStrLen <= inputStrLen returns before
+        # the fill expression is evaluated) make LPAD('hello', 3, '') =
+        # 'hel'.  Spark's lpad returns '' / the unpadded string instead.
         if len(args) not in (2, 3):
             raise PhoenixTranslationError(f"LPAD with {len(args)} args")
         fill = args[2] if len(args) == 3 else "' '"
         return (
-            f"if(({args[1]}) < 1 OR length({fill}) = 0, NULL, "
-            f"lpad({args[0]}, {args[1]}, {fill}))"
+            f"if(({args[1]}) < 1, NULL, "
+            f"if(({args[1]}) <= length({args[0]}), "
+            f"lpad({args[0]}, {args[1]}, ' '), "
+            f"if(length({fill}) = 0, NULL, "
+            f"lpad({args[0]}, {args[1]}, {fill}))))"
         )
     if up == "LOG":
         # Phoenix LOG(x[, base]) defaults to base 10; Spark log(base, x)
@@ -2023,6 +2029,7 @@ def translate_phoenix_sql(
         flags=re.IGNORECASE,
     )
     masked = _rewrite_rvc_arity(masked)
+    masked = _rewrite_aliased_table_qualifiers(masked)
     masked = _rewrite_on_nullsafe(masked, stash)
     masked = _rewrite_orderby_null_default(masked)
     masked = _rewrite_distinct_orderby(masked)
@@ -2189,6 +2196,48 @@ _EXPR_NONCOL_KW = {
 }
 
 
+_ALIAS_STOP_KW = {
+    "WHERE", "JOIN", "ON", "GROUP", "ORDER", "LEFT", "RIGHT", "INNER",
+    "CROSS", "FULL", "UNION", "INTERSECT", "EXCEPT", "LIMIT", "OFFSET",
+    "HAVING", "AS", "SET", "VALUES", "SELECT", "FETCH", "USING", "NATURAL",
+}
+
+
+def _rewrite_aliased_table_qualifiers(masked: str) -> str:
+    """Phoenix resolves a column qualified by the TABLE NAME even when the
+    table carries an alias — FromCompiler's resolver binds both names
+    (QueryIT.testColumnAliasMapping: ``SELECT a.a_string, atable.b_string
+    FROM atable a``).  Spark binds only the alias, so rewrite ``tbl.col`` to
+    ``alias.col`` — conservatively: only when ``tbl`` is aliased exactly
+    once in the statement and never appears unaliased (anything else is
+    ambiguous in Phoenix too)."""
+    pairs: dict[str, set[str]] = {}
+    bare: set[str] = set()
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+        masked,
+        re.I,
+    ):
+        tbl, alias = m.group(1).lower(), m.group(2)
+        if alias and alias.upper() in _ALIAS_STOP_KW:
+            alias = None
+        if alias:
+            pairs.setdefault(tbl, set()).add(alias)
+        else:
+            bare.add(tbl)
+    out = masked
+    for tbl, aliases in pairs.items():
+        if len(aliases) != 1 or tbl in bare:
+            continue
+        alias = next(iter(aliases))
+        if alias.lower() == tbl:
+            continue
+        out = re.sub(
+            rf"\b{re.escape(tbl)}\s*\.", f"{alias}.", out, flags=re.I
+        )
+    return out
+
+
 def _rewrite_on_nullsafe(masked: str, stash: list[str]) -> str:
     """Phoenix equi-join keys are NULL-safe: the hash/sort-merge join key is
     the byte-concatenation of the ON clause's equality operands with an
@@ -2294,8 +2343,15 @@ def _rewrite_on_nullsafe(masked: str, stash: list[str]) -> str:
             rcol, rq = _analyze(rhs)
             if not (lcol and rcol):
                 continue
-            if lq and rq and lq & rq:
-                continue  # same-relation equality: Phoenix pre-filter, 3VL
+            # The rewrite needs PROOF the equality is cross-relation: both
+            # sides explicitly qualified, with disjoint qualifier sets.  A
+            # bare column (empty qualifier set) could belong to either
+            # relation — e.g. ``ON a.k = b.k AND a.x = x2`` where x2 is also
+            # a's column is a same-relation pre-filter Phoenix evaluates
+            # with standard 3VL; rewriting it to <=> would let NULL = NULL
+            # pass a filter.  When ambiguous, keep ANSI `=`.
+            if not (lq and rq) or (lq & rq):
+                continue
             conjuncts[ci] = f"{lhs}<=>{rhs}"
             changed = True
         if changed:

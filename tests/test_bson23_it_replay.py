@@ -243,3 +243,41 @@ def test_bson3_sql_conditions_update(engine):
     row = engine.table("b3").collect()[0]
     assert row.c1 == "0004"
     assert json.loads(row.col)["press"] == "beat"
+
+
+def test_invalid_update_path_raises(spark):
+    """Missing path INTERMEDIATES raise the reference's invalid-path error for
+    every op; a missing LEAF is created by $SET/$ADD and a no-op for
+    $UNSET/$DELETE_FROM_SET (UpdateExpressionUtils.updateNestedField:363-426,
+    updateDocumentAtLeafNode:528-560)."""
+    import pyspark.sql.functions as F
+
+    from phoenix_spark.bson import bson_update_expression
+
+    def run(doc, expr):
+        df = spark.createDataFrame([(doc,)], "doc string").coalesce(1)
+        return df.select(
+            bson_update_expression(F.col("doc"), expr).alias("r")
+        ).collect()[0].r
+
+    def raises(doc, expr):
+        with pytest.raises(Exception, match="document path .* invalid"):
+            run(doc, expr)
+
+    # missing intermediate -> BsonUpdateInvalidArgumentException analog
+    raises('{"a":1}', '{"$UNSET": {"b.c": null}}')
+    raises('{"a":1}', '{"$SET": {"b.c": 5}}')
+    raises('{"a":1}', '{"$ADD": {"b.c": 2}}')
+    raises('{"a":1}', '{"$DELETE_FROM_SET": {"b.c": {"$set": [1]}}}')
+    # intermediate present but wrong container type
+    raises('{"a":5}', '{"$SET": {"a.c": 1}}')
+    # missing leaf: SET creates, UNSET / DELETE_FROM_SET no-op
+    assert json.loads(run('{"a":{"x":1}}', '{"$SET": {"a.c": 5}}')) == {
+        "a": {"c": 5, "x": 1}
+    }
+    assert json.loads(run('{"a":{"x":1}}', '{"$UNSET": {"a.c": null}}')) == {
+        "a": {"x": 1}
+    }
+    assert json.loads(
+        run('{"a":{"x":1}}', '{"$DELETE_FROM_SET": {"a.c": {"$set": [1]}}}')
+    ) == {"a": {"x": 1}}

@@ -1128,9 +1128,12 @@ def test_sequence_rewrite_literal_safe(engine):
     assert [r.v for r in got] == ["NEXT VALUE FOR ghost"]
     engine.sql("CREATE SEQUENCE s START WITH 10 INCREMENT BY 1")
     engine.sql("CREATE SEQUENCE s2 START WITH 500 INCREMENT BY 1")
-    row = engine.sql(
-        "SELECT CURRENT VALUE FOR s2 AS c2 FROM lit"
-    )
+    # CURRENT VALUE FOR before any NEXT VALUE FOR throws
+    # (SQLExceptionCode.CANNOT_CALL_CURRENT_BEFORE_NEXT_VALUE)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="before"):
+        engine.sql("SELECT CURRENT VALUE FOR s2 AS c2 FROM lit")
     # consume one value of s2 first so CURRENT VALUE is defined
     first = engine.sql("SELECT NEXT VALUE FOR s2 AS n FROM lit").collect()
     assert [r.n for r in first] == [500]
@@ -1206,14 +1209,18 @@ def test_sequence_options_minmax_cycle_bulk(engine):
     engine.sql("CREATE SEQUENCE blk START WITH 100 INCREMENT BY 1 CACHE 10")
     assert engine._eval_literal("NEXT 5 VALUES FOR blk") == 100
     assert engine._eval_literal("NEXT VALUE FOR blk") == 105
-    # bulk in a SELECT: each row strides by k*increment
+    # bulk in a SELECT: each row strides by k*increment.  The preceding
+    # NEXT VALUE reserved a CACHE 10 chunk (105-114, server at 115); a bulk
+    # allocation DISCARDS the cached remainder and starts at the server
+    # value (SequenceBulkAllocationIT
+    # .testNextValuesForSequenceWithPreviouslyAllocatedValues)
     engine.sql("CREATE TABLE sqsrc (k BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY (k))")
     engine.sql("UPSERT INTO sqsrc VALUES (1), (2), (3)")
     ids = sorted(
         r.id for r in engine.sql(
             "SELECT NEXT 4 VALUES FOR blk AS id FROM sqsrc").collect()
     )
-    assert ids == [106, 110, 114]
+    assert ids == [115, 119, 123]
     # bulk allocation past the limit: errors, never cycles
     engine.sql("CREATE SEQUENCE blim START WITH 1 INCREMENT BY 1 MAXVALUE 4 CYCLE")
     with _pt.raises(ValueError, match="exceeds|cycle"):
@@ -1243,9 +1250,15 @@ def test_updatable_view_upsert_delete(engine):
     engine.sql("UPSERT INTO clicks (id, v) SELECT id + 10, v * 2 FROM clicks")
     got = {r.id: r.kind for r in engine.table("evt").collect()}
     assert got == {1: "click", 2: "click", 11: "click", 12: "click"}
-    # default column list excludes the view constant
-    engine.sql("UPSERT INTO clicks VALUES (3, 3.5)")
+    # the implicit column list is the VIEW's full column list, so a
+    # full-row VALUES restates the constant (verified equal, allowed)
+    engine.sql("UPSERT INTO clicks VALUES (3, 'click', 3.5)")
     assert engine.sql("SELECT v FROM clicks WHERE id = 3").collect()[0].v == 3.5
+    # a short implicit VALUES prefix-maps onto the LEADING view columns
+    # (UpsertCompiler's resize-down), so the second value lands on the
+    # kind view-constant and is rejected (CANNOT_UPDATE_VIEW_COLUMN)
+    with _pt.raises(ValueError, match="view-constant"):
+        engine.sql("UPSERT INTO clicks VALUES (4, 4.5)")
     # setting the constant explicitly is rejected
     with _pt.raises(ValueError, match="view-constant"):
         engine.sql("UPSERT INTO clicks (id, kind, v) VALUES (4, 'view', 4.5)")

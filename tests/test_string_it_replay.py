@@ -37,6 +37,13 @@ def test_lpad_matrix(engine):
         ("LPAD('ABCD', 4, '1234')", "ABCD"),        # zero padding needed
         ("LPAD('ABCD', 2, '12')", "AB"),             # truncates
         ("LPAD('ണഫɰɸ', 2, 'ɚɦ')", "ണഫ"),
+        # the truncation fast-path never evaluates the fill expression
+        # (LpadFunction.evaluate returns before getFillExpr()), so an empty
+        # or NULL fill still truncates
+        ("LPAD('hello', 3, '')", "hel"),
+        ("LPAD('hello', 3, NULL)", "hel"),
+        ("LPAD('hello', 5, '')", "hello"),           # len == input len
+        ("LPAD('hello', 6, NULL)", None),            # pad needed, NULL fill
         ("LPAD('ABCD', 0, '12')", None),             # zero length → NULL
         ("LPAD('ABCD', -1, '12')", None),            # negative → NULL
         ("LPAD(NULL, 4, '12')", None),               # NULL input
