@@ -59,9 +59,6 @@ RENAME = {
     "ARRAY_LENGTH": "size",
     "ARRAY_ELEM": "element_at",
     "ARRAY_TO_STRING": "array_join",
-    "ARRAY_CAT": "concat",
-    "ARRAY_APPEND": "array_append",
-    "ARRAY_FILL": "array_repeat",
     "JSON_VALUE": "get_json_object",
     # JSON_QUERY returns the JSON fragment at the path (JsonQueryFunction);
     # get_json_object returns fragments for objects/arrays untouched
@@ -104,7 +101,11 @@ _SHAPE_FNS = (
     "JSON_EXISTS",
     "JSON_MODIFY",
     "PARTITION_ID",
-    "ARRAY_PREPEND",  # Phoenix (elem, arr) vs Spark (arr, elem)
+    "ARRAY_PREPEND",  # Phoenix (elem, arr) vs Spark (arr, elem); NULL rules
+    "ARRAY_APPEND",   # NULL element -> unchanged; NULL array -> singleton
+    "ARRAY_CAT",      # NULL side -> the other side
+    "ARRAY_REMOVE",   # NULL element -> unchanged
+    "ARRAY_FILL",     # length < 1 -> error (ArrayFillFunctionIT)
     "BSON_CONDITION_EXPRESSION",
     "BSON_VALUE",
     "BSON_VALUE_TYPE",
@@ -960,9 +961,51 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             f"THEN 'BSON' ELSE 'VARCHAR' END"
         )
     if up == "ARRAY_PREPEND":
+        # ArrayModifierFunction (ArrayAppend/PrependFunctionIT): a NULL
+        # element leaves the array untouched; a NULL/absent array yields a
+        # singleton of the element.  Spark's array_prepend would instead
+        # prepend a NULL / return NULL.
         if len(args) != 2:
             raise PhoenixTranslationError("ARRAY_PREPEND requires (elem, array)")
-        return f"array_prepend({args[1]}, {args[0]})"
+        e, a = args
+        return (
+            f"if(({e}) IS NULL, {a}, if(({a}) IS NULL, array({e}), "
+            f"array_prepend({a}, {e})))"
+        )
+    if up == "ARRAY_APPEND":
+        if len(args) != 2:
+            raise PhoenixTranslationError("ARRAY_APPEND requires (array, elem)")
+        a, e = args
+        return (
+            f"if(({e}) IS NULL, {a}, if(({a}) IS NULL, array({e}), "
+            f"array_append({a}, {e})))"
+        )
+    if up == "ARRAY_CAT":
+        # ArrayConcatFunction: a NULL side yields the other side (interior
+        # NULL elements are preserved); Spark's concat returns NULL
+        if len(args) != 2:
+            raise PhoenixTranslationError("ARRAY_CAT requires (array, array)")
+        a, b = args
+        return (
+            f"if(({a}) IS NULL, {b}, if(({b}) IS NULL, {a}, "
+            f"concat({a}, {b})))"
+        )
+    if up == "ARRAY_REMOVE":
+        # ArrayRemoveFunction: removing NULL is a no-op (Spark returns NULL)
+        if len(args) != 2:
+            raise PhoenixTranslationError("ARRAY_REMOVE requires (array, elem)")
+        a, e = args
+        return f"if(({e}) IS NULL, {a}, array_remove({a}, {e}))"
+    if up == "ARRAY_FILL":
+        # ArrayFillFunction: a non-positive length is an error, not an
+        # empty array (ArrayFillFunctionIT.testArrayFillFunctionInvalidLength)
+        if len(args) != 2:
+            raise PhoenixTranslationError("ARRAY_FILL requires (value, length)")
+        v, n = args
+        return (
+            f"if(({n}) < 1, raise_error('ARRAY_FILL: length must be "
+            f"positive'), array_repeat({v}, cast({n} as int)))"
+        )
     if up in ("SET_BYTE", "SET_BIT"):
         try:
             off = int(args[1])
@@ -2410,6 +2453,8 @@ _WG_FNS = (
     "LAST_VALUE",
     "NTH_VALUE",
     "PERCENT_RANK",
+    "PERCENTILE_CONT",
+    "PERCENTILE_DISC",
 )
 _WG_RE = re.compile(r"\b(" + "|".join(_WG_FNS) + r")\s*\(", re.IGNORECASE)
 _WG_TAIL_RE = re.compile(r"\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+", re.IGNORECASE)
@@ -2436,6 +2481,39 @@ def _lower_within_group(name: str, args: list[str], key: str, desc: bool) -> str
     if name == "PERCENT_RANK":
         cmp = ">" if desc else "<="
         return f"(cast(count_if(({key}) {cmp} ({args[0]})) as double) / count({key}))"
+    if name == "PERCENTILE_CONT":
+        # PercentileClientAggregator.evaluate: i = p*N + 0.5, k = floor(i),
+        # f = i - k, result = v[k]*(1-f) + v[k+1]*f over the ordered
+        # multiset, clamped to v[1]/v[N] at the edges — NOT the ANSI
+        # p*(N-1)+1 rule Spark/DuckDB use (PERCENTILE_CONT(0.9) over 1..9 is
+        # 8.6 in Phoenix, 8.2 under ANSI; PercentileIT.testPercentile).
+        # Like the reference's client aggregator, the group is materialized
+        # (the at-scale path is APPROX_PERCENTILE, aggregates_ext.py).
+        p = args[0]
+        srt = f"array_sort(collect_list(cast(({key}) as double)))"
+        arr = f"reverse({srt})" if desc else srt
+        i = f"(({p}) * size(__pa) + 0.5d)"
+        k = f"cast(floor({i}) as int)"
+        f_ = f"({i} - floor({i}))"
+        body = (
+            f"case when size(__pa) = 0 then cast(null as double) "
+            f"when {k} < 1 then element_at(__pa, 1) "
+            f"when {k} >= size(__pa) then element_at(__pa, size(__pa)) "
+            f"else element_at(__pa, {k}) * (1.0d - {f_}) "
+            f"+ element_at(__pa, {k} + 1) * {f_} end"
+        )
+        return f"element_at(transform(array({arr}), __pa -> {body}), 1)"
+    if name == "PERCENTILE_DISC":
+        # PercentileDiscClientAggregator: the first value in the chosen
+        # order whose cumulative distribution reaches p — index
+        # max(1, ceil(p*N)); keeps the column's type
+        p = args[0]
+        srt = f"array_sort(collect_list({key}))"
+        arr = f"reverse({srt})" if desc else srt
+        return (
+            f"element_at(transform(array({arr}), __pa -> try_element_at("
+            f"__pa, greatest(1, cast(ceil(({p}) * size(__pa)) as int)))), 1)"
+        )
     sorted_asc = (
         f"array_sort(collect_list(named_struct('_o', {key}, '_v', {args[0]})))"
     )
