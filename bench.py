@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -116,7 +117,10 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        # non-numeric labels (e.g. the 10x replicated set at /tmp/sf1ish)
+        # pass through as strings rather than crashing after the whole
+        # suite has run
+        "sf": float(sf) if re.fullmatch(r"[0-9.]+", sf) else sf,
     }
     line = json.dumps(result)
 

@@ -335,7 +335,12 @@ class Engine:
         sources: list[tuple[str, DataFrame]] = []
         if self.catalog is not None:
             sources += [(n, self.catalog.df(n)) for n in self.catalog.tables]
-        sources += [(n, self.spark.table(n)) for n in self._registered]
+        for n in list(self._registered):
+            try:
+                sources.append((n, self.spark.table(n)))
+            except Exception:
+                # stale temp view (dropped by another connection): skip
+                self._registered.discard(n)
         for name, df in sources:
             by_table[name.split(".")[-1].lower()] = {
                 f.name
@@ -365,7 +370,12 @@ class Engine:
         sources: list[tuple[str, DataFrame]] = []
         if self.catalog is not None:
             sources += [(n, self.catalog.df(n)) for n in self.catalog.tables]
-        sources += [(n, self.spark.table(n)) for n in self._registered]
+        for n in list(self._registered):
+            try:
+                sources.append((n, self.spark.table(n)))
+            except Exception:
+                # stale temp view (dropped by another connection): skip
+                self._registered.discard(n)
         for name, df in sources:
             if name.split(".")[-1].lower() not in tokens:
                 continue
@@ -1301,7 +1311,27 @@ class Engine:
         return self.spark.createDataFrame(lines, "plan: string")
 
     def _exec_create_table(self, text: str) -> int:
+        if self.tenant_id is not None:
+            # CANNOT_CREATE_TENANT_SPECIFIC_TABLE (TenantSpecificTablesDDLIT
+            # .testCreationOfParentTableFailsOnTenantSpecificConnection):
+            # tenant connections may only create VIEWS over multi-tenant
+            # tables
+            raise ValueError(
+                "cannot create table on a tenant-specific connection: "
+                "create a VIEW over a MULTI_TENANT table instead"
+            )
         ct = D.parse_create_table(text)
+        if str((ct.props or {}).get("MULTI_TENANT", "")).lower() == "true" and len(
+            ct.pk
+        ) < 2:
+            # INSUFFICIENT_MULTI_TENANT_COLUMNS: the tenant id occupies the
+            # leading PK slot, so a multi-tenant table needs at least one
+            # more PK column (TenantSpecificTablesDDLIT
+            # .testBaseTableWrongFormatWithTenantTypeId)
+            raise ValueError(
+                f"MULTI_TENANT table {ct.name} needs at least 2 PRIMARY KEY "
+                "columns (the first is the tenant id)"
+            )
         name = ct.name
         if "." not in name and self.default_schema:
             # unqualified CREATE under USE <schema> lands in that schema
@@ -1332,6 +1362,42 @@ class Engine:
 
     def _exec_create_view(self, text: str) -> int:
         cv = D.parse_create_view(text)
+        if self.tenant_id is not None:
+            # a tenant connection resolves only MULTI_TENANT bases
+            # (TenantSpecificTablesDDLIT.testCreateTenantViewFromNonMultiTenant
+            # -> TableNotFoundException)
+            node = self._qualify(cv.parent)
+            while node in self._views:
+                node = self._qualify(self._views[node][0])
+            try:
+                base_mt0 = self.managed(node)
+            except ValueError:
+                base_mt0 = None
+            if base_mt0 is None or self._tenant_col(base_mt0) is None:
+                raise ValueError(f"Table undefined. tableName={cv.parent}")
+        if cv.columns:
+            # a view column may not shadow a parent column
+            # (ColumnAlreadyExistsException; TenantSpecificTablesDDLIT
+            # .testTenantSpecificTableCannotOverrideParentCol)
+            node = self._qualify(cv.parent)
+            parent_cols: set[str] = set()
+            while node in self._views:
+                parent_cols |= {c.lower() for c in (self._views[node][2] or {})}
+                node = self._qualify(self._views[node][0])
+            try:
+                parent_cols |= {
+                    f.lower() for f in self.managed(node).schema.fieldNames()
+                }
+            except ValueError:
+                pass
+            clash = [
+                c for c in cv.columns if c.lower() in parent_cols
+            ]
+            if clash:
+                raise ValueError(
+                    f"column(s) {sorted(clash)} already exist on the parent "
+                    f"of view {cv.name}"
+                )
         if cv.name in self._views:
             # MetaDataClient.createTable: TABLE_ALREADY_EXIST unless IF NOT
             # EXISTS (a view is a catalog row of the same namespace)
@@ -1923,6 +1989,12 @@ class Engine:
             if dr.if_exists:
                 return 0
             raise ValueError(f"no table {dr.name}")
+        if self.tenant_id is not None and not dr.truncate:
+            # a tenant connection cannot drop the (global) physical table
+            # (TenantSpecificTablesDDLIT
+            # .testDeletionOfParentTableFailsOnTenantSpecificConnection ->
+            # TableNotFoundException)
+            raise ValueError(f"Table undefined. tableName={dr.name}")
         # child views block a plain DROP TABLE; CASCADE drops them too
         # (MetaDataClient.dropTable: CANNOT_MUTATE_TABLE unless cascade)
         base = dr.name.split(".")[-1].lower()
@@ -2632,8 +2704,13 @@ class Engine:
             # the reference (MutationState buffers by PK) — resolved here so
             # equal-mutation-ts rows never reach the read-side tie-break
             pk_pos = [cols.index(c) for c in mt.pk]
+
+            def _hk(v):
+                # array-typed PK components (Array3IT.testPKWithDescArray)
+                return tuple(v) if isinstance(v, list) else v
+
             rows = list(
-                {tuple(r[i] for i in pk_pos): r for r in rows}.values()
+                {tuple(_hk(r[i]) for i in pk_pos): r for r in rows}.values()
             )
             src_schema = T.StructType(
                 [

@@ -48,7 +48,12 @@ def test_translate_to_number_two_arg_formats():
 
 def test_translate_nested_call():
     out = translate_phoenix_sql("SELECT ARRAY_LENGTH(ARRAY_CAT(a, b)) FROM t")
-    assert "size(concat(a, b))" in out
+    # ARRAY_CAT now lowers null-aware (a NULL side yields the other side,
+    # ArrayConcatFunctionIT.testNullArrayConcat), nested inside size()
+    assert out == (
+        "SELECT size(if((a) IS NULL, b, if((b) IS NULL, a, concat(a, b)))) "
+        "FROM t"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -287,3 +287,69 @@ def test_upsert_values_using_view_with_no_where_clause(conns):
     t1.sql("upsert into tenant_v_nt (id) values (0)")
     got = [r.id for r in t1.sql("select id from tenant_v_nt").collect()]
     assert got == [0]
+
+
+# --- TenantSpecificTablesDDLIT (the DDL-surface rules) ------------------------
+
+
+def test_create_tenant_view_twice_fails(conns):
+    # TenantSpecificTablesDDLIT.testCreateTenantTableTwice:84
+    _, t1, _ = conns
+    with pytest.raises(ValueError, match="exists"):
+        t1.sql(TENANT_VIEW_DDL)
+
+
+def test_create_tenant_view_from_non_multitenant_fails(conns):
+    # testCreateTenantViewFromNonMultiTenant:95 — TableNotFoundException:
+    # a tenant connection resolves only MULTI_TENANT bases
+    g, t1, _ = conns
+    g.sql("CREATE TABLE plain_g (k VARCHAR NOT NULL, "
+          "CONSTRAINT pk PRIMARY KEY (k))")
+    with pytest.raises(ValueError, match="Table undefined"):
+        t1.sql("CREATE VIEW v_over_plain (col VARCHAR) AS "
+               "SELECT * FROM plain_g")
+
+
+def test_create_table_on_tenant_connection_fails(conns):
+    # testCreationOfParentTableFailsOnTenantSpecificConnection:167 —
+    # CANNOT_CREATE_TENANT_SPECIFIC_TABLE
+    _, t1, _ = conns
+    with pytest.raises(ValueError, match="tenant-specific connection"):
+        t1.sql('CREATE TABLE t_no ("user" VARCHAR, id INTEGER NOT NULL '
+               "PRIMARY KEY DESC)")
+
+
+def test_drop_parent_on_tenant_connection_fails(conns):
+    # testDeletionOfParentTableFailsOnTenantSpecificConnection:159
+    _, t1, _ = conns
+    with pytest.raises(ValueError, match="Table undefined"):
+        t1.sql("DROP TABLE parent_mt")
+
+
+def test_multitenant_needs_two_pk_columns(conns):
+    # testBaseTableWrongFormatWithTenantTypeId:223 —
+    # INSUFFICIENT_MULTI_TENANT_COLUMNS
+    g, _, _ = conns
+    with pytest.raises(ValueError, match="2 PRIMARY KEY"):
+        g.sql("CREATE TABLE bad_mt (TENANT_ID VARCHAR NOT NULL PRIMARY KEY, "
+              "ID VARCHAR, A INTEGER) MULTI_TENANT=true")
+
+
+def test_tenant_view_cannot_override_parent_col(conns):
+    # testTenantSpecificTableCannotOverrideParentCol:215 —
+    # ColumnAlreadyExistsException
+    _, t1, _ = conns
+    with pytest.raises(ValueError, match="already exist"):
+        t1.sql('CREATE VIEW v_clash ("user" INTEGER) AS '
+               "SELECT * FROM parent_mt")
+
+
+def test_drop_parent_with_tenant_views_needs_cascade(conns):
+    # testDisallowDropParentTableWithExistingTenantTable:315 +
+    # testAllowDropParentTableWithCascadeAndSingleTenantTable:330
+    g, t1, _ = conns
+    with pytest.raises(ValueError, match="CASCADE"):
+        g.sql("DROP TABLE parent_nt")
+    g.sql("DROP TABLE parent_nt CASCADE")
+    with pytest.raises(Exception, match="Table undefined|no view|NOT_FOUND"):
+        t1.sql("SELECT * FROM tenant_v_nt")
