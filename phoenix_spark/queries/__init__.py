@@ -124,6 +124,7 @@ _ROTATING = [
     "tenant_scoped_read",         # multi-tenant view + tenant-scoped DML
     "ddl_sequence_bulk",          # NEXT n VALUES FOR bulk allocation
     "scan_point_in_time",         # SCN point-in-time read matrix (PointInTimeQueryIT)
+    "agg_percentile_phoenix",     # reference percentile formulas (PercentileIT)
     # --- per-family anchors not covered by _PERMANENT or the new entries,
     # each the family's OLDEST-evidence member ---
     "sort_topk",                  # sort_ (r03)
@@ -149,9 +150,8 @@ _ROTATING = [
     "filter_ilike",
     "filter_in_like",
     "filter_rvc_in",
-    "join_range_bucketed",
-    # r02 remainder (scan_serial/tablesample + the q2-q17 TPC-H tail) and
-    # the r03 backlog drain in round 9+.
+    # r02 remainder (join_range_bucketed, scan_serial/tablesample + the
+    # q2-q17 TPC-H tail) and the r03 backlog drain in round 9+.
 ]
 
 _TIER1 = _PERMANENT + _ROTATING

@@ -331,3 +331,70 @@ REG.add(
     FROM orders GROUP BY o_orderstatus
     """,
 )
+
+
+# --- Phoenix-formula inverse-distribution aggregates (§2.4) -------------------
+# The reference's PERCENTILE_CONT is NOT ANSI: PercentileClientAggregator
+# interpolates at i = p*N + 0.5 over the ordered multiset (0.9 over 1..9 =
+# 8.6, ANSI says 8.2), and PERCENTILE_DISC takes the first value whose
+# cumulative distribution reaches p.  agg_percentile pins the ANSI surface
+# (Spark/DuckDB natives); THIS entry pins the dialect front-end's
+# reference-faithful lowering (sqlfront._lower_within_group), with the
+# oracle computing the same formula over DuckDB list aggregates.
+def _percentile_phoenix(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    # p values are DYADIC (0.75 / 0.25): i = p*N + 0.5 and the interpolation
+    # weights are then exactly representable doubles, so both engines produce
+    # bit-identical results (a 0.9-style p would differ in the last ulp
+    # between decimal-first and double-first evaluation orders)
+    return e.sql(
+        "SELECT l_returnflag, "
+        "PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity ASC) AS p75, "
+        "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity DESC) AS p25d, "
+        "CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity ASC) "
+        "AS DOUBLE) AS d25, "
+        "PERCENT_RANK(17) WITHIN GROUP (ORDER BY l_quantity ASC) AS pr17 "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+REG.add(
+    "agg_percentile_phoenix",
+    _percentile_phoenix,
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             list_sort(list(CAST(l_quantity AS DOUBLE))) AS arr,
+             count(l_quantity) AS n
+      FROM lineitem GROUP BY l_returnflag
+    ), c AS (
+      SELECT l_returnflag, arr, n,
+             list_reverse(list_sort(arr)) AS rarr,
+             CAST(floor(0.75 * n + 0.5) AS BIGINT) AS k_a,
+             CAST((0.75 * n + 0.5) - floor(0.75 * n + 0.5) AS DOUBLE) AS f_a,
+             CAST(floor(0.25 * n + 0.5) AS BIGINT) AS k_d,
+             CAST((0.25 * n + 0.5) - floor(0.25 * n + 0.5) AS DOUBLE) AS f_d
+      FROM g
+    )
+    SELECT l_returnflag,
+           CAST(CASE WHEN n = 0 THEN NULL
+                WHEN k_a < 1 THEN arr[1]
+                WHEN k_a >= n THEN arr[n]
+                ELSE arr[k_a] * (1.0 - f_a) + arr[k_a + 1] * f_a
+           END AS DOUBLE) AS p75,
+           CAST(CASE WHEN n = 0 THEN NULL
+                WHEN k_d < 1 THEN rarr[1]
+                WHEN k_d >= n THEN rarr[n]
+                ELSE rarr[k_d] * (1.0 - f_d) + rarr[k_d + 1] * f_d
+           END AS DOUBLE) AS p25d,
+           CAST(arr[greatest(1, CAST(ceil(0.25 * n) AS BIGINT))] AS DOUBLE)
+             AS d25,
+           (SELECT CAST(count(*) FILTER (WHERE q <= 17) AS DOUBLE) / count(q)
+            FROM unnest(arr) AS u(q)) AS pr17
+    FROM c ORDER BY l_returnflag
+    """,
+)
