@@ -154,23 +154,25 @@ class ManagedTable:
         # Phoenix stores the empty string as NULL — an empty byte array IS
         # the VARCHAR/CHAR null representation (PVarchar;
         # NullIT.testEmptyStringValue) — canonicalize at write time so every
-        # path (VALUES, SELECT, dup-update expressions) agrees.  PK columns
-        # are excluded: a NULL (or empty-string, which IS null) PK component
-        # is rejected, matching PTableImpl.newKey ("Primary key may not be
-        # null", PTableImpl.java:1297) — silently storing a NULL key would
-        # make the row unreachable by its original key.
-        pk_set = set(self.pk)
+        # path (VALUES, SELECT, dup-update expressions) agrees.  A NULL (or
+        # empty-string, which IS null) value in a NOT NULL PK column is
+        # rejected (PTableImpl.newKey: ConstraintViolation "may not be null"
+        # only when !column.isNullable(), PTableImpl.java:1254-1257) —
+        # NULLABLE PK components legally hold null
+        # (SkipScanQueryIT.testSkipScanFilterQuery upserts '' into a middle
+        # nullable PK column).
+        nn = self.meta.get("not_null")
+        required = set(self.pk if nn is None else nn) & set(self.pk)
         cols = []
         for f in self.schema.fields:
             c = F.col(f.name).cast(f.dataType)
             if isinstance(f.dataType, _T.StringType):
-                if f.name in pk_set:
+                if f.name in required:
                     c = F.when(
                         c.isNull() | (c == ""),
                         F.raise_error(
                             F.lit(
-                                f"Primary key may not be null ({self.name}."
-                                f"{f.name})"
+                                f"{self.name}.{f.name} may not be null"
                             )
                         ).cast(f.dataType),
                     ).otherwise(c)

@@ -85,6 +85,7 @@ _SHAPE_FNS = (
     "TO_TIME",
     "TO_TIMESTAMP",
     "LOG",
+    "SIGN",    # INTEGER result (SignFunction), not Spark's DOUBLE
     "CONVERT_TZ",
     "TIMEZONE_OFFSET",
     "DAYOFWEEK",
@@ -743,6 +744,12 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             f"if(length({fill}) = 0, NULL, "
             f"lpad({args[0]}, {args[1]}, {fill}))))"
         )
+    if up == "SIGN":
+        # SignFunction returns INTEGER (-1/0/1; SignFunction.java:67
+        # getDataType = PInteger); Spark's sign() returns DOUBLE
+        if len(args) != 1:
+            raise PhoenixTranslationError("SIGN takes one argument")
+        return f"cast(sign({args[0]}) as int)"
     if up == "LOG":
         # Phoenix LOG(x[, base]) defaults to base 10; Spark log(base, x)
         if len(args) == 1:
