@@ -726,6 +726,7 @@ class Engine:
         elif self.tenant_id is not None:
             masked = self._rewrite_tenant_refs(masked)
         masked = self._rewrite_distinct_orderby(masked)
+        masked = self._rewrite_rvc_offset(masked, unmask)
         masked = self._rewrite_dynamic_cols(masked)
         masked = self._rewrite_tablesample(masked)
         masked = self._rewrite_sequence_refs(
@@ -887,6 +888,63 @@ class Engine:
             return f"{kw} {view} {alias or bare}"
 
         return pat.sub(sub, masked)
+
+    # OFFSET (pk1, pk2, ...) = (v1, v2, ...) — the RVC OFFSET pagination
+    # form (RVCOffsetCompiler.java; QueryMoreIT
+    # .testRVCOnDescWithLeadingPKEquality): resume the scan strictly AFTER
+    # the given primary-key point in the table's PK STORAGE order, i.e.
+    # each DESC component flips its comparison.  Lowered to the
+    # lexicographic residual predicate, which Catalyst pushes to the scan —
+    # O(1) pagination, never a row-skip.
+    _RVC_OFFSET_RE = re.compile(
+        r"\bOFFSET\s*\(([^)]*)\)\s*=\s*\(([^)]*)\)", re.IGNORECASE
+    )
+
+    def _rewrite_rvc_offset(self, masked: str, unmask) -> str:
+        m = self._RVC_OFFSET_RE.search(masked)
+        if not m:
+            return masked
+        cols = [c.strip().strip('"').lower() for c in m.group(1).split(",")]
+        vals = [unmask(v.strip()) for v in m.group(2).split(",")]
+        fm = re.search(r"\bFROM\s+([\w.]+)", masked, re.I)
+        if not fm:
+            raise ValueError("RVC OFFSET requires a single FROM table")
+        mt = self.managed(self._qualify(fm.group(1)))
+        if cols != [c.lower() for c in mt.pk] or len(vals) != len(cols):
+            # RVCOffsetCompiler requires the offset to cover the entire PK
+            raise ValueError(
+                f"RVC OFFSET must name the full primary key {mt.pk} in order"
+            )
+        orders = {
+            k.lower(): v.upper()
+            for k, v in (mt.meta.get("sort_orders") or {}).items()
+        }
+        disjuncts = []
+        for i, col in enumerate(cols):
+            conj = [f"{cols[j]} = {vals[j]}" for j in range(i)]
+            op = "<" if orders.get(col) == "DESC" else ">"
+            conj.append(f"{col} {op} {vals[i]}")
+            disjuncts.append("(" + " AND ".join(conj) + ")")
+        pred = "(" + " OR ".join(disjuncts) + ")"
+        head = masked[: m.start()]
+        tail = masked[m.end():]
+        if re.search(r"\bWHERE\b", head, re.I):
+            # splice into the existing WHERE (the offset point intersects
+            # the query's own predicates, as in the reference)
+            head = re.sub(
+                r"\bWHERE\b", f"WHERE {pred} AND ", head, count=1, flags=re.I
+            )
+            return head + tail
+        # no WHERE yet: the predicate must precede GROUP/ORDER/LIMIT
+        cm = re.search(
+            r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING)\b", head, re.I
+        )
+        if cm:
+            return (
+                head[: cm.start()] + f" WHERE {pred} " + head[cm.start():]
+                + tail
+            )
+        return head + f" WHERE {pred} " + tail
 
     # FROM t (col TYPE, ...) — dynamic columns (grammar :832-855).  The
     # col-TYPE pair shape distinguishes it from a derived table `FROM (SELECT

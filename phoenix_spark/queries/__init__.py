@@ -125,6 +125,7 @@ _ROTATING = [
     "ddl_sequence_bulk",          # NEXT n VALUES FOR bulk allocation
     "scan_point_in_time",         # SCN point-in-time read matrix (PointInTimeQueryIT)
     "agg_percentile_phoenix",     # reference percentile formulas (PercentileIT)
+    "sort_rvc_offset_sql",        # OFFSET (pk)=(point) pagination (QueryMoreIT)
     # --- per-family anchors not covered by _PERMANENT or the new entries,
     # each the family's OLDEST-evidence member ---
     "sort_topk",                  # sort_ (r03)
@@ -149,9 +150,9 @@ _ROTATING = [
     "filter_case_cast",
     "filter_ilike",
     "filter_in_like",
-    "filter_rvc_in",
-    # r02 remainder (join_range_bucketed, scan_serial/tablesample + the
-    # q2-q17 TPC-H tail) and the r03 backlog drain in round 9+.
+    # r02 remainder (filter_rvc_in, join_range_bucketed,
+    # scan_serial/tablesample + the q2-q17 TPC-H tail) and the r03 backlog
+    # drain in round 9+.
 ]
 
 _TIER1 = _PERMANENT + _ROTATING

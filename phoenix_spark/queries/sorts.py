@@ -148,3 +148,42 @@ REG.add(
     ORDER BY o_orderdate, o_orderkey FETCH FIRST 5 ROWS ONLY
     """,
 )
+
+
+# --- RVC OFFSET SQL form (RVCOffsetCompiler.java; QueryMoreIT) ---------------
+# ``OFFSET (pk...)=(values...)`` resumes strictly AFTER the PK point in the
+# table's PK STORAGE order — DESC components flip their comparison.  The
+# engine lowers it to the lexicographic residual, pushed to the scan.
+def _rvc_offset_sql(spark, sf):
+    import tempfile
+
+    from phoenix_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf, warehouse=tempfile.mkdtemp(prefix="phx_wh_"))
+    e.sql(
+        "CREATE TABLE t_pgsnap (org CHAR(4) NOT NULL, score DOUBLE NOT NULL, "
+        "ent BIGINT NOT NULL, CONSTRAINT pk PRIMARY KEY "
+        "(org, score DESC, ent DESC))"
+    )
+    e.sql(
+        "UPSERT INTO t_pgsnap SELECT 'org1', CAST(o_orderkey % 7 AS DOUBLE), "
+        "o_orderkey FROM orders WHERE o_orderkey <= 500"
+    )
+    return e.sql(
+        "SELECT ent, score FROM t_pgsnap "
+        "ORDER BY org, score DESC, ent DESC LIMIT 40 "
+        "OFFSET (ORG, SCORE, ENT)=('org1', 5, 250)"
+    )
+
+
+REG.add(
+    "sort_rvc_offset_sql",
+    _rvc_offset_sql,
+    """
+    SELECT o_orderkey AS ent, CAST(o_orderkey % 7 AS DOUBLE) AS score
+    FROM orders
+    WHERE o_orderkey <= 500 AND (
+      (o_orderkey % 7) < 5 OR ((o_orderkey % 7) = 5 AND o_orderkey < 250))
+    ORDER BY score DESC, ent DESC LIMIT 40
+    """,
+)
