@@ -1761,12 +1761,85 @@ class Engine:
     def _register_cdc_views(self, text: str) -> None:
         """Re-register any CDC objects referenced by ``text`` as temp views
         over the CURRENT change log (a cached DataFrame would pin the file
-        listing of segments that existed at registration time)."""
+        listing of segments that existed at registration time).
+
+        Besides the typed pre/post image structs, the view exposes the
+        reference's ``"CDC JSON"`` column (CDCChangeBuilder + QueryConstants
+        CDC_* keys; CDCQueryIT.testSelectCDC): a JSON document with
+        ``event_type`` ("upsert"/"delete") plus, per the effective change
+        scopes, ``pre_image`` / ``change_image`` / ``post_image`` objects —
+        a ``/*+ CDC_INCLUDE(...) */`` hint in the statement overrides the
+        CDC's declared scopes.  change_image is the mutation's written
+        cells; this engine's change log is row-level, so it equals the
+        post image.  ``phoenix_row_timestamp`` mirrors change_ts (the
+        PHOENIX_ROW_TIMESTAMP() surface)."""
+        hm = re.search(r"CDC_INCLUDE\s*\(([^)]*)\)", text, re.IGNORECASE)
+        hint_scopes = (
+            {s.strip().upper() for s in hm.group(1).split(",") if s.strip()}
+            if hm
+            else None
+        )
         for name, (table, scope) in self._cdcs.items():
-            if re.search(rf"\b{re.escape(name)}\b", text, re.IGNORECASE):
-                self.managed(table).changes(scope=scope).createOrReplaceTempView(
-                    name
+            if not re.search(rf"\b{re.escape(name)}\b", text, re.IGNORECASE):
+                continue
+            scopes = hint_scopes if hint_scopes is not None else (
+                {s.strip().upper() for s in (scope or "CHANGE").split(",")}
+            )
+            df = self.managed(table).changes(scope="CHANGE")
+            is_del = F.col("change_op") == "DELETE"
+            parts = []
+            if "PRE" in scopes:
+                parts.append(
+                    F.concat(
+                        F.lit('"pre_image":'),
+                        F.coalesce(
+                            F.to_json(F.col("pre_image")), F.lit("{}")
+                        ),
+                    )
                 )
+            if "CHANGE" in scopes:
+                # images of the written cells — absent on deletes
+                parts.append(
+                    F.when(
+                        ~is_del,
+                        F.concat(
+                            F.lit('"change_image":'),
+                            F.to_json(F.col("post_image")),
+                        ),
+                    )
+                )
+            if "POST" in scopes:
+                parts.append(
+                    F.when(
+                        ~is_del,
+                        F.concat(
+                            F.lit('"post_image":'),
+                            F.to_json(F.col("post_image")),
+                        ),
+                    )
+                )
+            parts.append(
+                F.concat(
+                    F.lit('"event_type":"'),
+                    F.lower(F.col("change_op")),
+                    F.lit('"'),
+                )
+            )
+            cdc_json = F.concat(
+                F.lit("{"), F.concat_ws(",", *parts), F.lit("}")
+            )
+            mt = self.managed(table)
+            keep = [*mt.pk, "change_ts", "change_op"]
+            if scopes & {"PRE", "CHANGE"}:
+                keep.append("pre_image")
+            if scopes & {"POST", "CHANGE"}:
+                keep.append("post_image")
+            (
+                df.withColumn("CDC JSON", cdc_json)
+                .withColumn("phoenix_row_timestamp", F.col("change_ts"))
+                .select(*keep, "CDC JSON", "phoenix_row_timestamp")
+                .createOrReplaceTempView(name)
+            )
 
     def _exec_create_index(self, text: str) -> int:
         """CREATE INDEX → materialized covered projection (see indexes.py:

@@ -86,6 +86,7 @@ _SHAPE_FNS = (
     "TO_TIMESTAMP",
     "LOG",
     "SIGN",    # INTEGER result (SignFunction), not Spark's DOUBLE
+    "PHOENIX_ROW_TIMESTAMP",  # -> the commit-timestamp column
     "CONVERT_TZ",
     "TIMEZONE_OFFSET",
     "DAYOFWEEK",
@@ -1047,6 +1048,13 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             return f"cast(conv(substring(hex({args[0]}), {2 * off + 1}, 2), 16, 10) as int)"
         byte = f"cast(conv(substring(hex({args[0]}), {2 * (off // 8) + 1}, 2), 16, 10) as int)"
         return f"cast((shiftright({byte}, {off % 8}) & 1) as int)"
+    if up == "PHOENIX_ROW_TIMESTAMP":
+        # PhoenixRowTimestampFunction: the row's commit timestamp — reads
+        # the phoenix_row_timestamp column CDC views / with_row_timestamp
+        # reads expose
+        if args and any(a.strip() for a in args):
+            raise PhoenixTranslationError("PHOENIX_ROW_TIMESTAMP takes no arguments")
+        return "phoenix_row_timestamp"
     return f"{RENAME[up]}({', '.join(args)})"
 
 
