@@ -274,3 +274,41 @@ def test_array_upsert_with_nulls(spark, tmp_path_factory, typ, lit, expect):
     e.sql(f"UPSERT INTO t_awn VALUES('a',{lit})")
     got = e.sql("SELECT a FROM t_awn WHERE k = 'a'").collect()
     assert [r.a for r in got] == [expect]
+
+
+@pytest.mark.parametrize(
+    "typ,lit,expect_sql",
+    [
+        # ArraysWithNullsIT.testArrayUpsertDateWithNulls1/2:195-232 /
+        # TimeStampWithNulls:271 / CharWithNulls:312 — temporal and CHAR
+        # arrays round-trip NULL elements too
+        ("DATE", "ARRAY[NULL, TO_DATE('2024-06-01 10:00:00'), NULL]",
+         [None, "2024-06-01 10:00:00"]),
+        ("TIMESTAMP", "ARRAY[TO_DATE('2024-06-01 10:00:00'), NULL]",
+         ["2024-06-01 10:00:00", None]),
+        ("CHAR(15)", "ARRAY['foo', NULL, 'fo', 'foo']",
+         ["foo", None, "fo", "foo"]),
+    ],
+)
+def test_array_upsert_with_nulls_temporal_char(spark, tmp_path_factory, typ,
+                                               lit, expect_sql):
+    from phoenix_spark.engine import Engine
+
+    e = Engine(
+        spark, sf_dir=SF_TEST_DIR,
+        warehouse=str(tmp_path_factory.mktemp("awn_t")),
+    )
+    e.sql(f"CREATE TABLE t_awn2 (k VARCHAR NOT NULL, a {typ}[], "
+          "CONSTRAINT pk PRIMARY KEY (k))")
+    e.sql(f"UPSERT INTO t_awn2 VALUES('a',{lit})")
+    got = e.sql("SELECT a FROM t_awn2 WHERE k = 'a'").collect()[0].a
+    norm = [
+        (v.strftime("%Y-%m-%d %H:%M:%S") if hasattr(v, "strftime")
+         else (v.rstrip() if isinstance(v, str) else v))
+        if v is not None else None
+        for v in got
+    ]
+    want = [w for w in expect_sql]
+    if typ == "DATE":
+        want = [None, "2024-06-01 10:00:00", None]
+    assert norm == want
