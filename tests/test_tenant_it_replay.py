@@ -353,3 +353,34 @@ def test_drop_parent_with_tenant_views_needs_cascade(conns):
     g.sql("DROP TABLE parent_nt CASCADE")
     with pytest.raises(Exception, match="Table undefined|no view|NOT_FOUND"):
         t1.sql("SELECT * FROM tenant_v_nt")
+
+
+def test_tenant_view_add_drop_column(conns):
+    # TenantSpecificTablesDDLIT.testAddDropColumn:236 — ALTER VIEW on the
+    # tenant view through the tenant connection: add a view column, write
+    # through it, then drop another and lose its visibility
+    _, t1, _ = conns
+    t1.sql("upsert into tenant_v (id, tenant_col) values (1, 'Viva Las Vegas')")
+    t1.sql("alter view tenant_v add tenant_col2 char(1) null")
+    t1.sql("upsert into tenant_v (id, tenant_col2) values (2, 'a')")
+    got = [r[0] for r in t1.sql("select count(*) from tenant_v").collect()]
+    assert got == [2]
+    got = [r[0] for r in t1.sql(
+        "select count(*) from tenant_v where tenant_col2 = 'a'"
+    ).collect()]
+    assert got == [1]
+    t1.sql("alter view tenant_v drop column tenant_col")
+    got = [r[0] for r in t1.sql("select count(*) from tenant_v").collect()]
+    assert got == [2]
+    with pytest.raises(Exception, match="tenant_col|resolve|not found"):
+        t1.sql("select tenant_col from tenant_v").collect()
+
+
+def test_drop_pk_column_not_allowed(conns):
+    # testDropOfPKInTenantTablesNotAllowed:274 +
+    # testColumnMutationInParentTableWithExistingTenantTable:291 —
+    # CANNOT_DROP_PK on PK columns; non-PK drops are allowed
+    g, _, _ = conns
+    with pytest.raises(ValueError, match="PK|primary key|key column"):
+        g.sql("alter table parent_mt drop column id")
+    g.sql('alter table parent_mt drop column "user"')  # non-PK: allowed
