@@ -116,3 +116,39 @@ def test_cdc_join_with_data_table(engine):
         "GROUP BY t.k ORDER BY t.k"
     ).collect()
     assert [(r.k, r.c) for r in got] == [(1, 4), (2, 1)]
+
+
+def test_cdc_over_bson_column(tmp_path):
+    # Bson3IT.testCDCWithCaseSenstitiveTableAndPks:1826 — a BSON document
+    # column flows through the CDC images (the reference encodes raw BSON
+    # base64 inside the JSON; this engine's BSON storage is JSON text, so
+    # the image carries the document as JSON — same information, declared
+    # representation difference), PARTITION_ID() resolves over the CDC
+    # view, and PHOENIX_ROW_TIMESTAMP() bounds the feed
+    import json as _json
+
+    from phoenix_spark.engine import Engine
+    from phoenix_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="phoenix_spark_tests", master="local[8]", shuffle_partitions=8
+    )
+    e = Engine(spark, sf_dir=SF_TEST_DIR, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE btcdc (hk VARCHAR NOT NULL, col BSON, "
+          "CONSTRAINT pk PRIMARY KEY (hk))")
+    e.sql("CREATE CDC cdc_btcdc ON btcdc")
+    e.sql('UPSERT INTO btcdc VALUES (\'key1\', '
+          '\'{"field1": "value1", "field2": 42, "field3": true}\')')
+    rows = e.sql("SELECT DISTINCT PARTITION_ID() AS p FROM cdc_btcdc").collect()
+    assert len(rows) == 1
+    got = e.sql(
+        'SELECT /*+ CDC_INCLUDE(PRE, POST) */ hk, "CDC JSON" FROM cdc_btcdc '
+        "WHERE PHOENIX_ROW_TIMESTAMP() >= 1 AND PHOENIX_ROW_TIMESTAMP() <= 1"
+    ).collect()
+    assert len(got) == 1
+    doc = _json.loads(got[0]["CDC JSON"])
+    assert doc["event_type"] == "upsert"
+    assert doc["pre_image"] == {}  # first insert
+    post_col = doc["post_image"]["col"]
+    payload = _json.loads(post_col) if isinstance(post_col, str) else post_col
+    assert payload == {"field1": "value1", "field2": 42, "field3": True}
