@@ -238,7 +238,11 @@ _B = [(0x9E3779B97F4A7C15 * (i + 1)) % _P for i in range(_K)]
 
 
 def _minhash_lsh(
-    spark, sf, candidates_only: bool = False, persist_bands: bool = True
+    spark,
+    sf,
+    candidates_only: bool = False,
+    persist_bands: bool = True,
+    persist_hashed: bool = True,
 ):
     """``candidates_only``: return the pre-verify candidate pair set — the
     quantity whose growth rate IS the LSH scale contract (measured at 1x and
@@ -248,7 +252,15 @@ def _minhash_lsh(
     the self-join so the shingle md5 + 32 affine-permutation mins run ONCE
     instead of once per join side (the same measured win as
     similarity_lsh_pairs' band cache; lineage kept for executor-loss
-    recovery, lazy so plan-only calls stay job-free)."""
+    recovery, lazy so plan-only calls stay job-free).
+
+    ``persist_hashed``: cache the md5-hashed shingle arrays.  Before round 8
+    the plan scanned ``documents`` THREE times (once under the band cache,
+    once per verify side) and re-ran the tokenize+shingle+md5 map — the
+    single most expensive map in the query — on each scan; at 100 TB those
+    are two extra full corpus passes.  Caching (doc_id, hs) collapses the
+    band build and both verify joins onto one scan+map (plan: 3 parquet
+    scans of documents -> 1)."""
     docs = _shingled(spark, sf).select("doc_id", "sh")
     # Per-row signature: min over the shingle array per permutation — a pure
     # map (array_min ∘ transform), NO explode/groupBy shuffle.  At 100 TB the
@@ -265,6 +277,10 @@ def _minhash_lsh(
             ),
         ).alias("hs"),
     )
+    if persist_hashed:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _perm(i):
         # single-arg lambda factory (a default arg would make F.transform
@@ -427,7 +443,14 @@ REG.add(
 _NEW_PRED = "doc_id % 10 = 7"
 
 
-def _dedup_incremental(spark, sf):
+def _dedup_incremental(spark, sf, persist_hashed: bool = True):
+    """``persist_hashed``: before round 8 this plan scanned ``documents``
+    EIGHT times (new-batch bands, corpus bands, two verify hset sides — each
+    a fresh scan + tokenize/shingle/md5 map, some doubled again under AQE
+    subtrees) because ``bands`` was built twice (once per filter side) and
+    ``hsets`` twice more.  Caching (doc_id, hs) once and deriving bands a
+    single time (filtered AFTER the explode) collapses the whole query onto
+    ONE scan of the corpus — at 100 TB that is 7 fewer full passes."""
     docs = _shingled(spark, sf).select("doc_id", "sh")
     hashed = docs.select(
         "doc_id",
@@ -439,6 +462,10 @@ def _dedup_incremental(spark, sf):
             ),
         ).alias("hs"),
     )
+    if persist_hashed:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _perm(i):
         return lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P))
@@ -470,6 +497,12 @@ def _dedup_incremental(spark, sf):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
+    if persist_hashed:
+        # narrow (3 ints/row); caching it means the 32 affine permutations
+        # run once, not once per filter side below
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     new_b = bands.filter(F.expr(_NEW_PRED)).withColumnRenamed(
         "doc_id", "new_id"
     )

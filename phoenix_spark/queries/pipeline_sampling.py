@@ -154,12 +154,18 @@ _HASH_SH = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
 
 
 def _decontaminate(spark, sf):
-    docs = _docs_wide(spark, sf).select(
-        "doc_id", _shingles_col().alias("sh")
+    # One cached tokenize+shingle+md5 pass (doc_id, hs-array) feeds BOTH the
+    # benchmark shingle set and the corpus side — before round 8 each side
+    # re-scanned documents and re-ran the md5 map (the query's dominant
+    # cost; one extra full corpus pass at scale).
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    base = (
+        _docs_wide(spark, sf)
+        .select("doc_id", F.transform(_shingles_col(), _HASH_SH).alias("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hashed = docs.select(
-        "doc_id", F.explode(F.transform("sh", _HASH_SH)).alias("h")
-    )
+    hashed = base.select("doc_id", F.explode("hs").alias("h"))
     bench = (
         hashed.filter(F.expr(_BENCH_PRED)).select("h").distinct()
     )
@@ -289,24 +295,36 @@ _QUALITY = (
 def _assemble_e2e(spark, sf):
     from pyspark.sql.window import Window
 
-    docs = _docs_wide(spark, sf)
-    gated = docs.filter(
-        F.expr(_QUALITY)
-        & F.expr(f"{_BUCKET} < {_RATE_CASE}")
-        & ~F.expr(_BENCH_PRED)
-    ).select(
-        "doc_id",
-        "source",
-        "text",
-        F.expr(_NTOK).cast("int").alias("n_tokens"),
+    # One cached scan computes everything the chain needs per doc (token
+    # count, quality gate, sample bucket, hashed shingles) — before round 8
+    # the plan re-scanned documents and re-ran the tokenize/shingle/md5 maps
+    # three times (benchmark set, gated side, contamination probe): two
+    # extra full corpus passes at scale.
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    base = (
+        _docs_wide(spark, sf)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(_NTOK).cast("int").alias("n_tokens"),
+            F.expr(_QUALITY).alias("_qual"),
+            F.expr(f"{_BUCKET} < {_RATE_CASE}").alias("_kept"),
+            F.expr(_BENCH_PRED).alias("_bench"),
+            F.transform(_shingles_col(), _HASH_SH).alias("hs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    gated = base.filter(
+        F.col("_qual") & F.col("_kept") & ~F.col("_bench")
+    ).select("doc_id", "source", "n_tokens", "hs")
     bench = (
-        docs.filter(F.expr(_BENCH_PRED))
-        .select(F.explode(F.transform(_shingles_col(), _HASH_SH)).alias("h"))
+        base.filter("_bench")
+        .select(F.explode("hs").alias("h"))
         .distinct()
     )
     dirty = (
-        gated.select("doc_id", F.explode(F.transform(_shingles_col(), _HASH_SH)).alias("h"))
+        gated.select("doc_id", F.explode("hs").alias("h"))
         .join(F.broadcast(bench), "h")
         .select("doc_id")
     )

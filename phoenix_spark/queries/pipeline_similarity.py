@@ -375,6 +375,19 @@ def _lsh_pairs(
     )
     if candidates_only:
         return cand
+    if persist_bands:
+        # Materialize the candidate pairs before the verify join-back.
+        # Fused, the band self-join + first-matching-band filter + two
+        # verify joins + interpreted cosine lambda compile into one
+        # WholeStageCodegen stage whose generated method is too large for
+        # the JIT (measured 12 s of executor CPU for 143k candidates at
+        # sf0.1); with the 2-ints/row candidate set cached, the verify
+        # stage JITs and the same work costs 1.5 s — and at 100 TB a
+        # materialized candidate set is what the verify join would shuffle
+        # anyway (narrow ids, guide §8: move decisions, not payloads).
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     emb = _quantized(spark, sf)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("qn").alias("qn_a"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("qn").alias("qn_b"))
