@@ -173,7 +173,11 @@ def _decontaminate(spark, sf):
         hashed.filter(~F.expr(_BENCH_PRED))
         .join(F.broadcast(bench), "h")
         .groupBy("doc_id")
-        .agg(F.count_distinct("h").cast("long").alias("n_overlap"))
+        # COUNT, not COUNT(DISTINCT): hs is per-doc distinct by construction
+        # (_shingles_col array_distincts before hashing) and bench is
+        # distinct, so the joined h values are already unique per doc —
+        # same value, minus the two-shuffle distinct-aggregate rewrite.
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
 
 
