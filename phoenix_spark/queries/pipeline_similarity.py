@@ -341,9 +341,13 @@ def _lsh_pairs(
     run ONCE instead of once per join side.  Measured at sf0.1 (3 rounds,
     round 6): recompute ~4.0 s, localCheckpoint ~3.3-3.9 s, persist ~2.9 s
     — persist wins and is the scale-safe variant (lineage kept, so executor
-    loss recomputes instead of failing the job; blocks spill to disk and
-    the ContextCleaner unpersists when the plan is GC'd).  Lazy, so
-    schema/plan-only calls stay job-free."""
+    loss recomputes instead of failing the job; blocks spill to disk).
+    NOTE the lifecycle: a DataFrame-level persist lives in the session's
+    CacheManager until explicitly unpersisted or the session ends — the
+    ContextCleaner does NOT collect SQL-level caches when the plan is
+    GC'd, and identical plan subtrees are shared across queries.  Callers
+    measuring queries independently must clear the cache between them
+    (bench.py does).  Lazy, so schema/plan-only calls stay job-free."""
     bands = _sim_bands(spark, sf, n_planes, n_bands)
     if persist_bands:
         from pyspark import StorageLevel  # noqa: PLC0415
