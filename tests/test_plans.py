@@ -145,10 +145,13 @@ def test_extension_joins_no_cartesian(spark):
 _SWEEP_EXCLUDE_PREFIXES = ("mutation_", "ddl_", "source_", "engine_", "scan_salted", "meta_row")
 _ALLOWED_NESTED_LOOP = {"join_cross"}  # explicit CROSS JOIN of two tiny dims
 # The declared Pandas-UDF plumbing: mapInPandas-backed multimodal operators;
-# plus the §2.12 UDF-binding surface, whose whole point is Python evaluation.
+# plus the §2.12 UDF-binding surface, whose whole point is Python evaluation;
+# plus the round-8 Arrow repetition kernel (OPTIMIZATION_r08.md §8 — the JVM
+# HOF form measured ~60x the executor CPU, so the Arrow-batched boundary
+# crossing is the deliberate, measured exception).
 _ALLOWED_PYTHON = {
     "mm_decode_features", "mm_frame_sample", "mm_resize_thumbnail",
-    "udf_create_function",
+    "udf_create_function", "text_repetition_stats",
 }
 
 
@@ -167,6 +170,7 @@ def test_plan_audit_all_queries(spark):
             # FlatMapGroupsInPandas (a lowercase match would never fire)
             assert "MapInPandas" not in plan, name
             assert "FlatMapGroupsInPandas" not in plan, name
+            assert "MapInArrow" not in plan, name
 
 
 def test_partition_pruning_on_partitioned_table(spark, tmp_path):
