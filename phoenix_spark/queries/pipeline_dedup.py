@@ -30,7 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from phoenix_spark.queries._util import Registry, spread, t
+from phoenix_spark.queries._util import Registry, ship_package, spread, t
+from phoenix_spark.queries.pipeline_text import _JAVA_WS
 
 REG = Registry()
 
@@ -236,6 +237,118 @@ _P = 2147483647
 _A = [(2654435761 * (2 * i + 1)) % _P or 1 for i in range(_K)]
 _B = [(0x9E3779B97F4A7C15 * (i + 1)) % _P for i in range(_K)]
 
+# --- Arrow-batched shingle-hash kernels (round 9, guide §4.2) -----------------
+# The JVM form of the tokenize + 3-gram + md5 map runs its gram-building
+# lambda in Catalyst's expression interpreter: per-element decomposition at
+# sf0.1 (scripts/profile_r09.py) measured tokenize 0.15 s, +gram-build 0.74 s,
+# +array_distinct 0.81 s, +md5 0.93 s, +conv/pmod 1.1 s executor CPU — i.e.
+# the HOF-lambda machinery, not md5, dominates (the round-8 deferral asked
+# exactly this question).  The 32 affine-permutation signature minima
+# (array_min ∘ transform, interpreted) add another ~1.1 s.  These kernels
+# compute the identical values with one Python/numpy pass per batch:
+#
+#   * tokenizer: Java-regex-faithful (trim = SPACE only, \s = ASCII class,
+#     split limit -1) — the same contract as pipeline_text._rep_kernel,
+#     pinned by tests/test_shingle_kernel.py.
+#   * grams: " ".join of 3 consecutive tokens == concat_ws over arrays_zip
+#     of the 1/2/3-shifted slices, incl. the n<3 edge cases (arrays_zip pads
+#     with NULL, concat_ws skips NULLs → the n=2 gram is "t0 t1", n=1 "t0").
+#   * first-occurrence dedup: dict.fromkeys == array_distinct.
+#   * hash: hashlib.md5 is bit-identical to Spark's md5(); the 60-bit prefix
+#     int(hex[:15], 16) == conv(substring(md5(s),1,15),16,10) exactly; % _P
+#     on a non-negative value == pmod.
+#   * signatures: s_i = min((a_i*h + b_i) % P) over int64 — a_i,h < P=2^31,
+#     so a_i*h + b_i < 2^62 + 2^31: exact in numpy int64, identical to the
+#     JVM's checked bigint arithmetic.
+#
+# Rows with NULL text are dropped: on the JVM path their hs/sigs are NULL,
+# so they can never join a band bucket, never explode, and never appear in
+# any candidate pair — identical results (pinned by the kernel test).
+_HS_SCHEMA = "doc_id bigint, hs array<bigint>"
+_HS_SIG_SCHEMA = "doc_id bigint, hs array<bigint>, " + ", ".join(
+    f"s{i} bigint" for i in range(_K)
+)
+
+
+def _doc_hashes(txt: str, mod: int | None) -> list[int]:
+    """60-bit md5-prefix hashes of the distinct word-3-gram shingles of one
+    document — the exact per-row contract of
+    transform(_shingles_col(), s -> conv(substring(md5(s),1,15),16,10))."""
+    import hashlib  # noqa: PLC0415 — worker-side import
+
+    toks = _JAVA_WS.split(txt.strip(" "))
+    n = len(toks)
+    if n >= 3:
+        grams = dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(n - 2)
+        )
+    elif n == 2:
+        grams = {toks[0] + " " + toks[1]: None}
+    else:
+        grams = {toks[0]: None}
+    md5 = hashlib.md5
+    if mod is None:
+        return [int(md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams]
+    return [
+        int(md5(g.encode("utf-8")).hexdigest()[:15], 16) % mod for g in grams
+    ]
+
+
+def _hs_kernel(batches):
+    """(doc_id, text) -> (doc_id, hs): raw 60-bit hashed shingles (the
+    text_decontaminate / pipeline_assemble_e2e hash contract)."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    for batch in batches:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_hs = [], []
+        for did, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            o_id.append(did)
+            o_hs.append(_doc_hashes(txt, None))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_id, type=pa.int64()),
+                pa.array(o_hs, type=pa.list_(pa.int64())),
+            ],
+            names=["doc_id", "hs"],
+        )
+
+
+def _hs_sig_kernel(batches):
+    """(doc_id, text) -> (doc_id, hs mod P, s0..s31): the MinHash base hashes
+    plus all 32 affine-permutation signature minima in one pass."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    a = np.array(_A, dtype=np.int64).reshape(-1, 1)
+    b = np.array(_B, dtype=np.int64).reshape(-1, 1)
+    for batch in batches:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_hs = [], []
+        o_sig = [[] for _ in range(_K)]
+        for did, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            hs = _doc_hashes(txt, _P)
+            o_id.append(did)
+            o_hs.append(hs)
+            hv = np.array(hs, dtype=np.int64)
+            sigs = ((a * hv + b) % _P).min(axis=1)
+            for i in range(_K):
+                o_sig[i].append(int(sigs[i]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_id, type=pa.int64()),
+                pa.array(o_hs, type=pa.list_(pa.int64())),
+            ]
+            + [pa.array(c, type=pa.int64()) for c in o_sig],
+            names=["doc_id", "hs"] + [f"s{i}" for i in range(_K)],
+        )
+
 
 def _minhash_lsh(
     spark,
@@ -243,6 +356,7 @@ def _minhash_lsh(
     candidates_only: bool = False,
     persist_bands: bool = True,
     persist_hashed: bool = True,
+    arrow_kernel: bool = True,
 ):
     """``candidates_only``: return the pre-verify candidate pair set — the
     quantity whose growth rate IS the LSH scale contract (measured at 1x and
@@ -260,40 +374,60 @@ def _minhash_lsh(
     single most expensive map in the query — on each scan; at 100 TB those
     are two extra full corpus passes.  Caching (doc_id, hs) collapses the
     band build and both verify joins onto one scan+map (plan: 3 parquet
-    scans of documents -> 1)."""
-    docs = _shingled(spark, sf).select("doc_id", "sh")
-    # Per-row signature: min over the shingle array per permutation — a pure
-    # map (array_min ∘ transform), NO explode/groupBy shuffle.  At 100 TB the
-    # only shuffle in this plan is the band-bucket join below.
-    # Base-hash each shingle ONCE into an int array; the 32 permutations are
-    # then cheap affine maps over ints (32x fewer hash evaluations).
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            "sh",
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
-                F.lit(_P),
-            ),
-        ).alias("hs"),
-    )
-    if persist_hashed:
-        from pyspark import StorageLevel  # noqa: PLC0415
+    scans of documents -> 1).
 
-        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    ``arrow_kernel`` (round 9): compute the hashed shingles AND the 32
+    signature minima in one Arrow-batched pass (_hs_sig_kernel) instead of
+    the interpreted HOF expressions — identical values (see the kernel
+    block comment + tests/test_shingle_kernel.py), ~2.2 s of executor CPU
+    replaced by ~0.5 s of Python/numpy at sf0.1.  The JVM expression path
+    is kept for A/B measurement and the equivalence test."""
+    if arrow_kernel:
+        ship_package(spark)
+        hashed = (
+            _docs_wide(spark, sf)
+            .select("doc_id", "text")
+            .mapInArrow(_hs_sig_kernel, _HS_SIG_SCHEMA)
+        )
+        if persist_hashed:
+            from pyspark import StorageLevel  # noqa: PLC0415
 
-    def _perm(i):
-        # single-arg lambda factory (a default arg would make F.transform
-        # treat the closure as an (element, index) binary lambda)
-        return lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P))
+            hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = hashed.select("doc_id", *[f"s{i}" for i in range(_K)])
+    else:
+        docs = _shingled(spark, sf).select("doc_id", "sh")
+        # Per-row signature: min over the shingle array per permutation — a
+        # pure map (array_min ∘ transform), NO explode/groupBy shuffle.  At
+        # 100 TB the only shuffle in this plan is the band-bucket join below.
+        # Base-hash each shingle ONCE into an int array; the 32 permutations
+        # are then cheap affine maps over ints (32x fewer hash evaluations).
+        hashed = docs.select(
+            "doc_id",
+            F.transform(
+                "sh",
+                lambda s: F.pmod(
+                    F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+                    F.lit(_P),
+                ),
+            ).alias("hs"),
+        )
+        if persist_hashed:
+            from pyspark import StorageLevel  # noqa: PLC0415
 
-    sigs = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hs", _perm(i))).alias(f"s{i}")
-            for i in range(_K)
-        ],
-    )
+            hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+
+        def _perm(i):
+            # single-arg lambda factory (a default arg would make F.transform
+            # treat the closure as an (element, index) binary lambda)
+            return lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P))
+
+        sigs = hashed.select(
+            "doc_id",
+            *[
+                F.array_min(F.transform("hs", _perm(i))).alias(f"s{i}")
+                for i in range(_K)
+            ],
+        )
     def _band_key(j):
         # Horner polynomial over the band's 4 signature values: each s < P
         # (2^31), so the combined value < P * 31^3 < 2^46 — no overflow, and
@@ -443,40 +577,58 @@ REG.add(
 _NEW_PRED = "doc_id % 10 = 7"
 
 
-def _dedup_incremental(spark, sf, persist_hashed: bool = True):
+def _dedup_incremental(
+    spark, sf, persist_hashed: bool = True, arrow_kernel: bool = True
+):
     """``persist_hashed``: before round 8 this plan scanned ``documents``
     EIGHT times (new-batch bands, corpus bands, two verify hset sides — each
     a fresh scan + tokenize/shingle/md5 map, some doubled again under AQE
     subtrees) because ``bands`` was built twice (once per filter side) and
     ``hsets`` twice more.  Caching (doc_id, hs) once and deriving bands a
     single time (filtered AFTER the explode) collapses the whole query onto
-    ONE scan of the corpus — at 100 TB that is 7 fewer full passes."""
-    docs = _shingled(spark, sf).select("doc_id", "sh")
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            "sh",
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
-                F.lit(_P),
-            ),
-        ).alias("hs"),
-    )
-    if persist_hashed:
-        from pyspark import StorageLevel  # noqa: PLC0415
+    ONE scan of the corpus — at 100 TB that is 7 fewer full passes.
 
-        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    ``arrow_kernel`` (round 9): hashes + signature minima in one Arrow pass
+    (_hs_sig_kernel) — same change and evidence as _minhash_lsh."""
+    if arrow_kernel:
+        ship_package(spark)
+        hashed = (
+            _docs_wide(spark, sf)
+            .select("doc_id", "text")
+            .mapInArrow(_hs_sig_kernel, _HS_SIG_SCHEMA)
+        )
+        if persist_hashed:
+            from pyspark import StorageLevel  # noqa: PLC0415
 
-    def _perm(i):
-        return lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P))
+            hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = hashed.select("doc_id", *[f"s{i}" for i in range(_K)])
+    else:
+        docs = _shingled(spark, sf).select("doc_id", "sh")
+        hashed = docs.select(
+            "doc_id",
+            F.transform(
+                "sh",
+                lambda s: F.pmod(
+                    F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+                    F.lit(_P),
+                ),
+            ).alias("hs"),
+        )
+        if persist_hashed:
+            from pyspark import StorageLevel  # noqa: PLC0415
 
-    sigs = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hs", _perm(i))).alias(f"s{i}")
-            for i in range(_K)
-        ],
-    )
+            hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+
+        def _perm(i):
+            return lambda h: F.pmod(h * F.lit(_A[i]) + F.lit(_B[i]), F.lit(_P))
+
+        sigs = hashed.select(
+            "doc_id",
+            *[
+                F.array_min(F.transform("hs", _perm(i))).alias(f"s{i}")
+                for i in range(_K)
+            ],
+        )
 
     def _band_key(j):
         out = F.lit(0).cast("bigint")

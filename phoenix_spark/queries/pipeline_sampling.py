@@ -153,30 +153,53 @@ _HASH_SH = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
 )
 
 
-def _decontaminate(spark, sf):
-    # One cached tokenize+shingle+md5 pass (doc_id, hs-array) feeds BOTH the
-    # benchmark shingle set and the corpus side — before round 8 each side
-    # re-scanned documents and re-ran the md5 map (the query's dominant
-    # cost; one extra full corpus pass at scale).
-    from pyspark import StorageLevel  # noqa: PLC0415
+def _decontaminate(spark, sf, arrow_kernel: bool = True):
+    # Round 9 restructure: the benchmark side filters FIRST (the ~1% bench
+    # slice pays the shingle map alone), the corpus side maps once — so the
+    # round-8 full-corpus (doc_id, hs) cache is no longer needed at all.
+    # At 100 TB this swaps MEMORY_AND_DISK storage of a corpus-sized mapped
+    # intermediate (a write + read of the whole corpus' shingle arrays) for
+    # one extra 2-column scan read whose map runs on 1/97 of the rows — and
+    # at bench scale it removes the cache-materialize + cached-explode
+    # stages entirely (CPU A/B in OPTIMIZATION_r09.md §3).
+    # ``arrow_kernel``: the tokenize+shingle+md5 map runs in the Arrow
+    # kernel (pipeline_dedup._hs_kernel, raw 60-bit hashes — no mod P);
+    # the JVM expression path is kept for A/B and the equivalence test.
+    from phoenix_spark.queries.pipeline_dedup import _hs_kernel, _HS_SCHEMA
 
-    base = (
-        _docs_wide(spark, sf)
-        .select("doc_id", F.transform(_shingles_col(), _HASH_SH).alias("hs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    hashed = base.select("doc_id", F.explode("hs").alias("h"))
+    docs = _docs_wide(spark, sf)
+
+    def mapped(side):
+        if arrow_kernel:
+            from phoenix_spark.queries._util import ship_package  # noqa: PLC0415
+
+            ship_package(spark)
+            return side.select("doc_id", "text").mapInArrow(
+                _hs_kernel, _HS_SCHEMA
+            )
+        return side.select(
+            "doc_id", F.transform(_shingles_col(), _HASH_SH).alias("hs")
+        )
+
     bench = (
-        hashed.filter(F.expr(_BENCH_PRED)).select("h").distinct()
+        mapped(docs.filter(F.expr(_BENCH_PRED)))
+        .select(F.explode("hs").alias("h"))
+        .distinct()
     )
     return (
-        hashed.filter(~F.expr(_BENCH_PRED))
+        mapped(docs.filter(~F.expr(_BENCH_PRED)))
+        .select("doc_id", F.explode("hs").alias("h"))
         .join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         # COUNT, not COUNT(DISTINCT): hs is per-doc distinct by construction
         # (_shingles_col array_distincts before hashing) and bench is
         # distinct, so the joined h values are already unique per doc —
         # same value, minus the two-shuffle distinct-aggregate rewrite.
+        # Caveat (ADVICE r8): "per-doc distinct" is over the 60-bit
+        # md5-prefix hashes, so two distinct shingles of one doc colliding
+        # in 60 bits (~k²·2⁻⁶¹ per doc — astronomically rare, oracle-gated)
+        # would make this diverge from COUNT(DISTINCT) by the collision
+        # count; if _HASH_SH ever narrows, restore COUNT(DISTINCT h).
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
 
@@ -296,37 +319,118 @@ _QUALITY = (
 ).format(toks="split(trim(text), '\\\\s+')")
 
 
-def _assemble_e2e(spark, sf):
+_ASM_SCHEMA = "doc_id bigint, source string, n_tokens int, hs array<bigint>"
+_ASM_STOP = ("the", "a", "of", "and", "to")
+
+
+def _asm_kernel(batches):
+    """(doc_id, source, text) -> gated (doc_id, source, n_tokens, hs).
+
+    One Arrow pass computes the quality gate, the stratified-mix keep
+    decision and the hashed shingles, emitting ONLY the surviving rows
+    (guide §4: ship decisions, not dropped payloads).  Every predicate
+    replicates the JVM expression exactly (same IEEE double divisions and
+    comparisons; md5 bucket == _BUCKET; tokenizer == split(trim(text)) per
+    the pipeline_dedup kernel contract); rows with NULL text can never
+    pass the gate on either path (NULL predicate -> filtered) and are
+    dropped.  Pinned against the JVM expression path by
+    tests/test_shingle_kernel.py."""
+    import hashlib  # noqa: PLC0415
+
+    import pyarrow as pa  # noqa: PLC0415
+
+    from phoenix_spark.queries.pipeline_dedup import (  # noqa: PLC0415
+        _JAVA_WS,
+        _doc_hashes,
+    )
+
+    md5 = hashlib.md5
+    for batch in batches:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_src, o_nt, o_hs = [], [], [], []
+        for did, src, txt in zip(ids, srcs, texts):
+            if txt is None:
+                continue
+            toks = _JAVA_WS.split(txt.strip(" "))
+            n = len(toks)
+            if not (50 <= n <= 100000):
+                continue
+            stop = sum(1 for x in toks if x in _ASM_STOP)
+            if stop / n < 0.01 or len(set(toks)) / n < 0.05:
+                continue
+            bucket = int(md5(str(did).encode()).hexdigest()[:15], 16) % 100
+            if bucket >= _RATES.get(src, _DEFAULT_RATE):
+                continue
+            o_id.append(did)
+            o_src.append(src)
+            o_nt.append(n)
+            o_hs.append(_doc_hashes(txt, None))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_id, type=pa.int64()),
+                pa.array(o_src, type=pa.string()),
+                pa.array(o_nt, type=pa.int32()),
+                pa.array(o_hs, type=pa.list_(pa.int64())),
+            ],
+            names=["doc_id", "source", "n_tokens", "hs"],
+        )
+
+
+def _assemble_e2e(spark, sf, arrow_kernel: bool = True):
     from pyspark.sql.window import Window
 
-    # One cached scan computes everything the chain needs per doc (token
-    # count, quality gate, sample bucket, hashed shingles) — before round 8
-    # the plan re-scanned documents and re-ran the tokenize/shingle/md5 maps
-    # three times (benchmark set, gated side, contamination probe): two
-    # extra full corpus passes at scale.
+    # Round 9 restructure (same shape as _decontaminate): the benchmark
+    # shingle set comes from a separate 1/97-filtered scan (filter runs
+    # BEFORE the expensive map), and the gated side runs gate + mix + hs in
+    # one Arrow kernel that emits only survivors.  Only the gated frame —
+    # the quality/mix survivors, not the round-8 every-doc base — is cached,
+    # because it has two consumers (the contamination probe and the final
+    # anti-join); at 100 TB that halves-or-better the cached bytes and
+    # removes one full-corpus cache round-trip.
     from pyspark import StorageLevel  # noqa: PLC0415
 
-    base = (
-        _docs_wide(spark, sf)
-        .select(
-            "doc_id",
-            "source",
-            F.expr(_NTOK).cast("int").alias("n_tokens"),
-            F.expr(_QUALITY).alias("_qual"),
-            F.expr(f"{_BUCKET} < {_RATE_CASE}").alias("_kept"),
-            F.expr(_BENCH_PRED).alias("_bench"),
-            F.transform(_shingles_col(), _HASH_SH).alias("hs"),
+    from phoenix_spark.queries.pipeline_dedup import _hs_kernel, _HS_SCHEMA
+
+    docs = _docs_wide(spark, sf)
+    if arrow_kernel:
+        from phoenix_spark.queries._util import ship_package  # noqa: PLC0415
+
+        ship_package(spark)
+        gated = (
+            docs.filter(~F.expr(_BENCH_PRED))
+            .select("doc_id", "source", "text")
+            .mapInArrow(_asm_kernel, _ASM_SCHEMA)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    gated = base.filter(
-        F.col("_qual") & F.col("_kept") & ~F.col("_bench")
-    ).select("doc_id", "source", "n_tokens", "hs")
-    bench = (
-        base.filter("_bench")
-        .select(F.explode("hs").alias("h"))
-        .distinct()
-    )
+        bench = (
+            docs.filter(F.expr(_BENCH_PRED))
+            .select("doc_id", "text")
+            .mapInArrow(_hs_kernel, _HS_SCHEMA)
+            .select(F.explode("hs").alias("h"))
+            .distinct()
+        )
+    else:
+        gated = (
+            docs.filter(~F.expr(_BENCH_PRED))
+            .select(
+                "doc_id",
+                "source",
+                F.expr(_NTOK).cast("int").alias("n_tokens"),
+                F.expr(_QUALITY).alias("_qual"),
+                F.expr(f"{_BUCKET} < {_RATE_CASE}").alias("_kept"),
+                F.transform(_shingles_col(), _HASH_SH).alias("hs"),
+            )
+            .filter(F.col("_qual") & F.col("_kept"))
+            .select("doc_id", "source", "n_tokens", "hs")
+        )
+        bench = (
+            docs.filter(F.expr(_BENCH_PRED))
+            .select("doc_id", F.transform(_shingles_col(), _HASH_SH).alias("hs"))
+            .select(F.explode("hs").alias("h"))
+            .distinct()
+        )
+    gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
     dirty = (
         gated.select("doc_id", F.explode("hs").alias("h"))
         .join(F.broadcast(bench), "h")

@@ -26,11 +26,114 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from phoenix_spark.queries._util import Registry, spread, t
+from phoenix_spark.queries._util import Registry, ship_package, spread, t
 
 REG = Registry()
 
 _SCALE = 10_000_000
+
+# --- Arrow-batched exact cosine kernels (round 9, guide §4.2) -----------------
+# The JVM `aggregate(zip_with(q_a, q_b, ...))` dot-product fold runs in
+# Catalyst's expression interpreter at ~85 µs/pair (measured: the knn scored
+# join costs 0.45 s executor CPU without the fold and 1.8 s with it, for 16k
+# pairs at sf0.1 — scripts/profile_r09.py §2).  These kernels compute the
+# BIT-IDENTICAL values with numpy int64 arithmetic:
+#   * the dot product and norms are *integer* sums (quantized vectors, see
+#     module docstring): products < 2^46 and 64-dim sums < 2^53, so int64
+#     numpy arithmetic is exact and order-independent — the round-8 numpy
+#     decline (float pairwise-summation order) does not apply to integers.
+#   * the final double is dot / (sqrt(na) * sqrt(nb)): int→double conversion
+#     is exact below 2^53, and sqrt / * / / are each single correctly-rounded
+#     IEEE ops — identical bits on the JVM, numpy, and DuckDB.
+# A per-row pure-Python fallback (exact big-int dot) covers ragged/null
+# batches.  Pinned by tests/test_cosine_kernel.py.
+
+
+def _exact_dots(batch, lo=2):
+    """Exact int64 dot products + norm columns of a (…, q_a, qn_a, q_b, qn_b)
+    batch; returns (dot float64 ndarray|list-with-Nones, na, nb)."""
+    import numpy as np  # noqa: PLC0415
+
+    qa, na_col, qb, nb_col = (batch.column(i) for i in range(lo, lo + 4))
+    n = batch.num_rows
+    na = na_col.to_numpy(zero_copy_only=False).astype(np.float64)
+    nb = nb_col.to_numpy(zero_copy_only=False).astype(np.float64)
+    if n and qa.null_count == 0 and qb.null_count == 0:
+        wa = np.diff(qa.offsets.to_numpy())
+        wb = np.diff(qb.offsets.to_numpy())
+        if wa.min() == wa.max() == wb.min() == wb.max():
+            d = int(wa[0])
+            ma = qa.flatten().to_numpy().reshape(n, d)
+            mb = qb.flatten().to_numpy().reshape(n, d)
+            return (
+                np.einsum("ij,ij->i", ma, mb).astype(np.float64),
+                na,
+                nb,
+            )
+    # ragged or null rows: exact per-row big-int fallback
+    dots = []
+    for va, vb in zip(qa.to_pylist(), qb.to_pylist()):
+        if va is None or vb is None:
+            dots.append(None)
+        else:
+            dots.append(float(sum(x * y for x, y in zip(va, vb))))
+    return dots, na, nb
+
+
+def _cos_from(batch, out_names):
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    dot, na, nb = _exact_dots(batch)
+    if isinstance(dot, list):
+        cos = [
+            None if d is None else d / (na[i] ** 0.5 * nb[i] ** 0.5)
+            for i, d in enumerate(dot)
+        ]
+        cos_arr = pa.array(cos, type=pa.float64())
+    else:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_arr = pa.array(
+                dot / (np.sqrt(na) * np.sqrt(nb)), type=pa.float64()
+            )
+    return pa.RecordBatch.from_arrays(
+        [batch.column(0), batch.column(1), cos_arr], names=list(out_names)
+    )
+
+
+def _cos_pair_kernel(batches):
+    """(id_a, id_b, q_a, qn_a, q_b, qn_b) -> (id_a, id_b, cosine)."""
+    for batch in batches:
+        yield _cos_from(batch, ("id_a", "id_b", "cosine"))
+
+
+def _cos_scored_kernel(batches):
+    """(qid, vec_id, q, qn, qq, qqn) -> (qid, vec_id, cosine)."""
+    for batch in batches:
+        yield _cos_from(batch, ("qid", "vec_id", "cosine"))
+
+
+def _ivf_dist_kernel(batches):
+    """(vec_id, cell, q, qn, cq, cqn) -> (vec_id, cell, d): exact integer
+    squared L2 |v|² + |c|² − 2·v·c (all < 2^53 — int64-exact)."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    for batch in batches:
+        dot, na, nb = _exact_dots(batch)
+        qn = batch.column(3).to_numpy(zero_copy_only=False)
+        cqn = batch.column(5).to_numpy(zero_copy_only=False)
+        if isinstance(dot, list):
+            d = [
+                None if v is None else int(qn[i]) + int(cqn[i]) - 2 * int(v)
+                for i, v in enumerate(dot)
+            ]
+        else:
+            d = qn + cqn - 2 * dot.astype(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column(0), batch.column(1), pa.array(d, type=pa.int64())],
+            names=["vec_id", "cell", "d"],
+        )
 
 # Quantized embedding: array<long>, exact in both engines.
 _QEMB = f"transform(embedding, x -> cast(round(x * {_SCALE}, 0) as bigint))"
@@ -188,15 +291,16 @@ def _knn_batch(spark, sf):
         F.col("qn").alias("qqn"),
     )
     corpus = emb.filter(F.col("vec_id") > 8)
-    dot = F.expr(
-        "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
-        " (acc, v) -> acc + v)"
-    )
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
-        "qid",
-        "vec_id",
-        (dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias("cosine"),
-        F.pmod(F.hash("vec_id"), F.lit(_KNN_BUCKETS)).alias("bkt"),
+    # Round 9: the interpreted dot-product fold crosses to the Arrow kernel
+    # (bit-identical integer arithmetic — see the kernel block comment);
+    # only the six needed columns cross the boundary (§4.3), and the salt
+    # bucket stays a cheap JVM expression on the kernel output.
+    ship_package(spark)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("qid", "vec_id", "q", "qn", "qq", "qqn")
+        .mapInArrow(_cos_scored_kernel, "qid bigint, vec_id bigint, cosine double")
+        .withColumn("bkt", F.pmod(F.hash("vec_id"), F.lit(_KNN_BUCKETS)))
     )
     w1 = Window.partitionBy("qid", "bkt").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -330,6 +434,7 @@ def _lsh_pairs(
     n_bands: int = _SIM_BANDS,
     candidates_only: bool = False,
     persist_bands: bool = True,
+    arrow_kernel: bool = True,
 ):
     """``candidates_only``: return the pre-verify candidate pair set — the
     quantity whose growth rate IS the LSH scale contract (measured at 1x and
@@ -395,14 +500,25 @@ def _lsh_pairs(
     emb = _quantized(spark, sf)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("qn").alias("qn_a"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("qn").alias("qn_b"))
+    joined = cand.join(ea, "id_a").join(eb, "id_b")
+    if arrow_kernel:
+        # Round 9: the ~5.4 µs/pair interpreted cosine fold crosses to the
+        # Arrow kernel (bit-identical — see the kernel block comment); the
+        # threshold filter stays a JVM predicate on the kernel output.
+        ship_package(spark)
+        return (
+            joined.select("id_a", "id_b", "q_a", "qn_a", "q_b", "qn_b")
+            .mapInArrow(
+                _cos_pair_kernel, "id_a bigint, id_b bigint, cosine double"
+            )
+            .filter(F.col("cosine") >= _SIM_THRESHOLD)
+        )
     dot = F.expr(
         "aggregate(zip_with(q_a, q_b, (x, y) -> x * y), cast(0 as bigint),"
         " (acc, v) -> acc + v)"
     )
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
+        joined.select(
             "id_a",
             "id_b",
             (dot / (F.sqrt(F.col("qn_a")) * F.sqrt(F.col("qn_b")))).alias("cosine"),
@@ -511,16 +627,18 @@ def _ivf_probe(spark, sf):
             F.col("qn").alias("cqn"),
         )
     )
-    dot_c = F.expr(
-        "aggregate(zip_with(q, cq, (x, y) -> x * y), cast(0 as bigint),"
-        " (acc, v) -> acc + v)"
-    )
-    # squared L2 in integer space: |v|^2 + |c|^2 - 2 v·c
-    dist = F.col("qn") + F.col("cqn") - 2 * dot_c
+    # Round 9: the N×8 assignment distances (the query's dominant fold
+    # volume) cross to the Arrow kernel — exact integer squared-L2, see the
+    # kernel block comment; the min(struct) tie-break stays on the JVM.
+    # The probe-ranking (8 rows) and final top-k (~N/4 rows) folds stay JVM
+    # expressions: their row counts don't justify a boundary crossing.
+    ship_package(spark)
     assign = (
         emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", "q", "qn", "cq", "cqn")
+        .mapInArrow(_ivf_dist_kernel, "vec_id bigint, cell bigint, d bigint")
         .groupBy("vec_id")
-        .agg(F.min(F.struct(dist.alias("d"), F.col("cell").alias("cell"))).alias("m"))
+        .agg(F.min(F.struct(F.col("d"), F.col("cell"))).alias("m"))
         .select("vec_id", F.col("m.cell").alias("cell"))
     )
     # probe cells: the P nearest centroids to the query vector (vec_id = 1)

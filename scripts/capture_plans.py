@@ -24,9 +24,12 @@ def main() -> int:
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(app_name="phoenix_spark_plans")
     qs = all_queries()
+    missing = [n for n in names if n not in qs]
+    if missing:
+        # a typo'd name must not masquerade as a successful capture
+        print(f"ERROR: not in registry: {', '.join(missing)}", file=sys.stderr)
+        return 1
     for name in names:
-        if name not in qs:
-            continue
         df = qs[name](spark, SF)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"

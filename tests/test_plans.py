@@ -144,14 +144,27 @@ def test_extension_joins_no_cartesian(spark):
 # explicitly-Pandas / explicitly-cartesian ones are excluded from the sweep.
 _SWEEP_EXCLUDE_PREFIXES = ("mutation_", "ddl_", "source_", "engine_", "scan_salted", "meta_row")
 _ALLOWED_NESTED_LOOP = {"join_cross"}  # explicit CROSS JOIN of two tiny dims
-# The declared Pandas-UDF plumbing: mapInPandas-backed multimodal operators;
-# plus the §2.12 UDF-binding surface, whose whole point is Python evaluation;
-# plus the round-8 Arrow repetition kernel (OPTIMIZATION_r08.md §8 — the JVM
-# HOF form measured ~60x the executor CPU, so the Arrow-batched boundary
-# crossing is the deliberate, measured exception).
+# The declared Pandas-UDF plumbing: mapInPandas-backed multimodal operators,
+# plus the §2.12 UDF-binding surface, whose whole point is Python evaluation.
 _ALLOWED_PYTHON = {
     "mm_decode_features", "mm_frame_sample", "mm_resize_thumbnail",
-    "udf_create_function", "text_repetition_stats",
+    "udf_create_function",
+}
+# The measured Arrow-batched kernels — each one a deliberate guide-§4.2
+# boundary crossing with a CPU A/B and an exact-equivalence pin on record:
+#   * text_repetition_stats (r8 §8: interpreted HOF form ~60x the CPU),
+#   * the shingle+md5(+MinHash-signature) kernels (r9: HOF gram-build +
+#     32 interpreted permutations, tests/test_shingle_kernel.py),
+#   * the integer-cosine kernels (r9: ~85 µs/pair interpreted fold,
+#     tests/test_cosine_kernel.py).
+# dedup_embedding inherits similarity_lsh_pairs' verify kernel.
+# MapInArrow stays BANNED for every other entry.
+_ALLOWED_ARROW = {
+    "text_repetition_stats",
+    "dedup_minhash_lsh", "dedup_incremental",
+    "text_decontaminate", "pipeline_assemble_e2e",
+    "similarity_lsh_pairs", "dedup_embedding",
+    "similarity_knn_batch", "similarity_ivf_probe",
 }
 
 
@@ -170,6 +183,7 @@ def test_plan_audit_all_queries(spark):
             # FlatMapGroupsInPandas (a lowercase match would never fire)
             assert "MapInPandas" not in plan, name
             assert "FlatMapGroupsInPandas" not in plan, name
+        if name not in _ALLOWED_PYTHON and name not in _ALLOWED_ARROW:
             assert "MapInArrow" not in plan, name
 
 
