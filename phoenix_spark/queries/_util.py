@@ -135,8 +135,9 @@ _SPLIT_COUNT_CACHE: dict[tuple[str, ...], int] = {}
 
 
 def spread(spark, df):
-    """Round-robin a DataFrame across all cores before CPU-heavy per-row
-    maps — but ONLY when the scan is under-split.
+    """Round-robin a DataFrame across cores before CPU-heavy per-row maps —
+    but ONLY when the scan is under-split, and only as wide as the input's
+    SIZE justifies.
 
     The fixture tables are single parquet files = one input split, which
     would serialize hash/shingle/projection-heavy maps onto one core
@@ -145,6 +146,18 @@ def spread(spark, df):
     ENTIRE input (100 TB of raw rows), so when the scan already carries at
     least one split per core — the normal 100 TB layout — this is a no-op
     and the maps run directly on the scan tasks.
+
+    Size-aware ceiling (round 9): a fixed spread to defaultParallelism gave
+    32 tasks of ~18 KB each on the 580 KB sf0.1 documents file, and the
+    measured per-task cost — ~20-60 ms of fixed JVM overhead plus ~300 ms
+    of Python round-trip wait on mapInArrow stages — dwarfed the per-row
+    work (CPU for an identical query measured 9.5 s at 132 tasks vs 1.8 s
+    at 36, scripts/profile_r09.py notes).  The target is therefore capped
+    at one partition per SPARK_GRAFT_SPREAD_CHUNK_KB (default 128 KiB) of
+    compressed input, so tiny inputs get a handful of tasks, 10x data gets
+    proportionally more, and at-scale inputs keep the no-op branch.  When
+    file sizes are unavailable (non-local storage) the old
+    cores-wide behavior is kept.
     """
     target = spark.sparkContext.defaultParallelism
     try:
@@ -158,6 +171,18 @@ def spread(spark, df):
             _SPLIT_COUNT_CACHE[key] = n
     else:
         n = df.rdd.getNumPartitions()
+    if n >= target:
+        return df
+    import os  # noqa: PLC0415
+
+    chunk = int(os.environ.get("SPARK_GRAFT_SPREAD_CHUNK_KB", "128")) * 1024
+    try:
+        total = sum(
+            os.path.getsize(p.removeprefix("file:")) for p in key
+        )
+        target = max(1, min(target, -(-total // chunk)))
+    except OSError:
+        pass  # unknown sizes: keep the cores-wide target
     if n >= target:
         return df
     return df.repartition(target)

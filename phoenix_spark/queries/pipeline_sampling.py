@@ -154,41 +154,39 @@ _HASH_SH = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
 
 
 def _decontaminate(spark, sf, arrow_kernel: bool = True):
-    # Round 9 restructure: the benchmark side filters FIRST (the ~1% bench
-    # slice pays the shingle map alone), the corpus side maps once — so the
-    # round-8 full-corpus (doc_id, hs) cache is no longer needed at all.
-    # At 100 TB this swaps MEMORY_AND_DISK storage of a corpus-sized mapped
-    # intermediate (a write + read of the whole corpus' shingle arrays) for
-    # one extra 2-column scan read whose map runs on 1/97 of the rows — and
-    # at bench scale it removes the cache-materialize + cached-explode
-    # stages entirely (CPU A/B in OPTIMIZATION_r09.md §3).
-    # ``arrow_kernel``: the tokenize+shingle+md5 map runs in the Arrow
-    # kernel (pipeline_dedup._hs_kernel, raw 60-bit hashes — no mod P);
-    # the JVM expression path is kept for A/B and the equivalence test.
+    # One cached tokenize+shingle+md5 pass (doc_id, hs-array) feeds BOTH the
+    # benchmark shingle set and the corpus side (round 8: before the cache,
+    # each side re-scanned documents and re-ran the map — one extra full
+    # corpus pass at scale).  Round 9: the map runs in the Arrow kernel
+    # (pipeline_dedup._hs_kernel, raw 60-bit hashes — no mod P): measured
+    # executor CPU 7-11.6 s -> 3.3-4.2 s at 32 tasks, and wall 0.74 -> 0.42-
+    # 0.61 s median with the cache.  Two no-cache designs were measured and
+    # DECLINED: (a) filter-early two-scan with a JVM bench-side map — the
+    # explode over an uncached JVM map gets the whole HOF tree duplicated
+    # into InferFiltersFromGenerate conjuncts (~1.0-1.6 s for the 52-doc
+    # side alone); (b) filter-early two-scan with kernels on both sides —
+    # honest cold cost (~1.0 s) but every run pays both Python stages
+    # (median 1.1 s vs 0.42-0.79 here).  The JVM expression path is kept
+    # under arrow_kernel=False for A/B and the equivalence test.
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     from phoenix_spark.queries.pipeline_dedup import _hs_kernel, _HS_SCHEMA
 
     docs = _docs_wide(spark, sf)
+    if arrow_kernel:
+        from phoenix_spark.queries._util import ship_package  # noqa: PLC0415
 
-    def mapped(side):
-        if arrow_kernel:
-            from phoenix_spark.queries._util import ship_package  # noqa: PLC0415
-
-            ship_package(spark)
-            return side.select("doc_id", "text").mapInArrow(
-                _hs_kernel, _HS_SCHEMA
-            )
-        return side.select(
+        ship_package(spark)
+        base = docs.select("doc_id", "text").mapInArrow(_hs_kernel, _HS_SCHEMA)
+    else:
+        base = docs.select(
             "doc_id", F.transform(_shingles_col(), _HASH_SH).alias("hs")
         )
-
-    bench = (
-        mapped(docs.filter(F.expr(_BENCH_PRED)))
-        .select(F.explode("hs").alias("h"))
-        .distinct()
-    )
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = base.select("doc_id", F.explode("hs").alias("h"))
+    bench = hashed.filter(F.expr(_BENCH_PRED)).select("h").distinct()
     return (
-        mapped(docs.filter(~F.expr(_BENCH_PRED)))
-        .select("doc_id", F.explode("hs").alias("h"))
+        hashed.filter(~F.expr(_BENCH_PRED))
         .join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         # COUNT, not COUNT(DISTINCT): hs is per-doc distinct by construction
@@ -319,22 +317,27 @@ _QUALITY = (
 ).format(toks="split(trim(text), '\\\\s+')")
 
 
-_ASM_SCHEMA = "doc_id bigint, source string, n_tokens int, hs array<bigint>"
+_ASM_SCHEMA = (
+    "doc_id bigint, source string, n_tokens int, is_bench boolean,"
+    " hs array<bigint>"
+)
 _ASM_STOP = ("the", "a", "of", "and", "to")
 
 
 def _asm_kernel(batches):
-    """(doc_id, source, text) -> gated (doc_id, source, n_tokens, hs).
+    """(doc_id, source, text) -> (doc_id, source, n_tokens, is_bench, hs)
+    for the rows the assembly chain can still use: benchmark docs (their
+    shingles seed the contamination set) and non-benchmark docs that pass
+    the quality + stratified-mix gate.  Everything else is dropped HERE —
+    no hashes computed, no bytes emitted (guide §4: ship decisions, not
+    dropped payloads).
 
-    One Arrow pass computes the quality gate, the stratified-mix keep
-    decision and the hashed shingles, emitting ONLY the surviving rows
-    (guide §4: ship decisions, not dropped payloads).  Every predicate
-    replicates the JVM expression exactly (same IEEE double divisions and
-    comparisons; md5 bucket == _BUCKET; tokenizer == split(trim(text)) per
-    the pipeline_dedup kernel contract); rows with NULL text can never
-    pass the gate on either path (NULL predicate -> filtered) and are
-    dropped.  Pinned against the JVM expression path by
-    tests/test_shingle_kernel.py."""
+    Every predicate replicates the JVM expression exactly (same IEEE double
+    divisions and comparisons; md5 bucket == _BUCKET; tokenizer ==
+    split(trim(text)) per the pipeline_dedup kernel contract); rows with
+    NULL text can never pass the gate and never contribute shingles on
+    either path, and are dropped.  Pinned against the JVM expression path
+    by tests/test_shingle_kernel.py."""
     import hashlib  # noqa: PLC0415
 
     import pyarrow as pa  # noqa: PLC0415
@@ -349,9 +352,16 @@ def _asm_kernel(batches):
         ids = batch.column("doc_id").to_pylist()
         srcs = batch.column("source").to_pylist()
         texts = batch.column("text").to_pylist()
-        o_id, o_src, o_nt, o_hs = [], [], [], []
+        o_id, o_src, o_nt, o_bench, o_hs = [], [], [], [], []
         for did, src, txt in zip(ids, srcs, texts):
             if txt is None:
+                continue
+            if did % 97 == 0:
+                o_id.append(did)
+                o_src.append(src)
+                o_nt.append(None)
+                o_bench.append(True)
+                o_hs.append(_doc_hashes(txt, None))
                 continue
             toks = _JAVA_WS.split(txt.strip(" "))
             n = len(toks)
@@ -366,71 +376,75 @@ def _asm_kernel(batches):
             o_id.append(did)
             o_src.append(src)
             o_nt.append(n)
+            o_bench.append(False)
             o_hs.append(_doc_hashes(txt, None))
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(o_id, type=pa.int64()),
                 pa.array(o_src, type=pa.string()),
                 pa.array(o_nt, type=pa.int32()),
+                pa.array(o_bench, type=pa.bool_()),
                 pa.array(o_hs, type=pa.list_(pa.int64())),
             ],
-            names=["doc_id", "source", "n_tokens", "hs"],
+            names=["doc_id", "source", "n_tokens", "is_bench", "hs"],
         )
 
 
 def _assemble_e2e(spark, sf, arrow_kernel: bool = True):
     from pyspark.sql.window import Window
 
-    # Round 9 restructure (same shape as _decontaminate): the benchmark
-    # shingle set comes from a separate 1/97-filtered scan (filter runs
-    # BEFORE the expensive map), and the gated side runs gate + mix + hs in
-    # one Arrow kernel that emits only survivors.  Only the gated frame —
-    # the quality/mix survivors, not the round-8 every-doc base — is cached,
-    # because it has two consumers (the contamination probe and the final
-    # anti-join); at 100 TB that halves-or-better the cached bytes and
-    # removes one full-corpus cache round-trip.
+    # Round 9 restructure: ONE Arrow-kernel pass computes gate + mix + md5
+    # shingles and emits ONLY the rows the chain can use — quality/mix
+    # survivors plus the 1/97 benchmark docs, flagged is_bench — and that
+    # frame is cached once for its three consumers (benchmark shingle set,
+    # contamination probe, final anti-join).  Compared to the round-8
+    # design this caches the survivors+bench slice instead of every doc
+    # (fewer cached bytes at 100 TB) and runs the tokenize/gate/md5 work in
+    # the kernel (executor CPU 6-7 s -> ~1.8-2.0 s at sf0.1).  A two-scan
+    # variant (separate filtered pass for the bench side, no shared cache)
+    # was measured and DECLINED: each run pays two Python stages (median
+    # 0.94-1.0 s vs ~0.7 here).
     from pyspark import StorageLevel  # noqa: PLC0415
-
-    from phoenix_spark.queries.pipeline_dedup import _hs_kernel, _HS_SCHEMA
 
     docs = _docs_wide(spark, sf)
     if arrow_kernel:
         from phoenix_spark.queries._util import ship_package  # noqa: PLC0415
 
         ship_package(spark)
-        gated = (
-            docs.filter(~F.expr(_BENCH_PRED))
-            .select("doc_id", "source", "text")
+        base = (
+            docs.select("doc_id", "source", "text")
             .mapInArrow(_asm_kernel, _ASM_SCHEMA)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        gated = base.filter(~F.col("is_bench")).select(
+            "doc_id", "source", "n_tokens", "hs"
         )
         bench = (
-            docs.filter(F.expr(_BENCH_PRED))
-            .select("doc_id", "text")
-            .mapInArrow(_hs_kernel, _HS_SCHEMA)
+            base.filter("is_bench")
             .select(F.explode("hs").alias("h"))
             .distinct()
         )
     else:
-        gated = (
-            docs.filter(~F.expr(_BENCH_PRED))
-            .select(
+        base = (
+            docs.select(
                 "doc_id",
                 "source",
                 F.expr(_NTOK).cast("int").alias("n_tokens"),
                 F.expr(_QUALITY).alias("_qual"),
                 F.expr(f"{_BUCKET} < {_RATE_CASE}").alias("_kept"),
+                F.expr(_BENCH_PRED).alias("_bench"),
                 F.transform(_shingles_col(), _HASH_SH).alias("hs"),
             )
-            .filter(F.col("_qual") & F.col("_kept"))
-            .select("doc_id", "source", "n_tokens", "hs")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        gated = base.filter(
+            F.col("_qual") & F.col("_kept") & ~F.col("_bench")
+        ).select("doc_id", "source", "n_tokens", "hs")
         bench = (
-            docs.filter(F.expr(_BENCH_PRED))
-            .select("doc_id", F.transform(_shingles_col(), _HASH_SH).alias("hs"))
+            base.filter("_bench")
             .select(F.explode("hs").alias("h"))
             .distinct()
         )
-    gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
     dirty = (
         gated.select("doc_id", F.explode("hs").alias("h"))
         .join(F.broadcast(bench), "h")

@@ -281,7 +281,7 @@ _KNN_K = 5
 _KNN_BUCKETS = 64
 
 
-def _knn_batch(spark, sf):
+def _knn_batch(spark, sf, arrow_kernel: bool = False):
     from pyspark.sql.window import Window
 
     emb = _quantized(spark, sf)
@@ -291,17 +291,34 @@ def _knn_batch(spark, sf):
         F.col("qn").alias("qqn"),
     )
     corpus = emb.filter(F.col("vec_id") > 8)
-    # Round 9: the interpreted dot-product fold crosses to the Arrow kernel
-    # (bit-identical integer arithmetic — see the kernel block comment);
-    # only the six needed columns cross the boundary (§4.3), and the salt
-    # bucket stays a cheap JVM expression on the kernel output.
-    ship_package(spark)
-    scored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .select("qid", "vec_id", "q", "qn", "qq", "qqn")
-        .mapInArrow(_cos_scored_kernel, "qid bigint, vec_id bigint, cosine double")
-        .withColumn("bkt", F.pmod(F.hash("vec_id"), F.lit(_KNN_BUCKETS)))
-    )
+    if arrow_kernel:
+        # MEASURED AND DECLINED as the default (round 9): the crossJoin
+        # emits BOTH vectors per scored pair, so the kernel ships ~1 KB/pair
+        # across the Arrow boundary — interleaved A/B walls: 0.48 -> 0.65 s
+        # at 32 cores / 0.69 -> 0.80 s at 8 cores at sf0.1, and 2.5 -> 5.3 s
+        # at 10x data: the serialization loses at every measured scale
+        # (guide §8: this moves payloads, not decisions).  Kept for the
+        # equivalence test and future A/Bs.
+        ship_package(spark)
+        scored = (
+            corpus.crossJoin(F.broadcast(queries))
+            .select("qid", "vec_id", "q", "qn", "qq", "qqn")
+            .mapInArrow(
+                _cos_scored_kernel, "qid bigint, vec_id bigint, cosine double"
+            )
+            .withColumn("bkt", F.pmod(F.hash("vec_id"), F.lit(_KNN_BUCKETS)))
+        )
+    else:
+        dot = F.expr(
+            "aggregate(zip_with(q, qq, (x, y) -> x * y), cast(0 as bigint),"
+            " (acc, v) -> acc + v)"
+        )
+        scored = corpus.crossJoin(F.broadcast(queries)).select(
+            "qid",
+            "vec_id",
+            (dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("qqn")))).alias("cosine"),
+            F.pmod(F.hash("vec_id"), F.lit(_KNN_BUCKETS)).alias("bkt"),
+        )
     w1 = Window.partitionBy("qid", "bkt").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -434,7 +451,7 @@ def _lsh_pairs(
     n_bands: int = _SIM_BANDS,
     candidates_only: bool = False,
     persist_bands: bool = True,
-    arrow_kernel: bool = True,
+    arrow_kernel: bool = False,
 ):
     """``candidates_only``: return the pre-verify candidate pair set — the
     quantity whose growth rate IS the LSH scale contract (measured at 1x and
@@ -502,9 +519,14 @@ def _lsh_pairs(
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("qn").alias("qn_b"))
     joined = cand.join(ea, "id_a").join(eb, "id_b")
     if arrow_kernel:
-        # Round 9: the ~5.4 µs/pair interpreted cosine fold crosses to the
-        # Arrow kernel (bit-identical — see the kernel block comment); the
-        # threshold filter stays a JVM predicate on the kernel output.
+        # MEASURED AND DECLINED as the default (round 9): unlike the knn /
+        # ivf stages, the verify join emits BOTH 64-dim vectors per
+        # candidate pair, so the kernel ships ~1 KB/pair (~150 MB at sf0.1's
+        # 143k pairs) across the Arrow boundary — interleaved A/B measured
+        # executor CPU 7.4-9.5 s (JVM fold) vs 10.3-10.8 s (kernel): the
+        # serialization costs more than the interpreted fold saves (guide
+        # §8: the kernel moves payloads, not decisions).  Kept for the
+        # equivalence test and future A/Bs.
         ship_package(spark)
         return (
             joined.select("id_a", "id_b", "q_a", "qn_a", "q_b", "qn_b")
@@ -617,7 +639,7 @@ _N_CELLS = 8
 _N_PROBE = 2
 
 
-def _ivf_probe(spark, sf):
+def _ivf_probe(spark, sf, arrow_kernel: bool = False):
     emb = _quantized(spark, sf)
     cents = (
         emb.filter(F.col("vec_id") < _N_CELLS)
@@ -627,20 +649,36 @@ def _ivf_probe(spark, sf):
             F.col("qn").alias("cqn"),
         )
     )
-    # Round 9: the N×8 assignment distances (the query's dominant fold
-    # volume) cross to the Arrow kernel — exact integer squared-L2, see the
-    # kernel block comment; the min(struct) tie-break stays on the JVM.
-    # The probe-ranking (8 rows) and final top-k (~N/4 rows) folds stay JVM
-    # expressions: their row counts don't justify a boundary crossing.
-    ship_package(spark)
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cell", "q", "qn", "cq", "cqn")
-        .mapInArrow(_ivf_dist_kernel, "vec_id bigint, cell bigint, d bigint")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d"), F.col("cell"))).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-    )
+    if arrow_kernel:
+        # MEASURED AND DECLINED as the default (round 9): like _knn_batch,
+        # the assignment crossJoin emits both vectors per (vector, cell)
+        # row, so the kernel ships ~1 KB/row across the Arrow boundary —
+        # interleaved A/B walls 0.62 -> 0.79 s at 8 cores sf0.1 and
+        # 1.5 -> 2.4 s at 10x data.  Kept for the equivalence test.
+        ship_package(spark)
+        assign = (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cell", "q", "qn", "cq", "cqn")
+            .mapInArrow(_ivf_dist_kernel, "vec_id bigint, cell bigint, d bigint")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("d"), F.col("cell"))).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"))
+        )
+    else:
+        dot_c = F.expr(
+            "aggregate(zip_with(q, cq, (x, y) -> x * y), cast(0 as bigint),"
+            " (acc, v) -> acc + v)"
+        )
+        # squared L2 in integer space: |v|^2 + |c|^2 - 2 v·c
+        dist = F.col("qn") + F.col("cqn") - 2 * dot_c
+        assign = (
+            emb.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(dist.alias("d"), F.col("cell").alias("cell"))).alias("m")
+            )
+            .select("vec_id", F.col("m.cell").alias("cell"))
+        )
     # probe cells: the P nearest centroids to the query vector (vec_id = 1)
     qrow = emb.filter(F.col("vec_id") == 1).select(
         F.col("q").alias("qq"), F.col("qn").alias("qqn")

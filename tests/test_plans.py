@@ -157,14 +157,15 @@ _ALLOWED_PYTHON = {
 #     32 interpreted permutations, tests/test_shingle_kernel.py),
 #   * the integer-cosine kernels (r9: ~85 µs/pair interpreted fold,
 #     tests/test_cosine_kernel.py).
-# dedup_embedding inherits similarity_lsh_pairs' verify kernel.
-# MapInArrow stays BANNED for every other entry.
+# The similarity family stays on JVM folds (the cosine kernels were
+# measured and DECLINED as defaults: their joins emit both vectors per
+# scored row, so the kernel ships ~1 KB/row of payload across the Arrow
+# boundary and loses at 1x AND 10x data — see _lsh_pairs/_knn_batch/
+# _ivf_probe), so MapInArrow stays BANNED there and for every other entry.
 _ALLOWED_ARROW = {
     "text_repetition_stats",
     "dedup_minhash_lsh", "dedup_incremental",
     "text_decontaminate", "pipeline_assemble_e2e",
-    "similarity_lsh_pairs", "dedup_embedding",
-    "similarity_knn_batch", "similarity_ivf_probe",
 }
 
 

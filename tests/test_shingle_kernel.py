@@ -205,13 +205,18 @@ def test_assemble_gate_kernel_on_edge_cases(spark):
         (104, "srcX", " ".join(["of"] * 5 + ["u%d" % i for i in range(95)])),
         (105, None, " ".join(["and"] * 2 + ["v%d" % i for i in range(98)])),
         (106, "src3", None),  # NULL text
+        (194, "src1", "short benchmark doc"),  # 194 % 97 = 0: bench row
+        (291, "src2", None),  # bench row with NULL text: contributes nothing
     ]
     df = spark.createDataFrame(
         [Row(doc_id=i, source=s, text=t) for i, s, t in rows],
         "doc_id bigint, source string, text string",
     )
-    fast = _rows(df.select("doc_id", "source", "text").mapInArrow(_asm_kernel, _ASM_SCHEMA))
-    slow = _rows(
+    kout = df.select("doc_id", "source", "text").mapInArrow(_asm_kernel, _ASM_SCHEMA)
+    fast_gated = _rows(
+        kout.filter(~F.col("is_bench")).select("doc_id", "source", "n_tokens", "hs")
+    )
+    slow_gated = _rows(
         df.select(
             "doc_id",
             "source",
@@ -220,8 +225,17 @@ def test_assemble_gate_kernel_on_edge_cases(spark):
             F.expr(f"{_BUCKET} < {_RATE_CASE}").alias("_kept"),
             F.transform(_shingles_col(), _HASH_SH).alias("hs"),
         )
-        .filter(F.col("_qual") & F.col("_kept"))
+        .filter(F.col("_qual") & F.col("_kept") & ~F.expr("doc_id % 97 = 0"))
         .select("doc_id", "source", "n_tokens", "hs")
     )
-    assert fast == slow
-    assert len(fast) > 0
+    assert fast_gated == slow_gated
+    assert len(fast_gated) > 0
+    # benchmark rows: shingle hashes equal the JVM map's, NULL text absent
+    fast_bench = _rows(kout.filter("is_bench").select("doc_id", "hs"))
+    slow_bench = _rows(
+        df.filter("doc_id % 97 = 0 AND text IS NOT NULL").select(
+            "doc_id", F.transform(_shingles_col(), _HASH_SH).alias("hs")
+        )
+    )
+    assert fast_bench == slow_bench
+    assert len(fast_bench) == 1
