@@ -43,6 +43,10 @@ for t in TABLES:
 qs, osql = E.queries(), E.oracle_sql()
 fails, rows_only = [], []
 for name in sorted(qs):
+    # r8 ADVICE: query builders persist() intermediates with no unpersist
+    # path; clear the SQL cache per query so runs stay independent and
+    # cached entries don't accumulate across the 193-query sweep.
+    spark.catalog.clearCache()
     try:
         sdf = qs[name](spark, SF).toPandas()
     except Exception as ex:

@@ -30,6 +30,26 @@ class Probe:
             )
         }
 
+    def stages_settled(self):
+        """Poll until no new completed stages appear across two consecutive
+        reads (r8 ADVICE: a fixed post-action sleep silently dropped stages
+        still finalizing, quietly biasing the diff); warn when active
+        stages remain after the polls."""
+        prev = -1
+        st = {}
+        for _ in range(6):
+            st = self.stages()
+            if len(st) == prev:
+                break
+            prev = len(st)
+            time.sleep(0.25)
+        active = get_json(
+            f"{self.base}/applications/{self.app}/stages?status=active"
+        )
+        if active:
+            print(f"WARNING: {len(active)} stages still active at poll time")
+        return st
+
     def run(self, label, thunk, n=3):
         out = []
         for i in range(n):
@@ -37,8 +57,7 @@ class Probe:
             t0 = time.perf_counter()
             thunk()
             wall = time.perf_counter() - t0
-            time.sleep(0.3)
-            st = self.stages()
+            st = self.stages_settled()
             new = [st[k] for k in st if k not in before]
             row = {
                 "label": label,
