@@ -774,17 +774,102 @@ def simhash_params(n_docs: int) -> tuple[int, int]:
     return (128, 4)
 
 
-def _simhash_fp(spark, sf, n_bits: int = 64, n_chunks: int = 4) -> DataFrame:
+def _simhash_kernel(n_bits: int, n_chunks: int):
+    """Arrow-batched SimHash fingerprint kernel (round 9, guide §4.2).
+
+    Computes, per row of (doc_id, lt = lower(trim(text))): the distinct
+    whitespace tokens, md5 per distinct token, and the n_bits sign-of-sums
+    fingerprint packed into n_chunks chunk ints — the exact values of the
+    explode -> n_bits SUM aggregates -> chunk-pack JVM formulation:
+
+      * lower(trim(...)) deliberately stays ON THE JVM (the kernel input
+        is the already-normalized string), so there is no Python-vs-Java
+        Unicode-lowercasing surface at all;
+      * the tokenizer is the pinned Java-faithful split (limit -1, ASCII
+        \\s class) and dict.fromkeys == array_distinct;
+      * bit b of the md5 prefix: conv(substring(hex, 8p+1, 8),16,10) is
+        the big-endian bytes 4p..4p+3 of the digest, and np.unpackbits is
+        MSB-first per byte in byte order — the bit columns align exactly;
+      * the sign sums are small exact integers (|s_b| <= n_tokens).
+
+    Replaces a full explode(distinct tokens) + groupBy SHUFFLE and the 64
+    aggregate evaluations with a zero-shuffle per-row map — measured
+    per-triplet executor CPU ~18.6 s -> see OPTIMIZATION_r09.md; at 100 TB
+    it removes the fingerprint shuffle outright (§2.4).  Rows with NULL
+    text are dropped (the JVM path's explode(NULL) drops them equally).
+    Pinned by tests/test_shingle_kernel.py::test_simhash_kernel_*.
+    """
+    chunk_bits = n_bits // n_chunks
+    nb = n_bits // 8
+    weights = [1 << j for j in range(chunk_bits)]
+
+    def kernel(batches):
+        import hashlib  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
+
+        md5 = hashlib.md5
+        w = np.array(weights, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("lt").to_pylist()
+            o_id = []
+            o_chunks = [[] for _ in range(n_chunks)]
+            for did, s in zip(ids, texts):
+                if s is None:
+                    continue
+                toks = dict.fromkeys(_JAVA_WS.split(s))
+                dig = b"".join(
+                    md5(t.encode("utf-8")).digest()[:nb] for t in toks
+                )
+                bits = np.unpackbits(
+                    np.frombuffer(dig, dtype=np.uint8)
+                ).reshape(len(toks), n_bits)
+                s_b = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+                pos = (s_b > 0).astype(np.int64)
+                o_id.append(did)
+                for c in range(n_chunks):
+                    o_chunks[c].append(
+                        int((pos[chunk_bits * c : chunk_bits * (c + 1)] * w).sum())
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, type=pa.int64())]
+                + [pa.array(col, type=pa.int64()) for col in o_chunks],
+                names=["doc_id"] + [f"c{c}" for c in range(n_chunks)],
+            )
+
+    return kernel
+
+
+def _simhash_fp(
+    spark, sf, n_bits: int = 64, n_chunks: int = 4, arrow_kernel: bool = True
+) -> DataFrame:
     """doc_id + n_chunks fingerprint chunk columns (c0..c{n-1}).
 
-    Formulated as explode(distinct tokens) -> n_bits codegen'd SUM(shifted
-    bit) aggregates -> chunk packing, NOT as nested array lambdas over an
-    accumulator: higher-order functions evaluate their lambda interpreted
-    per element (measured ~15 s/side at sf0.1 vs ~2 s for this shape).  The
-    groupBy shuffles only (doc_id, n_bits partial longs) thanks to map-side
-    combine; the md5 is computed once per token occurrence.
+    JVM formulation (``arrow_kernel=False``, the r6-r8 shape): explode
+    (distinct tokens) -> n_bits codegen'd SUM(shifted bit) aggregates ->
+    chunk packing, NOT nested array lambdas over an accumulator (higher-
+    order functions evaluate their lambda interpreted per element —
+    measured ~15 s/side at sf0.1 vs ~2 s for this shape).  The groupBy
+    shuffles only (doc_id, n_bits partial longs) thanks to map-side
+    combine.
+
+    Round 9 default: the whole fingerprint crosses to the Arrow kernel
+    (_simhash_kernel) as a zero-shuffle per-row map — identical values,
+    one shuffle fewer (the explode+groupBy disappears).
     """
     assert n_bits % 32 == 0 and n_bits <= 128 and n_bits % n_chunks == 0
+    if arrow_kernel:
+        ship_package(spark)
+        return (
+            _docs_wide(spark, sf)
+            .select("doc_id", F.lower(F.trim(F.col("text"))).alias("lt"))
+            .mapInArrow(
+                _simhash_kernel(n_bits, n_chunks),
+                "doc_id bigint, "
+                + ", ".join(f"c{c} bigint" for c in range(n_chunks)),
+            )
+        )
     chunk_bits = n_bits // n_chunks
     n_parts = n_bits // 32
     toks = _docs_wide(spark, sf).select(
@@ -835,8 +920,9 @@ def _simhash(
     n_chunks: int = 4,
     candidates_only: bool = False,
     persist_bands: bool = True,
+    arrow_kernel: bool = True,
 ):
-    fp = _simhash_fp(spark, sf, n_bits, n_chunks)
+    fp = _simhash_fp(spark, sf, n_bits, n_chunks, arrow_kernel=arrow_kernel)
     # Carry the n_chunks chunk columns THROUGH the band explode: the candidate
     # self-join then yields both sides' full fingerprints directly — no
     # join-back to fp, which would re-run the expensive fingerprint map two

@@ -80,8 +80,9 @@ def test_simhash_no_cartesian_and_codegen(spark):
     # candidate pairs come from an equi-join on (band, chunk value)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # fingerprint is a codegen'd 64-sum aggregate, not interpreted lambdas
-    assert "HashAggregate" in plan and "BatchEvalPython" not in plan
+    # r9: the fingerprint is the zero-shuffle Arrow kernel (one MapInArrow,
+    # no explode+groupBy shuffle, no row-at-a-time Python)
+    assert "MapInArrow" in plan and "BatchEvalPython" not in plan
 
 
 def test_similarity_lsh_no_cartesian(spark):
@@ -165,6 +166,7 @@ _ALLOWED_PYTHON = {
 _ALLOWED_ARROW = {
     "text_repetition_stats",
     "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_simhash", "dedup_simhash128",
     "text_decontaminate", "pipeline_assemble_e2e",
 }
 

@@ -171,6 +171,45 @@ def test_minhash_signatures_equal_on_edge_cases(spark):
     assert fast == slow
 
 
+def test_simhash_kernel_paths_equal_on_fixture(spark):
+    """The Arrow SimHash fingerprint (zero-shuffle per-row map) == the
+    explode+64-SUM JVM formulation, for both registered configs, through
+    the full candidate+verify query."""
+    from phoenix_spark.queries.pipeline_dedup import _simhash
+
+    for n_bits, n_chunks in ((64, 4), (128, 8)):
+        spark.catalog.clearCache()
+        fast = _rows(
+            _simhash(spark, "/root/testdata/sf0.001", n_bits, n_chunks, arrow_kernel=True)
+        )
+        spark.catalog.clearCache()
+        slow = _rows(
+            _simhash(spark, "/root/testdata/sf0.001", n_bits, n_chunks, arrow_kernel=False)
+        )
+        spark.catalog.clearCache()
+        assert len(fast) > 0
+        assert fast == slow
+
+
+def test_simhash_kernel_fingerprints_on_edge_cases(spark):
+    """Fingerprint chunks identical on adversarial whitespace/empty rows
+    (the lower(trim()) normalization stays on the JVM in BOTH paths, so
+    only tokenization/md5/bit arithmetic is exercised here)."""
+    from phoenix_spark.queries.pipeline_dedup import _simhash_fp
+    import phoenix_spark.queries.pipeline_dedup as PD
+
+    df = _edge_df(spark)
+    orig = PD.t
+    try:
+        PD.t = lambda _spark, _sf, _name: df
+        fast = _rows(_simhash_fp(spark, "unused", arrow_kernel=True))
+        slow = _rows(_simhash_fp(spark, "unused", arrow_kernel=False))
+    finally:
+        PD.t = orig
+    assert fast == slow
+    assert len(fast) == len([1 for _i, _s, t in EDGE_TEXTS if t is not None])
+
+
 def test_decontaminate_and_assemble_kernel_paths_equal(spark):
     from phoenix_spark.queries.pipeline_sampling import _assemble_e2e, _decontaminate
 
