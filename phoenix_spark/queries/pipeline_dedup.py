@@ -22,8 +22,11 @@ Four tiers, all shuffle-bounded (never all-pairs):
     entry is fully oracle-paired (signatures, banding, and verify).
 
 At scale the LSH join shuffles on band_hash — uniformly distributed by
-construction, so no skew; signatures are computed in one groupBy with 32
-map-side-combined min() aggregates.
+construction, so no skew.  Since round 9 the per-document fingerprint work
+(shingle-md5 + the 32 MinHash signature minima; the SimHash bit sums) runs
+in Arrow-batched kernels — zero-shuffle per-row maps whose values are
+pinned bit-identical to the JVM expression forms they replaced
+(tests/test_shingle_kernel.py; `arrow_kernel=False` keeps the old paths).
 """
 
 from __future__ import annotations
