@@ -176,13 +176,14 @@ def spread(spark, df):
     import os  # noqa: PLC0415
 
     chunk = int(os.environ.get("SPARK_GRAFT_SPREAD_CHUNK_KB", "128")) * 1024
-    try:
-        total = sum(
-            os.path.getsize(p.removeprefix("file:")) for p in key
-        )
-        target = max(1, min(target, -(-total // chunk)))
-    except OSError:
-        pass  # unknown sizes: keep the cores-wide target
+    if key:  # no file list (non-file source) -> keep the cores-wide target
+        try:
+            total = sum(
+                os.path.getsize(p.removeprefix("file:")) for p in key
+            )
+            target = max(1, min(target, -(-total // chunk)))
+        except OSError:
+            pass  # unknown sizes: keep the cores-wide target
     if n >= target:
         return df
     return df.repartition(target)
